@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational building blocks shared by the query suite and the scrape
+  * pipeline. Everything is expressed on the DataFrame API so Catalyst can
+  * push, prune, and reorder; none of these helpers materialize or collect.
+  *
+  * Reference semantics covered here:
+  *   - get_or_create dimension build → [[surrogateDim]]
+  *     (deep-field bbref_pages.py:337-372 `Team.get_or_create`)
+  *   - on-base bitflag encode → [[bitflags]]
+  *     (deep-field bbref_pages.py:507-515 `__runners_to_on_base`)
+  *   - play_num sequence → [[sequenceNumber]]
+  *     (deep-field bbref_pages.py:455-465 `play_num`)
+  *   - appearance counters / pitcher-change detection → window lag+cumsum
+  *     (deep-field bbref_pages.py:562+ `_PlayerAppearances`)
+  */
+object Relational {
+
+  /** Distinct natural keys + deterministic dense surrogate ids.
+    * `dense_rank over (order by key)` rather than
+    * `monotonically_increasing_id` so ids are stable across partitioning
+    * and reproducible by any other engine. The single-partition window is
+    * fine because a dimension is by definition small; for a huge dim,
+    * zipWithIndex over a sorted Dataset would replace it.
+    */
+  def surrogateDim(df: DataFrame, naturalKey: String, idName: String): DataFrame =
+    df.select(naturalKey).distinct()
+      .withColumn(idName, dense_rank().over(Window.orderBy(col(naturalKey))))
+
+  /** Resolve a natural key to its surrogate id by broadcast-joining the
+    * dimension (dims are small by construction — never shuffle the fact).
+    */
+  def resolveFk(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
+    fact.join(broadcast(dim), Seq(key))
+
+  /** Encode boolean conditions into an int bitflag (+1, +2, +4, ...),
+    * mirroring the reference's on-base encoding.
+    */
+  def bitflags(conds: Seq[Column]): Column =
+    conds.zipWithIndex
+      .map { case (c, i) => when(c, lit(1 << i)).otherwise(lit(0)) }
+      .reduce(_ + _)
+
+  /** Top-k rows per group with a deterministic tie-break ordering. */
+  def topKPerGroup(df: DataFrame, partCols: Seq[Column], order: Seq[Column], k: Int): DataFrame =
+    df.withColumn("rnk", row_number().over(Window.partitionBy(partCols: _*).orderBy(order: _*)))
+      .filter(col("rnk") <= k)
+
+  /** 0-based sequence number per group (play_num semantics). */
+  def sequenceNumber(df: DataFrame, partCols: Seq[Column], order: Seq[Column], name: String): DataFrame =
+    df.withColumn(name, row_number().over(Window.partitionBy(partCols: _*).orderBy(order: _*)) - 1)
+
+  /** Gap-based sessionization: a new session starts when the time since
+    * the previous event of the same key exceeds `gapMs`. One shuffle on
+    * `key`; everything after is within-partition window arithmetic, so the
+    * plan scales linearly with events per key.
+    */
+  def sessionize(df: DataFrame, key: Column, ts: Column, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts)
+    val tsMs = unix_millis(ts)
+    val newSession = when(
+      tsMs - lag(tsMs, 1).over(w) > gapMs || lag(tsMs, 1).over(w).isNull, lit(1)
+    ).otherwise(lit(0))
+    df.withColumn("session_id",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Two-stage (salted) aggregation: pre-aggregate on (key, salt) so a
+    * skewed key spreads over `salts` reducers before the final combine.
+    * Results are identical to a direct groupBy when the partial and final
+    * aggregates compose (sum/count/min/max).
+    */
+  def saltedSumCount(df: DataFrame, key: Column, valueCol: Column, salt: Column, sumName: String, cntName: String): DataFrame =
+    df.withColumn("__salt", salt)
+      .groupBy(key, col("__salt"))
+      .agg(sum(valueCol).as("__ps"), count(lit(1)).as("__pc"))
+      .groupBy(key)
+      .agg(sum(col("__ps")).as(sumName), sum(col("__pc")).as(cntName))
+
+  /** Exact-money aggregation column: sum in DECIMAL (associativity-exact,
+    * so any partialization / AQE re-plan yields the same value), surfaced
+    * as DOUBLE for a stable cross-engine compare.
+    */
+  def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** moneySum over a product of 2-decimal columns (e.g. price * (1-disc)),
+    * computed exactly in decimal.
+    */
+  def moneySumExpr(c: Column): Column = sum(c).cast("double")
+
+  def dec2(c: Column): Column = c.cast("decimal(18,2)")
+}

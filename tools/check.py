@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB with views
+over <sfDir>/*.parquet, loads the Spark result parquet from
+<verifyOutDir>/<name>/, sorts columns by name and rows by all columns,
+and compares values (floats to 1e-9 rel tolerance, then hash-style exact
+string compare report)."""
+import sys, json, glob, os, math
+import duckdb
+import pyarrow.parquet as pq
+
+sf, out = sys.argv[1], sys.argv[2]
+oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
+con = duckdb.connect()
+for f in glob.glob(os.path.join(sf, "*.parquet")):
+    name = os.path.basename(f)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    recs = df.values.tolist()
+    def key(row):
+        return [("" if v is None or (isinstance(v, float) and math.isnan(v)) else str(v)) for v in row]
+    return cols, sorted(recs, key=key)
+
+def vals_eq(a, b):
+    if a is None and b is None: return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b): return True
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    return str(a) == str(b)
+
+fails = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    spark_dir = os.path.join(out, name)
+    if not os.path.isdir(spark_dir):
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    try:
+        odf = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: duckdb error {e}"); fails += 1; continue
+    files = glob.glob(os.path.join(spark_dir, "*.parquet"))
+    sdf = pq.ParquetDataset(files).read().to_pandas()
+    oc, orows = canon(odf)
+    sc, srows = canon(sdf)
+    if oc != [c.lower() for c in sc] and oc != sc:
+        print(f"FAIL {name}: schema mismatch spark={sc} oracle={oc}"); fails += 1; continue
+    if len(orows) != len(srows):
+        print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}"); fails += 1; continue
+    bad = None
+    for i, (r1, r2) in enumerate(zip(srows, orows)):
+        for c, (v1, v2) in zip(sc, zip(r1, r2)):
+            if not vals_eq(v1, v2):
+                bad = (i, c, v1, v2); break
+        if bad: break
+    if bad:
+        print(f"FAIL {name}: row {bad[0]} col {bad[1]} spark={bad[2]!r} oracle={bad[3]!r}"); fails += 1
+    else:
+        print(f"OK   {name} ({len(srows)} rows)")
+print(f"\n{len(oracle) - fails}/{len(oracle)} passed")
+sys.exit(1 if fails else 0)
