@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions over [[HashKernels]].
+  *
+  * Each generates a direct static call inside whole-stage codegen — the
+  * whole dedup hot path stays in one generated loop per partition (vs a
+  * Scala UDF, which would break codegen and pay ser/de per row).
+  */
+object HashExpressions {
+
+  /** array<string> shingles → array<long> k-permutation MinHash signature. */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash"
+    protected override def nullSafeEval(input: Any): Any =
+      HashKernels.minhashSig(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashSig($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+      copy(child = newChild)
+  }
+
+  /** array<string> tokens → 64-bit SimHash. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash64"
+    protected override def nullSafeEval(input: Any): Any =
+      HashKernels.simhash64(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash64($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  /** string → min Rabin–Karp window hash (winnowing fingerprint). */
+  case class RollingFingerprint(child: Expression, window: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_fingerprint"
+    protected override def nullSafeEval(input: Any): Any =
+      HashKernels.rollingFingerprint(input.asInstanceOf[UTF8String], window)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.rollingFingerprint($c, $window)")
+    override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+      copy(child = newChild)
+  }
+
+  /** (array<float>, array<float>) → cosine similarity in double. */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine"
+    protected override def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.cosineF($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** array<float> → Int bucket id under LSH table `table` with `nPlanes`
+    * deterministic random hyperplanes.
+    */
+  case class HyperplaneSignature(child: Expression, table: Int, nPlanes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_hyperplane_sig"
+    protected override def nullSafeEval(input: Any): Any =
+      HashKernels.hyperplaneSig(input.asInstanceOf[ArrayData], table, nPlanes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.hyperplaneSig($c, $table, $nPlanes)")
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
+      copy(child = newChild)
+  }
+
+  // --- Column API -----------------------------------------------------------
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  def minhash(shingles: Column, k: Int): Column = col(MinHashSignature(expr(shingles), k))
+  def simhash(tokens: Column): Column = col(SimHash64(expr(tokens)))
+  def fingerprint(text: Column, window: Int): Column = col(RollingFingerprint(expr(text), window))
+  def cosine(a: Column, b: Column): Column = col(CosineSimilarity(expr(a), expr(b)))
+  def hyperplaneSig(emb: Column, table: Int, nPlanes: Int): Column =
+    col(HyperplaneSignature(expr(emb), table, nPlanes))
+}

@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic hash kernels for the dedup / fingerprint operators.
+  *
+  * All standard public constructions: FNV-1a 64, polynomial MinHash over a
+  * Mersenne prime (2^61-1), SimHash (Charikar), Rabin–Karp rolling hash.
+  * Kept as static JVM methods so the Catalyst expressions in
+  * [[HashExpressions]] can call them from generated code (whole-stage
+  * codegen emits a direct static call — no boxing, no UDF serialization).
+  *
+  * Reference semantics: deep-field has no content hashing; these back the
+  * training-data dedup operators the brief adds on top (SURVEY.md §2.3).
+  */
+object HashKernels {
+  final val MersennePrime: Long = (1L << 61) - 1
+
+  /** FNV-1a 64-bit over UTF-8 bytes. */
+  def fnv1a64(s: UTF8String): Long = fnv1a64Bytes(s.getBytes)
+
+  def fnv1a64Bytes(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def fnv1a64String(s: String): Long =
+    fnv1a64Bytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** (x*y) mod 2^61-1 for 0 <= x,y < 2^61-1, via 128-bit product split.
+    * 2^64 ≡ 8 (mod p), so hi*2^64 + lo ≡ (hi<<3) + (lo>>>61) + (lo&p).
+    */
+  def mulMod61(x: Long, y: Long): Long = {
+    val hi = Math.multiplyHigh(x, y)
+    val lo = x * y
+    var r = (hi << 3) + (lo >>> 61) + (lo & MersennePrime)
+    while (r >= MersennePrime) r -= MersennePrime
+    r
+  }
+
+  /** Reduce an arbitrary long to [0, p). */
+  def mod61(x: Long): Long = {
+    var r = (x & MersennePrime) + (x >>> 61)
+    while (r >= MersennePrime) r -= MersennePrime
+    r
+  }
+
+  // MinHash coefficients a_i (odd, < p) and b_i, derived from FNV so every
+  // executor materializes identical values with zero driver state shipped.
+  private[this] val maxK = 256
+  private[this] lazy val coefA: Array[Long] =
+    Array.tabulate(maxK)(i => mod61(fnv1a64String(s"graft-minhash-a-$i")) | 1L)
+  private[this] lazy val coefB: Array[Long] =
+    Array.tabulate(maxK)(i => mod61(fnv1a64String(s"graft-minhash-b-$i")))
+
+  /** k-permutation MinHash signature of a string set: one pass over the
+    * shingles, k running minima — no per-shingle shuffle, no O(n*k) rows.
+    */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h = mod61(fnv1a64(shingles.getUTF8String(i)))
+        var j = 0
+        while (j < k) {
+          val v = mulMod61(coefA(j), h) + coefB(j)
+          val r = if (v >= MersennePrime) v - MersennePrime else v
+          if (r < sig(j)) sig(j) = r
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Charikar SimHash-64 with token-frequency weights (each occurrence
+    * votes, matching the classic near-dup construction).
+    */
+  def simhash64(tokens: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv1a64(tokens.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (acc(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** Rabin–Karp rolling hash (base 257 mod 2^61-1) over UTF-8 bytes;
+    * returns the MIN window hash — a winnowing-style document fingerprint
+    * robust to local edits. Shorter-than-window text hashes whole.
+    */
+  def rollingFingerprint(text: UTF8String, window: Int): Long = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val base = 257L
+    if (n == 0) return 0L
+    if (n <= window) return mod61(fnv1a64Bytes(bytes))
+    // base^(window-1) mod p
+    var pow = 1L
+    var e = 0
+    while (e < window - 1) { pow = mulMod61(pow, base); e += 1 }
+    var h = 0L
+    var i = 0
+    while (i < window) { h = mod61(mulMod61(h, base) + (bytes(i) & 0xffL)); i += 1 }
+    var min = h
+    while (i < n) {
+      val out = (bytes(i - window) & 0xffL)
+      h = mod61(h + MersennePrime - mulMod61(out, pow)) // subtract outgoing
+      h = mod61(mulMod61(h, base) + (bytes(i) & 0xffL))
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  /** Exact cosine over two float vectors, accumulated in double (left
+    * fold, index order — bit-identical across engines that do the same).
+    */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  // --- random-hyperplane LSH ------------------------------------------------
+  // Plane component (table, plane, dim j) is a pure function of its indices,
+  // so buckets are reproducible on every executor with no shipped state.
+  def planeComponent(table: Int, plane: Int, j: Int): Double =
+    ((java.lang.Long.remainderUnsigned(
+      fnv1a64String(s"graft-plane-t$table-p$plane-d$j"), 2001L)) - 1000L) / 1000.0
+
+  private[this] val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  private def planes(table: Int, nPlanes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((table, nPlanes, dim), _ =>
+      Array.tabulate(nPlanes, dim)((p, j) => planeComponent(table, p, j)))
+
+  /** Sign-bit signature of `emb` against `nPlanes` deterministic
+    * hyperplanes of LSH table `table` → an Int bucket id.
+    */
+  def hyperplaneSig(emb: ArrayData, table: Int, nPlanes: Int): Int = {
+    val dim = emb.numElements()
+    val pl = planes(table, nPlanes, dim)
+    var bits = 0
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var j = 0
+      val row = pl(p)
+      while (j < dim) { dot += emb.getFloat(j).toDouble * row(j); j += 1 }
+      if (dot >= 0.0) bits |= (1 << p)
+      p += 1
+    }
+    bits
+  }
+}

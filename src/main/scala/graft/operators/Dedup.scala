@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExpressions
+
+/** Deduplication operators for the training-data pipeline (SURVEY.md §2.3).
+  *
+  * Scale posture (100 TB): never O(n²). Every near-dup variant goes
+  * through a bounded candidate-generation step (inverted index, LSH band
+  * bucket, or simhash block) whose join key is the shuffle key, then
+  * verifies only candidates. Signatures are computed in ONE pass per doc
+  * by native codegen expressions — no per-shingle shuffle.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical content, keep the minimum id.
+    * At scale the groupBy key is a 256-bit content hash (fixed width)
+    * rather than the document body, so shuffle volume is id+digest.
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol).cast("binary"), 256).as("content_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles: (id, shingle) rows. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val t = split(col(textCol), " ")
+    val grams = expr(
+      s"transform(sequence(0, size(__t) - $n), i -> concat_ws(' ', slice(__t, i + 1, $n)))")
+    docs.select(col(idCol).as("id"), t.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("id"), explode(grams).as("s"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted index
+    * (shingle → ids) self-join. The shingle is the shuffle key, so
+    * candidate generation is proportional to Σ |postings|² per shingle —
+    * bounded in practice by stopword-free shingles; LSH (below) is the
+    * scale path when that bound is too loose.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signatures: (id, sig array<long>[k]) — one codegen pass/doc. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val t = split(col(textCol), " ")
+    val grams = expr(
+      s"array_distinct(transform(sequence(0, size(__t) - $n), i -> concat_ws(' ', slice(__t, i + 1, $n))))")
+    docs.select(col(idCol).as("id"), t.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("id"), HashExpressions.minhash(grams, k).as("sig"))
+  }
+
+  /** MinHash + LSH banding near-dup pairs. Docs land in `bands` buckets
+    * keyed by (band index, hash of the band's signature rows); candidates
+    * are same-bucket pairs; the estimated Jaccard is the fraction of
+    * matching signature components. Band key is the shuffle key — skew
+    * only if a bucket degenerates, which banding width controls.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k).cache()
+    val banded = sigs.select(col("id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
+          .as(Seq("band", "bh")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand.join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
+      .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+      .withColumn("est_jaccard",
+        expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, split into `blocks` bit
+    * blocks; any pair within `maxHamming` must share at least one exact
+    * block (pigeonhole: maxHamming < blocks), so the block value is the
+    * candidate join key. Verification is a popcount on XOR.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   blocks: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming < blocks, "pigeonhole needs maxHamming < blocks")
+    val width = 64 / blocks
+    val sigs = docs.select(col(idCol).as("id"),
+      HashExpressions.simhash(split(col(textCol), " ")).as("sig"))
+    val blocked = sigs.select(col("id"), col("sig"),
+      posexplode(expr(
+        s"transform(sequence(0, ${blocks - 1}), b -> shiftright(sig, b * $width) & ${(1L << width) - 1})"))
+        .as(Seq("blk", "bv")))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-dup pairs via random-hyperplane LSH: `tables`
+    * independent bucketings of `planes` sign bits each; same-bucket pairs
+    * in any table are candidates; exact cosine (double) verifies. Bucket
+    * id is the shuffle key; per-bucket work is |bucket|², controlled by
+    * `planes`.
+    */
+  def embeddingDedupPairs(embs: DataFrame, idCol: String, vecCol: String,
+                          tables: Int, planes: Int, threshold: Double): DataFrame = {
+    val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = base.select(col("id"), col("v"),
+      posexplode(array((0 until tables).map(t =>
+        HashExpressions.hyperplaneSig(col("v"), t, planes)): _*)).as(Seq("tbl", "bucket")))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        HashExpressions.cosine(col("a.v"), col("b.v")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExpressions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.3 a1/a2).
+  *
+  * Baseline is brute-force cosine top-k (broadcast the queries, scan the
+  * corpus once); the scale path is hyperplane-LSH bucketing, where the
+  * bucket id is the shuffle key and per-bucket brute force is bounded by
+  * bucket size.
+  */
+object Similarity {
+
+  /** SQL-expressible double-fold cosine (kept in sync with the DuckDB
+    * oracle in DocumentSuite — same left-to-right accumulation order).
+    */
+  def cosineSql(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact cosine top-k: queries (small) are broadcast against the corpus,
+    * so the fact side never shuffles for the join; the only shuffle is the
+    * per-query top-k window. Ordering and selection use the ROUNDED cosine
+    * (6 dp) + neighbor id so results are reproducible across engines.
+    */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosineSql(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Hyperplane-LSH ANN: bucket corpus and queries into `tables`
+    * independent sign-bit bucketings; candidates are same-bucket rows in
+    * any table; rerank candidates by exact cosine and keep top-k. Recall
+    * grows with `tables`, per-bucket cost shrinks with `planes`.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, tables: Int, planes: Int): DataFrame = {
+    def bucketize(df: DataFrame, id: String, vec: String) =
+      df.select(col(id), col(vec),
+        posexplode(array((0 until tables).map(t =>
+          HashExpressions.hyperplaneSig(col(vec), t, planes)): _*)).as(Seq("tbl", "bucket")))
+    val qb = bucketize(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
+    val cb = bucketize(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv")
+    val cand = cb.join(broadcast(qb),
+        qb("tbl") === cb("tbl") && qb("bucket") === cb("bucket") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct()
+    val scored = cand.withColumn("cos",
+      round(HashExpressions.cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for the training-data pipeline (SURVEY.md §2.3).
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions`
+  * (codegen'd, pushdown-friendly) and kept SQL-expressible so the DuckDB
+  * oracle can replay the exact arithmetic.
+  */
+object TextAnalysis {
+
+  /** Small fixed stopword lists per language — enough for a deterministic
+    * n-gram/stopword-hit language-ID heuristic. Alphabetical language
+    * order is also the tie-break order.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有"))
+
+  /** Whitespace tokens of a text column. */
+  def wsTokens(text: Column): Column = split(text, " ")
+
+  /** Count of tokens that belong to `words`. */
+  def stopHits(text: Column, words: Seq[String]): Column =
+    size(filter(wsTokens(text), t => t.isin(words.map(w => lit(w)): _*))).cast("long")
+
+  /** Predicted language: argmax of stopword hits, ties broken by language
+    * code ascending (the CASE chain evaluates in alphabetical order with
+    * `>=`, which is exactly that tie-break).
+    */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (lang, words) => lang -> stopHits(text, words) }
+    val cases = scores.zipWithIndex.map { case ((lang, s), i) =>
+      val laterScores = scores.drop(i + 1).map(_._2)
+      (lang, laterScores.foldLeft(lit(true))((acc, o) => acc && s >= o))
+    }
+    cases.init.foldRight(lit(cases.last._1)) { case ((lang, cond), rest) =>
+      when(cond, lit(lang)).otherwise(rest)
+    }
+  }
+
+  /** BPE-ish regex token count: words | numbers | single punctuation. */
+  val tokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(tokenRegex), lit(0))).cast("long")
+
+  def wsTokenCount(text: Column): Column = size(wsTokens(text)).cast("long")
+
+  /** Deterministic document-quality score in [0,1]:
+    * 0.3·min(tokens/100, 1) + 0.4·stopword-ratio + 0.3·(1 − punct-ratio).
+    * Emitted unrounded: the double arithmetic is bit-identical to the
+    * oracle's (same op order), while round() implementations legitimately
+    * disagree on exact .5 boundaries across engines.
+    */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val nTok = wsTokenCount(text).cast("double")
+    val stopRatio = stopHits(text, stopwords.toMap.apply("en")).cast("double") / nTok
+    val punct = size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0))).cast("double")
+    val punctRatio = punct / nChars.cast("double")
+    least(nTok / 100.0, lit(1.0)) * 0.3 + stopRatio * 0.4 + (lit(1.0) - punctRatio) * 0.3
+  }
+}

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExpressions
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** §2.3 training-data pipeline operators over `documents` / `embeddings`:
+  * text analysis (t*), dedup (d*), ANN (a*), multimodal plumbing (m*).
+  *
+  * SQL-expressible operators carry a DuckDB oracle with the exact same
+  * arithmetic (same fold order for doubles, same tie-breaks); signature-
+  * based operators (minhash/simhash/LSH/fingerprint) are rows-only here
+  * and property-tested in ScalaTest against exact ground truth.
+  */
+object DocumentSuite {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stop = TextAnalysis.stopwords.toMap
+
+  val queries: Map[String, Q] = Map(
+    // --- text analysis -----------------------------------------------------
+    "t1_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "t2_quality_score" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.qualityScore(col("text"), col("n_chars")).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    "t3_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.regexTokenCount(col("text")).as("re_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "t4_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          HashExpressions.fingerprint(col("text"), 16).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // --- dedup -------------------------------------------------------------
+    "d1_dedup_exact" -> ((s, d) => {
+      Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    }),
+
+    "d2_dedup_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d3_dedup_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d4_dedup_simhash" -> ((s, d) => {
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        blocks = 4, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d5_dedup_embedding" -> ((s, d) => {
+      Dedup.embeddingDedupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        tables = 8, planes = 4, threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- similarity search -------------------------------------------------
+    "a1_ann_brute_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "a2_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, tables = 8, planes = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- multimodal --------------------------------------------------------
+    "m1_multimodal_meta" -> ((s, d) => {
+      Multimodal.withPayloadMeta(Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id", "byte_len", "content_sha", "kind")
+        .orderBy("doc_id")
+    }),
+
+    "m2_multimodal_batch" -> ((s, d) => {
+      val withPayload = Multimodal.withPayloadMeta(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.decodeBatch(withPayload, "doc_id", "payload")
+        .orderBy("doc_id")
+    })
+  )
+
+  private val enList = stop("en").map(w => s"'$w'").mkString(", ")
+  private def hits(langWords: Seq[String]) =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${langWords.map(w => s"'$w'").mkString(", ")})))"
+
+  val oracles: Map[String, String] = Map(
+    "t1_lang_id" -> {
+      val scores = TextAnalysis.stopwords
+        .map { case (lang, words) => s"${hits(words)} AS s_$lang" }.mkString(",\n  ")
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val cases = langs.init.zipWithIndex.map { case (lang, i) =>
+        val later = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+        s"WHEN $later THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH s AS (SELECT doc_id,
+         |  $scores
+         |FROM documents)
+         |SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "t2_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.3
+         |    + (CAST(${hits(stop("en"))} AS DOUBLE)
+         |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
+         |    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+         |       / CAST(n_chars AS DOUBLE)) * 0.3 AS score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t3_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.tokenRegex}')) AS BIGINT) AS re_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d1_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "d2_dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+        |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "a1_ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT qid AS query_id, nid AS neighbor_id,
+        |    ROUND(
+        |      list_reduce(list_transform(list_zip(qv, cv), x -> x[1] * x[2]), (a, b) -> a + b) /
+        |      (sqrt(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b)) *
+        |       sqrt(list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b))), 6) AS cos
+        |  FROM q, c WHERE qid <> nid)
+        |SELECT query_id, neighbor_id, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "m1_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS content_sha,
+        |  CASE WHEN substring(text, 1, 1) < 'n' THEN 'image' ELSE 'audio' END AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog again and again until done"
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base), // exact dup of 0
+    (2L, base.replace("lazy", "sleepy")), // near dup of 0
+    (3L, "completely different content about spark query engines and shuffles here"),
+    (4L, "another unrelated document mentioning parquet column pruning and pushdown")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups identical content and keeps min id") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 4)
+    val byId = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byId(0L) == 2L) // docs 0 and 1 collapse onto keep_id 0
+    assert(Seq(2L, 3L, 4L).forall(byId(_) == 1L))
+  }
+
+  test("ngramJaccardPairs finds exact and near duplicates, no false pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 1L).get
+    assert(exact._3 == 1.0)
+  }
+
+  test("minhashLshPairs recovers the same duplicate pairs as exact Jaccard") {
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, k = 64,
+        bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("simhashPairs links near-identical docs only") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", blocks = 4, maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)))
+    assert(!got.exists(p => p._2 >= 3L)) // unrelated docs never pair
+  }
+
+  test("embeddingDedupPairs finds high-cosine pairs within LSH buckets") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f, 0.2f)),
+      (1L, Array(0.99f, 0.11f, 0.01f, 0.19f)), // ~same direction as 0
+      (2L, Array(-1.0f, 0.5f, 0.3f, -0.2f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingDedupPairs(vecs, "vec_id", "embedding",
+        tables = 8, planes = 2, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)))
+  }
+
+  test("multimodal stub decode is deterministic and preserves row count") {
+    val withPayload = Multimodal.withPayloadMeta(docs, "doc_id", "text")
+    val out = Multimodal.decodeBatch(withPayload, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(out.length == 5)
+    // identical payloads decode identically
+    assert(out(0).toSeq.drop(1) == out(1).toSeq.drop(1))
+    assert(out.forall(r => r.getInt(1) >= 64 && r.getInt(2) >= 64))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.queries.RelationalSuite
+import graft.SparkEntry
+
+/** Plan-shape audits: the properties that matter at 100 TB — pushdown,
+  * pruning, broadcast vs shuffle, partial aggregation — asserted on the
+  * optimized/executed plans of the shipped queries.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q2: predicate and projection reach the parquet scan") {
+    val plan = planOf("q2_filter_pushdown")
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("o_orderstatus"), "filter column should be pushed")
+    // pruned read schema: only the 3 referenced columns of orders
+    assert(!plan.contains("o_comment"), "unreferenced columns must be pruned")
+  }
+
+  test("q4: dimension joins broadcast — fact side never shuffles for the join") {
+    val plan = planOf("q4_broadcast_join")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the shuffle") {
+    val plan = planOf("q1_pricing_summary")
+    val hashAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs")
+  }
+
+  test("q5: snowflake join keeps exactly the fact-fact shuffle") {
+    val plan = planOf("q5_multi_join")
+    assert(plan.contains("BroadcastHashJoin")) // dims broadcast
+  }
+
+  test("whole-stage codegen covers the custom hash expressions") {
+    val df = SparkEntry.queries("t4_fingerprint")(spark, sfDir)
+    df.collect() // finalize the adaptive plan before inspecting it
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' marks a WholeStageCodegen stage; the Project computing the
+    // fingerprint must carry it (a UDF or eval-only expression would not)
+    assert("""\*\(\d+\) Project \[.*graft_fingerprint""".r.findFirstIn(plan).isDefined,
+      s"fingerprint expression must stay inside whole-stage codegen:\n$plan")
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key exists in queries") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+}
