@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DocumentSuite, RelationalSuite}
+import graft.queries.{DocumentSuite, RelationalSuite, ScrapeSuite, StreamingSuite}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,10 +17,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalSuite.queries ++ DocumentSuite.queries
+    RelationalSuite.queries ++ DocumentSuite.queries ++ ScrapeSuite.queries ++
+      StreamingSuite.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalSuite.oracles ++ DocumentSuite.oracles
+    RelationalSuite.oracles ++ DocumentSuite.oracles ++ StreamingSuite.oracles
 }

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.scrape.Entities
+import graft.sources.HtmlSource
+
+/** §2.2 scraper-equivalent ETL: HTML fixture corpus → star schema.
+  *
+  * Inputs are the reference's own test fixtures (read-only); the sfDir
+  * argument is unused because these operators consume HTML, not the
+  * TPC-H-ish tables. All rows-only (HTML extraction is not expressible
+  * in DuckDB SQL); ground truth lives in ScrapeSpec, checked against
+  * values read directly from the fixture pages.
+  */
+object ScrapeSuite {
+  type Q = (SparkSession, String) => DataFrame
+
+  val FixtureDir = "/root/reference/tests/scraping/resources"
+
+  private def pages(s: SparkSession) = HtmlSource.pages(s, FixtureDir)
+
+  val queries: Map[String, Q] = Map(
+    "s1_link_classify" -> ((s, _) => {
+      pages(s).select("name_id", "page_type").orderBy("name_id")
+    }),
+
+    "s2_schedule_links" -> ((s, _) => {
+      import s.implicits._
+      pages(s).filter(col("page_type") === "SchedulePage")
+        .select("name_id", "html").as[(String, String)]
+        .flatMap { case (nid, html) =>
+          graft.scrape.BBRefParse.scheduleLinks(html).map(u => (nid, u))
+        }
+        .toDF("schedule_id", "game_url")
+        .orderBy("schedule_id", "game_url")
+    }),
+
+    "s3_player_parse" -> ((s, _) => {
+      Entities.playerRows(pages(s))
+        .toDF("name_id", "name", "bats", "throws")
+        .orderBy("name_id")
+    }),
+
+    "s4_game_meta_parse" -> ((s, _) => {
+      val parsed = Entities.parsedGames(pages(s))
+      Entities.gameStar(Entities.gamesMeta(parsed)).orderBy("game_name_id")
+    }),
+
+    "s5_play_parse" -> ((s, _) => {
+      val parsed = Entities.parsedGames(pages(s)).cache()
+      Entities.resolvePlays(Entities.rawPlays(parsed), Entities.rosters(parsed))
+        .orderBy("game_name_id", "play_num")
+    })
+  )
+}

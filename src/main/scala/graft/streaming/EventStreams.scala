@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the `events` table (SURVEY.md
+  * §2.4). The parquet file source stands in for a real stream: at
+  * cluster scale the same plan reads Kafka/file drops incrementally;
+  * here each query drains the source synchronously (processAllAvailable)
+  * into a memory sink so the driver contract (return a DataFrame) holds.
+  */
+final case class SessionState(startTs: Long, lastTs: Long, nEvents: Long, sessionId: Long)
+final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                            first_ts_ms: Long, last_ts_ms: Long)
+
+object EventStreams {
+
+  private val qid = new AtomicInteger(0)
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType), // ns since epoch
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming scan of events.parquet (ts surfaced as micros timestamp,
+    * same convention as Tables.events).
+    */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet") // the stream root is the sf dir
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
+
+  /** Tumbling-window streaming aggregation with an event-time watermark.
+    * Complete output mode so a finite drain emits every window — the
+    * result must equal the equivalent batch query (the DuckDB oracle);
+    * with an unbounded source the same plan runs in append mode and the
+    * watermark bounds state.
+    */
+  def windowedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("bucket_s"), col("event_type"),
+        col("n"), col("sum_value"))
+    drain(agg, OutputMode.Complete())
+  }
+
+  /** Stateful sessionization via flatMapGroupsWithState: per-user state
+    * holds the open session; a gap > 30 min closes it and emits the
+    * completed session. State is per key with event-time timeout — at
+    * scale the store holds one small record per active user, evicted by
+    * watermark. A finite drain emits only CLOSED sessions (each user's
+    * trailing session stays open), which the spec checks against the
+    * batch sessionize operator.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapMs = 1800000L
+    val events = eventStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .as[(Long, Long)]
+
+    val out = events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+        val sorted = rows.map(_._2).toArray.sorted
+        var st = state.getOption.orNull
+        val closed = Seq.newBuilder[SessionOut]
+        sorted.foreach { t =>
+          if (st == null) st = SessionState(t, t, 1, 1L)
+          else if (t - st.lastTs > gapMs) {
+            closed += SessionOut(user, st.sessionId, st.nEvents, st.startTs, st.lastTs)
+            st = SessionState(t, t, 1, st.sessionId + 1)
+          } else st = st.copy(lastTs = t, nEvents = st.nEvents + 1)
+        }
+        if (st != null) state.update(st)
+        closed.result().iterator
+    }
+    drain(out.toDF(), OutputMode.Append())
+  }
+
+  /** Run a finite streaming query into a memory sink and return the
+    * materialized table.
+    */
+  private def drain(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_${qid.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.scrape.Entities
+import graft.sources.{HtmlSource, Sinks}
+import graft.queries.ScrapeSuite
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("partitioned parquet sink round-trips with partition pruning") {
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "part", "v")
+    val path = tmp("sink-parquet")
+    Sinks.parquet(df, path, partitionBy = Seq("part"))
+    val back = spark.read.parquet(path)
+    assert(back.count() == 3)
+    val pruned = back.filter(col("part") === "a")
+    assert(pruned.count() == 2)
+    // partition filter must prune at scan time, not post-filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part"), plan)
+  }
+
+  test("csv and json sinks round-trip") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val cp = tmp("sink-csv"); val jp = tmp("sink-json")
+    Sinks.csv(df, cp); Sinks.json(df, jp)
+    assert(spark.read.option("header", "true").csv(cp).count() == 2)
+    assert(spark.read.json(jp).count() == 2)
+  }
+
+  test("jdbc sink writes and reads back the star schema (embedded Derby)") {
+    val url = s"jdbc:derby:${tmp("derby")}/graftdb;create=true"
+    val pages = HtmlSource.pages(spark, ScrapeSuite.FixtureDir)
+    val players = Entities.playerRows(pages)
+      .toDF("name_id", "name", "bats", "throws_hand").limit(10)
+    Sinks.jdbc(players, url, "player", SaveMode.Overwrite, numPartitions = 2)
+    val back = Sinks.readJdbc(spark, url, "player")
+    assert(back.count() == players.count())
+    assert(back.columns.map(_.toLowerCase).toSet ==
+      Set("name_id", "name", "bats", "throws_hand"))
+  }
+
+  test("incremental ingest skips keys already in the target") {
+    val existing = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val incoming = Seq(("b", 20), ("c", 30)).toDF("k", "v")
+    val fresh = Sinks.notYetIngested(incoming, existing, "k").collect()
+    assert(fresh.map(_.getString(0)).toSeq == Seq("c"))
+  }
+}
