@@ -111,13 +111,23 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, ${blocks - 1}), b -> shiftright(sig, b * $width) & ${(1L << width) - 1})"))
         .as(Seq("blk", "bv")))
-    blocked.as("a").join(blocked.as("b"),
+    // Salt the candidate self-join: a degenerate (block, value) bucket
+    // would otherwise expand quadratically inside ONE task. Replicating
+    // the left side over 16 salts and routing the right side by id hash
+    // splits every bucket's pair space across 16 keys — same pairs, 16x
+    // the parallelism. Verify (cheap codegen popcount) BEFORE distinct:
+    // on low-entropy corpora the losers dominate.
+    val salts = 16
+    val aSide = blocked.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    val bSide = blocked.withColumn("salt", pmod(xxhash64(col("id")), lit(salts)).cast("int"))
+    aSide.as("a").join(bSide.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.salt") === col("b.salt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding cosine near-dup pairs via random-hyperplane LSH: `tables`
@@ -137,8 +147,8 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         HashExpressions.cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold) // verify before distinct: losers dominate
       .distinct()
-      .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 }
