@@ -1,0 +1,37 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session configuration for the engine (SURVEY.md §4/§5).
+  *
+  * The knobs that matter at 100 TB, set once:
+  *  - AQE on with partition coalescing and skew-join splitting, so the
+  *    static shuffle-partition count only has to be roughly right;
+  *  - broadcast threshold raised to 64 MB: every dimension in the star
+  *    schema (and every roster/bucket dim the engine builds) must
+  *    broadcast rather than shuffle the fact side;
+  *  - shuffle partitions sized to the core count locally; on a real
+  *    cluster this is executors x cores x 2-3, and AQE coalesces down.
+  */
+object GraftSession {
+
+  def builder(master: String, cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session as the driver harness runs it. */
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString).toInt
+    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
