@@ -43,6 +43,43 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF-style ANN: partition the corpus into `nCentroids` Voronoi cells
+    * around deterministically-sampled centroid vectors (the corpus rows
+    * with the smallest id hash — stateless, reproducible on every
+    * executor); each query probes its `nProbe` nearest cells and reranks
+    * members by exact cosine. The cell id is the shuffle/join key, so
+    * per-query work is bounded by nProbe/nCentroids of the corpus.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val cents = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .orderBy(xxhash64(col("cid")), col("cid"))
+      .limit(nCentroids)
+
+    // nearest-cell assignment: broadcast the centroids, keep argmax-cosine
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val scored = df.join(broadcast(cents))
+        .withColumn("__cc", HashExpressions.cosine(col(vec), col("cv")))
+      val w = Window.partitionBy(id).orderBy(col("__cc").desc, col("cid").asc)
+      scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= keep)
+        .select(col(id), col(vec), col("cid"))
+    }
+
+    val corpusCells = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2")), "neighbor_id", "cv2", 1)
+    val queryProbes = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv", nProbe)
+
+    val cand = corpusCells.join(broadcast(queryProbes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(HashExpressions.cosine(col("qv"), col("cv2")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
   /** Hyperplane-LSH ANN: bucket corpus and queries into `tables`
     * independent sign-bit bucketings; candidates are same-bucket rows in
     * any table; rerank candidates by exact cosine and keep top-k. Recall

@@ -95,6 +95,13 @@ object DocumentSuite {
         .orderBy("query_id", "rank")
     }),
 
+    "a3_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // --- multimodal --------------------------------------------------------
     "m1_multimodal_meta" -> ((s, d) => {
       Multimodal.withPayloadMeta(Tables.documents(s, d), "doc_id", "text")

