@@ -96,6 +96,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** Connected components over a near-dup pair list: every document in a
+    * component gets the component's minimum id as its cluster id (the
+    * canonical survivor). Iterative min-label propagation — each round is
+    * one join + one aggregation keyed on the node id, so a round costs
+    * O(|edges|) shuffled once; rounds needed = graph diameter (near-dup
+    * clusters are shallow, so a handful). This is the standard scalable
+    * construction (no driver-side union-find).
+    */
+  def dedupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                    maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a").as("id2")).agg(min("label").as("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash near-dup pairs: 64-bit signature, split into `blocks` bit
     * blocks; any pair within `maxHamming` must share at least one exact
     * block (pigeonhole: maxHamming < blocks), so the block value is the

@@ -63,6 +63,14 @@ object DocumentSuite {
         .orderBy("id_a", "id_b")
     }),
 
+    "d6_dedup_cluster" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
+      Dedup.dedupClusters(pairs)
+        .withColumn("doc_id", col("doc_id").cast("long"))
+        .withColumn("cluster_id", col("cluster_id").cast("long"))
+        .orderBy("doc_id")
+    }),
+
     "d3_dedup_minhash_lsh" -> ((s, d) => {
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, k = 64, bands = 16, threshold = 0.5)
@@ -172,6 +180,31 @@ object DocumentSuite {
         |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d6_dedup_cluster" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |p0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM p0
+        |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "a1_ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

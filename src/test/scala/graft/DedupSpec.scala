@@ -62,6 +62,15 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((0L, 1L)))
   }
 
+  test("dedupClusters computes transitive components with min-id labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("multimodal stub decode is deterministic and preserves row count") {
     val withPayload = Multimodal.withPayloadMeta(docs, "doc_id", "text")
     val out = Multimodal.decodeBatch(withPayload, "doc_id", "payload")
