@@ -51,6 +51,33 @@ class PlanAuditSpec extends SparkSpec {
       s"fingerprint expression must stay inside whole-stage codegen:\n$plan")
   }
 
+  test("no accidental cartesian products across the whole query surface") {
+    // streaming queries execute on construction; audit the batch surface
+    val names = SparkEntry.queries.keys.filterNot(_.startsWith("st")).toSeq.sorted
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.optimizedPlan.toString
+      // a1/a2/a3 intentionally broadcast tiny query sets against the
+      // corpus (BroadcastNestedLoopJoin); an unhinted cross join of two
+      // large inputs would surface as Cartesian/Join Cross without hints
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
+  test("t1: language ID is a single scan, no joins or extra shuffles") {
+    val df = SparkEntry.queries("t1_lang_id")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Join"))
+  }
+
+  test("d3: minhash runs as a native expression, not a UDF") {
+    val df = SparkEntry.queries("d3_dedup_minhash_lsh")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_minhash"), "native expression should appear in plan")
+    assert(!plan.contains("UDF"), "no Scala UDFs in the dedup hot path")
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
