@@ -106,8 +106,12 @@ object Dedup {
     */
   def dedupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                     maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
-      .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+    // both edge directions in ONE pass over the (possibly expensive)
+    // pair source — a union of two selects would compute it twice
+    val edges = pairs.select(explode(array(
+        struct(col(idA).as("a"), col(idB).as("b")),
+        struct(col(idB).as("a"), col(idA).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct().cache()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).cache()

@@ -51,6 +51,20 @@ object TextAnalysis {
 
   def wsTokenCount(text: Column): Column = size(wsTokens(text)).cast("long")
 
+  /** Deterministic stratified (per-group quota) sampling: rank rows
+    * inside each group by the md5 of a key column and keep the first
+    * `quota`. md5 is bit-identical across engines, so the "random"
+    * order is reproducible anywhere — the standard trick for sampling
+    * a fixed mixture per source/domain in a training-data pipeline
+    * without coordinating state.
+    */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, group: Column,
+                       key: Column, quota: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(md5(key.cast("string")), key)
+    df.withColumn("__sr", row_number().over(w)).filter(col("__sr") <= quota).drop("__sr")
+  }
+
   /** Deterministic document-quality score in [0,1]:
     * 0.3·min(tokens/100, 1) + 0.4·stopword-ratio + 0.3·(1 − punct-ratio).
     * Emitted unrounded: the double arithmetic is bit-identical to the

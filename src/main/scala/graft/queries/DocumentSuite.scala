@@ -44,6 +44,12 @@ object DocumentSuite {
         .orderBy("doc_id")
     }),
 
+    "t5_stratified_sample" -> ((s, d) => {
+      TextAnalysis.stratifiedSample(
+        Tables.documents(s, d).select("doc_id", "source"), col("source"), col("doc_id"), 5)
+        .orderBy("source", "doc_id")
+    }),
+
     "t4_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -159,6 +165,13 @@ object DocumentSuite {
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.tokenRegex}')) AS BIGINT) AS re_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t5_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sr
+        |  FROM documents)
+        |WHERE sr <= 5 ORDER BY source, doc_id""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
