@@ -59,6 +59,15 @@ object ScrapeSuite {
       val p = parsed(s)
       Entities.resolvePlays(Entities.rawPlays(p), Entities.rosters(p))
         .orderBy("game_name_id", "play_num")
+    }),
+
+    "s6_star_schema_build" -> ((s, _) => {
+      import s.implicits._
+      val tables = Entities.starSchema(pages(s))
+      tables.toSeq.sortBy(_._1)
+        .map { case (name, df) => (name, df.count()) }
+        .toDF("table_name", "n_rows")
+        .orderBy("table_name")
     })
   )
 }

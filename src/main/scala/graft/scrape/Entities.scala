@@ -81,6 +81,37 @@ object Entities {
         col("home.team_id").as("home_team_id"))
   }
 
+  /** The reference's full update_db pipeline (pages.py:92-116,
+    * nodes.py ScrapeNode DFS): players insert before games before plays,
+    * expressed as dependency-ordered DataFrame construction — player dim
+    * first, then game star rows, then plays with numeric FKs resolved
+    * through broadcast dim joins. Returns every output table.
+    */
+  def starSchema(pages: DataFrame): Map[String, DataFrame] = {
+    val parsed = parsedGames(pages).cache()
+    val games = gamesMeta(parsed)
+    val playerDim = playerRows(pages).toDF("name_id", "name", "bats", "throws")
+      .withColumn("player_id",
+        org.apache.spark.sql.functions.dense_rank()
+          .over(Window.orderBy("name_id")).cast("long"))
+    val venues = venueDim(games)
+    val teams = teamDim(games)
+    val gameStarDf = gameStar(games)
+      .withColumn("game_id",
+        org.apache.spark.sql.functions.dense_rank()
+          .over(Window.orderBy("game_name_id")).cast("long"))
+    val plays = resolvePlays(rawPlays(parsed), rosters(parsed))
+      .join(broadcast(gameStarDf.select("game_name_id", "game_id")), Seq("game_name_id"))
+      .join(broadcast(playerDim.select(col("name_id").as("batter_name_id"),
+        col("player_id").as("batter_id"))), Seq("batter_name_id"), "left")
+      .join(broadcast(playerDim.select(col("name_id").as("pitcher_name_id"),
+        col("player_id").as("pitcher_id"))), Seq("pitcher_name_id"), "left")
+      .select("game_id", "play_num", "inning_half", "start_outs", "start_on_base",
+        "desc", "pitch_ct", "batter_id", "pitcher_id")
+    Map("venue" -> venues, "team" -> teams, "player" -> playerDim,
+      "game" -> gameStarDf, "play" -> plays)
+  }
+
   /** Spark regexp twin of [[BBRefParse.stripName]] (same Java regexes). */
   def stripNameCol(c: org.apache.spark.sql.Column) =
     regexp_replace(regexp_replace(c, " \\w\\.", ""), " [J|S]r\\.", "")

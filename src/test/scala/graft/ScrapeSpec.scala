@@ -111,6 +111,24 @@ class ScrapeSpec extends SparkSpec {
     assert(byNum(84) == "griffke02")
   }
 
+  test("s6: end-to-end star schema builds with resolved numeric FKs") {
+    val tables = Entities.starSchema(pages)
+    val counts = tables.map { case (n, df) => n -> df.count() }
+    assert(counts("game") == 13L)
+    assert(counts("player") == 46L) // 47 fixture pages minus the malformed one
+    assert(counts("play") > 1000L)
+    assert(counts("venue") > 0 && counts("team") > 0)
+    // FK integrity: every play's game_id exists in the game table
+    val plays = tables("play"); val games = tables("game")
+    assert(plays.join(games, Seq("game_id"), "left_anti").count() == 0)
+    // batter ids resolve against the player dim whenever that player's
+    // page is among the fixtures (roster membership is wider than the
+    // fixture player set, so nulls are allowed but joins must be valid)
+    val p = tables("player")
+    assert(plays.filter(col("batter_id").isNotNull)
+      .join(p, plays("batter_id") === p("player_id"), "left_anti").count() == 0)
+  }
+
   test("s5: same-name pitchers cycle ids on pitcher change (BAL200705070)") {
     val plays = Entities.resolvePlays(Entities.rawPlays(parsed), Entities.rosters(parsed))
       .filter(col("game_name_id") === "BAL200705070")
