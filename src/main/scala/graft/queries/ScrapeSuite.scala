@@ -68,6 +68,24 @@ object ScrapeSuite {
         .map { case (name, df) => (name, df.count()) }
         .toDF("table_name", "n_rows")
         .orderBy("table_name")
+    }),
+
+    // the reference's end goal (README: "aggregate your own stats"):
+    // plate appearances, games and strikeout-ish outcomes per player,
+    // joined through the built star schema with broadcast dims
+    "s7_player_stats" -> ((s, _) => {
+      val t = Entities.starSchema(pages(s))
+      t("play")
+        .join(broadcast(t("player")),
+          col("batter_id") === col("player_id"))
+        .groupBy("player_id", "name")
+        .agg(
+          count(lit(1)).as("plate_appearances"),
+          countDistinct(col("game_id")).as("games"),
+          sum(when(lower(col("desc")).contains("strikeout"), 1L).otherwise(0L)).as("strikeouts"),
+          sum(when(lower(col("desc")).startsWith("single"), 1L).otherwise(0L)).as("singles"),
+          sum(when(lower(col("desc")).startsWith("home run"), 1L).otherwise(0L)).as("home_runs"))
+        .orderBy("player_id")
     })
   )
 }

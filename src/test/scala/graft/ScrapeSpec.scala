@@ -129,6 +129,16 @@ class ScrapeSpec extends SparkSpec {
       .join(p, plays("batter_id") === p("player_id"), "left_anti").count() == 0)
   }
 
+  test("s7: player stats aggregate over the built star schema") {
+    val stats = ScrapeSuite.queries("s7_player_stats")(spark, sfDir).collect()
+    assert(stats.nonEmpty)
+    val byName = stats.map(r => r.getAs[String]("name") -> r).toMap
+    // Jon Jay led off WAS201710120 with a double; he must have PAs there
+    assert(byName.contains("Jon Jay"))
+    assert(byName("Jon Jay").getAs[Long]("plate_appearances") >= 4L)
+    assert(stats.forall(_.getAs[Long]("plate_appearances") > 0L))
+  }
+
   test("s5: same-name pitchers cycle ids on pitcher change (BAL200705070)") {
     val plays = Entities.resolvePlays(Entities.rawPlays(parsed), Entities.rosters(parsed))
       .filter(col("game_name_id") === "BAL200705070")
