@@ -19,6 +19,7 @@ object HashExpressions {
   /** array<string> shingles → array<long> k-permutation MinHash signature. */
   case class MinHashSignature(child: Expression, k: Int)
       extends UnaryExpression {
+    require(k > 0 && k <= 256, s"minhash k=$k out of range 1..256 (coefficient table size)")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_minhash"
     protected override def nullSafeEval(input: Any): Any =
@@ -73,6 +74,7 @@ object HashExpressions {
     */
   case class HyperplaneSignature(child: Expression, table: Int, nPlanes: Int)
       extends UnaryExpression {
+    require(nPlanes > 0 && nPlanes <= 30, s"nPlanes=$nPlanes out of range 1..30 (Int bucket bits)")
     override def dataType: DataType = IntegerType
     override def prettyName: String = "graft_hyperplane_sig"
     protected override def nullSafeEval(input: Any): Any =

@@ -42,7 +42,10 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).cache()
+    // no cache: the three consumers below share the shingle shuffle via
+    // Spark's exchange reuse within one execution, and a cache here
+    // would pin executor storage for the caller's whole session
+    val sh = shingles(docs, idCol, textCol, n)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -78,7 +81,7 @@ object Dedup {
                       n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, n, k).cache()
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k) // exchange-reused, not cached
     val banded = sigs.select(col("id"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
           .as(Seq("band", "bh")))
@@ -131,6 +134,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // fail loudly rather than return silently-wrong labels for a
+    // deeper-than-expected component chain
+    require(converged,
+      s"dedupClusters did not converge in $maxIter rounds — raise maxIter (component diameter exceeds it)")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -68,12 +68,15 @@ object Multimodal {
     val input = docs.select(col(idCol).cast("long").as("doc_id"),
       col(payloadCol).cast("binary").as("payload"))
     val rdd = input.queryExecution.toRdd.mapPartitions { iter =>
-      // one decoder per partition — setup cost amortized across the batch
-      iter.map { ir =>
-        val id = ir.getLong(0)
-        val payload = ir.getBinary(1)
-        val d = StubDecoder.decode(payload)
-        Row(id, d.width, d.height, d.nFrames, d.meanLuma)
+      // one decoder per partition — setup cost amortized across the batch;
+      // null ids/payloads are skipped (nothing decodable, and getLong on a
+      // null would silently read 0)
+      iter.flatMap { ir =>
+        if (ir.isNullAt(0) || ir.isNullAt(1)) None
+        else {
+          val d = StubDecoder.decode(ir.getBinary(1))
+          Some(Row(ir.getLong(0), d.width, d.height, d.nFrames, d.meanLuma))
+        }
       }
     }
     spark.createDataFrame(rdd, decodedSchema)

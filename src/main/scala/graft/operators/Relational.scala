@@ -87,10 +87,5 @@ object Relational {
     */
   def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
-  /** moneySum over a product of 2-decimal columns (e.g. price * (1-disc)),
-    * computed exactly in decimal.
-    */
-  def moneySumExpr(c: Column): Column = sum(c).cast("double")
-
   def dec2(c: Column): Column = c.cast("decimal(18,2)")
 }

@@ -21,8 +21,11 @@ object Tables {
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t(spark, dir, "events")
-    import org.apache.spark.sql.functions.{col, floor, timestamp_micros}
-    df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    // integer division: `/` would promote the ~1e18 ns long to double
+    // (53-bit mantissa) and floor to the wrong microsecond for ~12% of
+    // ms-aligned values
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")

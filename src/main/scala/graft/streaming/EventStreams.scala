@@ -35,7 +35,9 @@ object EventStreams {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet") // the stream root is the sf dir
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // integer division, matching Tables.events (double division would
+      // mis-floor ~12% of ms-aligned nanosecond values)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling-window streaming aggregation with an event-time watermark.
