@@ -57,6 +57,20 @@ object Multimodal {
     StructField("n_frames", IntegerType, nullable = false),
     StructField("mean_luma", DoubleType, nullable = false)))
 
+  /** Frame sampling over decoded media: one row per sampled frame with a
+    * deterministic frame fingerprint — the batch shape of a video
+    * pipeline (decode → sample every k-th frame → per-frame features).
+    * The frame "content" is stubbed (hash of payload digest + index);
+    * the explode/partitioning plumbing is the real deliverable.
+    */
+  def sampleFrames(decoded: DataFrame, everyKth: Int): DataFrame =
+    decoded
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyKth))))
+      .withColumn("frame_fp",
+        abs(xxhash64(col("doc_id"), col("frame_idx"), col("width"), col("height"))))
+      .select("doc_id", "frame_idx", "frame_fp")
+
   /** Batched feature extraction over (id, payload) rows. `mapPartitions`
     * keeps the decoder amortized per partition (one decoder instance, no
     * per-row setup) — the same shape a real Arrow-batched media UDF has.

@@ -127,6 +127,13 @@ object DocumentSuite {
       val withPayload = Multimodal.withPayloadMeta(Tables.documents(s, d), "doc_id", "text")
       Multimodal.decodeBatch(withPayload, "doc_id", "payload")
         .orderBy("doc_id")
+    }),
+
+    "m3_frame_sample" -> ((s, d) => {
+      val withPayload = Multimodal.withPayloadMeta(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.sampleFrames(
+        Multimodal.decodeBatch(withPayload, "doc_id", "payload"), everyKth = 4)
+        .orderBy("doc_id", "frame_idx")
     })
   )
 

@@ -71,6 +71,18 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("frame sampling emits every k-th frame per decoded doc") {
+    val withPayload = Multimodal.withPayloadMeta(docs, "doc_id", "text")
+    val decoded = Multimodal.decodeBatch(withPayload, "doc_id", "payload")
+    val frames = Multimodal.sampleFrames(decoded, everyKth = 2).collect()
+    val nFrames = decoded.collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val byDoc = frames.groupBy(_.getLong(0))
+    nFrames.foreach { case (id, n) =>
+      assert(byDoc(id).length == (n + 1) / 2, s"doc $id n=$n")
+      assert(byDoc(id).map(_.getInt(1)).sorted.toSeq == (0 until n by 2).toSeq)
+    }
+  }
+
   test("multimodal stub decode is deterministic and preserves row count") {
     val withPayload = Multimodal.withPayloadMeta(docs, "doc_id", "text")
     val out = Multimodal.decodeBatch(withPayload, "doc_id", "payload")

@@ -24,7 +24,17 @@ def canon(df):
     df = df[cols]
     recs = df.values.tolist()
     def key(row):
-        return [("" if v is None or (isinstance(v, float) and math.isnan(v)) else str(v)) for v in row]
+        # round floats in the sort key so sub-tolerance jitter between
+        # engines cannot reorder rows and misalign the row-wise compare
+        out = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                out.append("")
+            elif isinstance(v, float):
+                out.append(f"{v:.6g}")
+            else:
+                out.append(str(v))
+        return out
     return cols, sorted(recs, key=key)
 
 def vals_eq(a, b):
