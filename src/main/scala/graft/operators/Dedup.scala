@@ -39,6 +39,13 @@ object Dedup {
     * candidate generation is proportional to Σ |postings|² per shingle —
     * bounded in practice by stopword-free shingles; LSH (below) is the
     * scale path when that bound is too loose.
+    *
+    * Measured note: a PPJoin-style prefix-filtered variant (index only
+    * the first |s|-ceil(t|s|)+1 shingles, verify via array_intersect)
+    * was 2x SLOWER here — with short shingle sets the count-based
+    * intersection (ids-only shuffle) beats shuffling set payloads to
+    * candidates, despite ~4x more candidate pairs. Revisit only for
+    * corpora with large per-doc sets and high thresholds.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
