@@ -57,6 +57,20 @@ object Multimodal {
     StructField("n_frames", IntegerType, nullable = false),
     StructField("mean_luma", DoubleType, nullable = false)))
 
+  /** Aspect-preserving resize planning: given source dimensions, compute
+    * the target box fit inside `box`×`box` (floor semantics, never
+    * upscale). Pure column arithmetic — at scale this feeds the actual
+    * pixel resize (stubbed here like the codec), and the dimension math
+    * is the part an engine must get deterministically right.
+    */
+  def resizePlan(df: DataFrame, widthCol: String, heightCol: String, box: Int): DataFrame = {
+    val w = col(widthCol).cast("double")
+    val h = col(heightCol).cast("double")
+    val scale = least(lit(box.toDouble) / w, lit(box.toDouble) / h, lit(1.0))
+    df.withColumn("out_w", floor(w * scale).cast("long"))
+      .withColumn("out_h", floor(h * scale).cast("long"))
+  }
+
   /** Frame sampling over decoded media: one row per sampled frame with a
     * deterministic frame fingerprint — the batch shape of a video
     * pipeline (decode → sample every k-th frame → per-frame features).

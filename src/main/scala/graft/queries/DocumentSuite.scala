@@ -129,6 +129,18 @@ object DocumentSuite {
         .orderBy("doc_id")
     }),
 
+    "m4_resize_plan" -> ((s, d) => {
+      // deterministic fake source dims derived from byte_len so the
+      // resize arithmetic itself is oracle-checkable
+      val meta = Multimodal.withPayloadMeta(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("byte_len"))
+        .withColumn("src_w", (lit(64) + pmod(col("byte_len"), lit(1024))).cast("long"))
+        .withColumn("src_h", (lit(64) + pmod(col("byte_len") * 7, lit(1024))).cast("long"))
+      Multimodal.resizePlan(meta, "src_w", "src_h", 224)
+        .select("doc_id", "src_w", "src_h", "out_w", "out_h")
+        .orderBy("doc_id")
+    }),
+
     "m3_frame_sample" -> ((s, d) => {
       val withPayload = Multimodal.withPayloadMeta(Tables.documents(s, d), "doc_id", "text")
       Multimodal.sampleFrames(
@@ -239,6 +251,17 @@ object DocumentSuite {
         |SELECT query_id, neighbor_id, cos,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
         |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "m4_resize_plan" ->
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    CAST(64 + (octet_length(encode(text)) % 1024) AS BIGINT) AS src_w,
+        |    CAST(64 + ((octet_length(encode(text)) * 7) % 1024) AS BIGINT) AS src_h
+        |  FROM documents)
+        |SELECT doc_id, src_w, src_h,
+        |  CAST(FLOOR(src_w * LEAST(224.0 / src_w, 224.0 / src_h, 1.0)) AS BIGINT) AS out_w,
+        |  CAST(FLOOR(src_h * LEAST(224.0 / src_w, 224.0 / src_h, 1.0)) AS BIGINT) AS out_h
+        |FROM meta ORDER BY doc_id""".stripMargin,
 
     "m1_multimodal_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.scrape.Html
+
+class HtmlSpec extends AnyFunSuite {
+
+  test("entity decode covers named, numeric and nbsp-as-space") {
+    assert(Html.decode("a&nbsp;b") == "a b")
+    assert(Html.decode("x &amp; y &lt;z&gt;") == "x & y <z>")
+    assert(Html.decode("&#65;&#x42;") == "AB")
+    assert(Html.decode("no entities") == "no entities")
+    assert(Html.decode("broken &noclose and &bogus; stay") == "broken &noclose and &bogus; stay")
+  }
+
+  test("stripTags drops tags, keeps text, tolerates unclosed tags") {
+    assert(Html.stripTags("<b>bold</b> text") == "bold text")
+    assert(Html.stripTags("a <span class=\"x\">b</span> c") == "a b c")
+    assert(Html.stripTags("trailing <unclosed") == "trailing ")
+  }
+
+  test("attr finds quoted attributes and rejects substring matches") {
+    val tag = """<td class="left " data-stat="outs" id='x1'>"""
+    assert(Html.attr(tag, "data-stat").contains("outs"))
+    assert(Html.attr(tag, "class").contains("left "))
+    assert(Html.attr(tag, "id").contains("x1"))
+    assert(Html.attr(tag, "stat").isEmpty) // must not match data-stat's tail
+  }
+
+  test("elements iterates flat tags and ignores prefix-name collisions") {
+    val html = "<tr id=\"a\"><td>1</td><td>2</td></tr><track/><tr id=\"b\"><td>3</td></tr>"
+    val trs = Html.elements(html, "tr").toSeq
+    assert(trs.map(t => Html.attr(t._1, "id").get) == Seq("a", "b"))
+    assert(Html.elements(trs.head._2, "td").map(_._2).toSeq == Seq("1", "2"))
+  }
+
+  test("comments iterate in order") {
+    val html = "x <!-- one --> y <!-- two --> z <!-- unterminated"
+    assert(Html.comments(html).toSeq == Seq(" one ", " two "))
+  }
+
+  test("firstAnchor extracts href and text") {
+    assert(Html.firstAnchor("""pre <a href="/x/y.shtml">Some&nbsp;Name</a> post""")
+      .contains(("/x/y.shtml", "Some Name")))
+    assert(Html.firstAnchor("no anchors").isEmpty)
+  }
+}
