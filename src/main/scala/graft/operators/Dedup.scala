@@ -133,8 +133,12 @@ object Dedup {
       val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .cache()
-      val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      // round 1 always changes something when edges exist (every id_a <
+      // id_b edge lowers b's label), so skip its convergence-check job
+      val changed =
+        if (iter == 0) 1L
+        else updated.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") =!= col("old")).limit(1).count()
       labels.unpersist()
       labels = updated
       converged = changed == 0

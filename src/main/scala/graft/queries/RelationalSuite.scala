@@ -305,6 +305,34 @@ object RelationalSuite {
         .orderBy("bucket")
     }),
 
+    "q28_window_range_frame" -> ((s, d) => {
+      // RANGE frame (value-based, not row-based): 30-day rolling spend
+      // per customer — peers with the same date all join the frame
+      val dateS = unix_timestamp(col("o_orderdate"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("date_s"))
+        .rangeBetween(-30L * 86400, 0)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), dateS.as("date_s"),
+          col("o_totalprice"))
+        .withColumn("rolling_30d",
+          sum(dec2(col("o_totalprice"))).over(w).cast("double"))
+        .orderBy("o_custkey", "date_s", "o_orderkey")
+    }),
+
+    "q29_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def custsOf(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        .select("o_custkey").distinct()
+      custsOf(1996).intersect(custsOf(1997)).orderBy("o_custkey")
+    }),
+
+    "q30_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def custsOf(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        .select("o_custkey").distinct()
+      custsOf(1996).except(custsOf(1997)).orderBy("o_custkey")
+    }),
+
     "q27_skew_salted_agg" -> ((s, d) => {
       saltedSumCount(
         Tables.lineitem(s, d), col("l_returnflag"), dec2(col("l_quantity")),
@@ -504,6 +532,24 @@ object RelationalSuite {
 
     "q27_skew_salted_agg" ->
       s"""SELECT l_returnflag, (SUM(${dec("l_quantity")}))::DOUBLE AS sum_qty, COUNT(*) AS n
-         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q28_window_range_frame" ->
+      s"""SELECT o_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS date_s, o_totalprice,
+         |  (SUM(${dec("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)::BIGINT
+         |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW))::DOUBLE AS rolling_30d
+         |FROM orders ORDER BY o_custkey, date_s, o_orderkey""".stripMargin,
+
+    "q29_intersect" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q30_except" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_custkey""".stripMargin
   )
 }
