@@ -92,6 +92,35 @@ object EventStreams {
     drain(out.toDF(), OutputMode.Append())
   }
 
+  /** Stream-static join: the unbounded event stream joins a broadcast
+    * static dimension (customer) with no stream-side state at all — the
+    * canonical enrichment shape. Aggregated per segment so the finite
+    * drain is oracle-comparable.
+    */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customers = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = eventStream(spark, dir)
+      .join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    drain(joined, OutputMode.Complete())
+  }
+
+  /** Streaming dedup on the event id with a watermark bounding the
+    * dedup state, then a per-type distinct count — exactly-once
+    * semantics over an at-least-once source.
+    */
+  def streamDedupCount(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique"))
+    drain(deduped, OutputMode.Complete())
+  }
+
   /** Run a finite streaming query into a memory sink and return the
     * materialized table.
     */
