@@ -23,16 +23,18 @@ object Dedup {
     docs.groupBy(sha2(col(textCol).cast("binary"), 256).as("content_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** SQL fragment producing the word n-gram array of the token column
+    * `__t` (shared by the shingle explode and the one-pass signatures).
+    */
+  private def gramsExpr(n: Int): String =
+    s"transform(sequence(0, size(__t) - $n), i -> concat_ws(' ', slice(__t, i + 1, $n)))"
+
   /** Distinct word n-gram shingles: (id, shingle) rows. */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val t = split(col(textCol), " ")
-    val grams = expr(
-      s"transform(sequence(0, size(__t) - $n), i -> concat_ws(' ', slice(__t, i + 1, $n)))")
-    docs.select(col(idCol).as("id"), t.as("__t"))
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("__t"))
       .filter(size(col("__t")) >= n)
-      .select(col("id"), explode(grams).as("s"))
+      .select(col("id"), explode(expr(gramsExpr(n))).as("s"))
       .distinct()
-  }
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted index
     * (shingle → ids) self-join. The shingle is the shuffle key, so
@@ -69,14 +71,11 @@ object Dedup {
 
   /** MinHash signatures: (id, sig array<long>[k]) — one codegen pass/doc. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int): DataFrame = {
-    val t = split(col(textCol), " ")
-    val grams = expr(
-      s"array_distinct(transform(sequence(0, size(__t) - $n), i -> concat_ws(' ', slice(__t, i + 1, $n))))")
-    docs.select(col(idCol).as("id"), t.as("__t"))
+                        n: Int, k: Int): DataFrame =
+    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("__t"))
       .filter(size(col("__t")) >= n)
-      .select(col("id"), HashExpressions.minhash(grams, k).as("sig"))
-  }
+      .select(col("id"),
+        HashExpressions.minhash(expr(s"array_distinct(${gramsExpr(n)})"), k).as("sig"))
 
   /** MinHash + LSH banding near-dup pairs. Docs land in `bands` buckets
     * keyed by (band index, hash of the band's signature rows); candidates

@@ -16,6 +16,17 @@ import graft.functions.HashExpressions
   */
 object Similarity {
 
+  /** Shared tail: per-query rank by (rounded cosine desc, neighbor id)
+    * and keep the top k — identical ordering semantics for every ANN
+    * variant so results are comparable across them.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
   /** SQL-expressible double-fold cosine (kept in sync with the DuckDB
     * oracle in DocumentSuite — same left-to-right accumulation order).
     */
@@ -37,10 +48,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosineSql(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
+    rankTopK(scored, k)
   }
 
   /** IVF-style ANN: partition the corpus into `nCentroids` Voronoi cells
@@ -74,10 +82,7 @@ object Similarity {
     val cand = corpusCells.join(broadcast(queryProbes), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(HashExpressions.cosine(col("qv"), col("cv2")), 6))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
+    rankTopK(cand, k)
   }
 
   /** Hyperplane-LSH ANN: bucket corpus and queries into `tables`
@@ -100,9 +105,6 @@ object Similarity {
       .distinct()
     val scored = cand.withColumn("cos",
       round(HashExpressions.cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
+    rankTopK(scored, k)
   }
 }

@@ -149,9 +149,28 @@ object DocumentSuite {
     })
   )
 
-  private val enList = stop("en").map(w => s"'$w'").mkString(", ")
   private def hits(langWords: Seq[String]) =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${langWords.map(w => s"'$w'").mkString(", ")})))"
+
+  /** Shared DuckDB CTE chain: 3-gram shingles -> inverted-index pair
+    * counts -> Jaccard >= 0.5 pairs (used by the d2 and d6 oracles).
+    */
+  private val NgramPairsCte =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |p0 AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jpairs AS (
+      |  SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      |  FROM p0 JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "t1_lang_id" -> {
@@ -197,46 +216,20 @@ object DocumentSuite {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 
     "d2_dedup_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
-        |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $NgramPairsCte
+         |SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
+         |FROM jpairs ORDER BY id_a, id_b""".stripMargin,
 
     "d6_dedup_cluster" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |p0 AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM p0
-        |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
-        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
-        |SELECT src AS doc_id, MIN(dst) AS cluster_id
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $NgramPairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+         |          UNION SELECT id_b, id_a FROM jpairs),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS doc_id, MIN(dst) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "a1_ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
