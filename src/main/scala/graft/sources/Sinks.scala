@@ -43,6 +43,20 @@ object Sinks {
   def readJdbc(spark: org.apache.spark.sql.SparkSession, url: String, table: String): DataFrame =
     spark.read.jdbc(url, table, new java.util.Properties())
 
+  /** Bucketed managed table: pre-shuffles rows into `nBuckets` by the
+    * join key at WRITE time, so every later join/aggregation on that key
+    * is exchange-free (the scan exposes the hash partitioning). This is
+    * the co-located-join posture for fact⋈fact at 100 TB: pay the
+    * shuffle once when the table lands, not on every query.
+    */
+  def bucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Incremental ingest: keep only rows whose key is not yet in the
     * target (deep-field's exists_in_db skip, bbref_pages.py:58-63), as a
     * left_anti join — the fact side streams through one shuffle (or none

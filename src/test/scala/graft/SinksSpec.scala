@@ -6,7 +6,7 @@ import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
 import graft.scrape.Entities
-import graft.sources.{HtmlSource, Sinks}
+import graft.sources.{HtmlSource, Sinks, Tables}
 import graft.queries.ScrapeSuite
 
 class SinksSpec extends SparkSpec {
@@ -46,6 +46,30 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == players.count())
     assert(back.columns.map(_.toLowerCase).toSet ==
       Set("name_id", "name", "bats", "throws_hand"))
+  }
+
+  test("bucketed tables join without any exchange (co-located join)") {
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    Sinks.bucketed(o, "orders_bkt", "o_orderkey", 4)
+    Sinks.bucketed(li, "lineitem_bkt", "l_orderkey", 4)
+    val joined = spark.table("lineitem_bkt")
+      .join(spark.table("orders_bkt"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity").as("q"))
+    // disable broadcast so the join must pick a shuffle strategy — the
+    // bucketing should satisfy it with zero Exchange operators
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be exchange-free:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
   }
 
   test("incremental ingest skips keys already in the target") {
