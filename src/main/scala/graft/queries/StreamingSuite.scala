@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.streaming.EventStreams
 
-/** §2.4 Structured Streaming operators. st1 is oracle-checked (the
-  * streaming result must equal the batch aggregation); st2 is rows-only
-  * (closed sessions — checked against batch sessionize in StreamingSpec).
+/** §2.4 Structured Streaming operators, all oracle-checked. st2's
+  * streamed output is gap-closed sessions plus watermark-timed-out
+  * sessions — a deterministic, SQL-expressible set (see
+  * EventStreams.sessionize).
   */
 object StreamingSuite {
   type Q = (SparkSession, String) => DataFrame
@@ -34,6 +35,33 @@ object StreamingSuite {
       s"""SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS bucket_s, event_type,
          |  COUNT(*) AS n, (SUM(${dec("value")}))::DOUBLE AS sum_value
          |FROM events GROUP BY bucket_s, event_type ORDER BY bucket_s, event_type""".stripMargin,
+
+    // Streaming semantics in SQL: sessionize by the 30-min gap, then keep
+    // sessions either CLOSED by a later session of the same user or TIMED
+    // OUT by the final watermark (max event ts - 2h); Spark's event-time
+    // timeout fires on timeoutTimestamp < watermark, hence the strict <.
+    "st2_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |wm AS (SELECT MAX(ts_ms) - 7200000 AS w FROM e),
+        |flagged AS (
+        |  SELECT user_id, ts_ms,
+        |    CASE WHEN LAG(ts_ms) OVER win IS NULL THEN 1
+        |         WHEN ts_ms - LAG(ts_ms) OVER win > 1800000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_ms)),
+        |sess AS (
+        |  SELECT user_id, ts_ms,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    COUNT(*) AS n_events, MIN(ts_ms) AS first_ts_ms, MAX(ts_ms) AS last_ts_ms,
+        |    MAX(CAST(session_id AS BIGINT)) OVER (PARTITION BY user_id) AS max_sess
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT user_id, session_id, n_events, first_ts_ms, last_ts_ms
+        |FROM agg, wm
+        |WHERE session_id < max_sess OR last_ts_ms + 1800000 < w
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "st3_stream_static_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n, (SUM(${dec("value")}))::DOUBLE AS sum_value

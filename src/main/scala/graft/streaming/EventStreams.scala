@@ -59,11 +59,18 @@ object EventStreams {
 
   /** Stateful sessionization via flatMapGroupsWithState: per-user state
     * holds the open session; a gap > 30 min closes it and emits the
-    * completed session. State is per key with event-time timeout — at
-    * scale the store holds one small record per active user, evicted by
-    * watermark. A finite drain emits only CLOSED sessions (each user's
-    * trailing session stays open), which the spec checks against the
-    * batch sessionize operator.
+    * completed session. State is per key with EVENT-TIME TIMEOUT: the
+    * timeout timestamp is lastTs + gap, so once the watermark passes it
+    * the session can never grow — Spark invokes the function with
+    * `hasTimedOut`, we emit the session and REMOVE the state. At scale
+    * the store therefore holds one small record per user active within
+    * the watermark horizon; idle users are evicted, which is what makes
+    * this plan safe on an unbounded stream.
+    *
+    * A finite drain emits gap-closed sessions plus every session timed
+    * out by the final watermark (max event time - 2h); only trailing
+    * sessions newer than that stay open. That set is deterministic and
+    * SQL-expressible, so st2 is oracle-checked against DuckDB.
     */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -74,20 +81,35 @@ object EventStreams {
       .as[(Long, Long)]
 
     val out = events.groupByKey(_._1).flatMapGroupsWithState(
-      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
       (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
-        val sorted = rows.map(_._2).toArray.sorted
-        var st = state.getOption.orNull
-        val closed = Seq.newBuilder[SessionOut]
-        sorted.foreach { t =>
-          if (st == null) st = SessionState(t, t, 1, 1L)
-          else if (t - st.lastTs > gapMs) {
-            closed += SessionOut(user, st.sessionId, st.nEvents, st.startTs, st.lastTs)
-            st = SessionState(t, t, 1, st.sessionId + 1)
-          } else st = st.copy(lastTs = t, nEvents = st.nEvents + 1)
+        if (state.hasTimedOut) {
+          // watermark passed lastTs + gap: no future event can extend
+          // this session — emit it and drop the state (the eviction)
+          val st = state.get
+          state.remove()
+          Iterator.single(SessionOut(user, st.sessionId, st.nEvents, st.startTs, st.lastTs))
+        } else {
+          val sorted = rows.map(_._2).toArray.sorted
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { t =>
+            if (st == null) st = SessionState(t, t, 1, 1L)
+            else if (t - st.lastTs > gapMs) {
+              closed += SessionOut(user, st.sessionId, st.nEvents, st.startTs, st.lastTs)
+              st = SessionState(t, t, 1, st.sessionId + 1)
+            } else st = st.copy(lastTs = t, nEvents = st.nEvents + 1)
+          }
+          if (st != null) {
+            state.update(st)
+            // must exceed the current watermark or Spark rejects it (a
+            // straggler group whose session already expired times out on
+            // the next batch instead)
+            state.setTimeoutTimestamp(
+              math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+          }
+          closed.result().iterator
         }
-        if (st != null) state.update(st)
-        closed.result().iterator
     }
     drain(out.toDF(), OutputMode.Append())
   }
@@ -108,14 +130,18 @@ object EventStreams {
     drain(joined, OutputMode.Complete())
   }
 
-  /** Streaming dedup on the event id with a watermark bounding the
-    * dedup state, then a per-type distinct count — exactly-once
-    * semantics over an at-least-once source.
+  /** Streaming dedup on the event id, then a per-type distinct count —
+    * exactly-once semantics over an at-least-once source.
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`, whose
+    * state never expires when the event-time column is outside the key
+    * subset) expires each id's state once the watermark passes its event
+    * time + delay, so state is bounded by the 2-hour horizon on an
+    * unbounded stream; duplicates are assumed to arrive within it.
     */
   def streamDedupCount(spark: SparkSession, dir: String): DataFrame = {
     val deduped = eventStream(spark, dir)
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_unique"))
     drain(deduped, OutputMode.Complete())
