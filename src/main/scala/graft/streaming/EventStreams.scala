@@ -71,18 +71,38 @@ object EventStreams {
     * out by the final watermark (max event time - 2h); only trailing
     * sessions newer than that stay open. That set is deterministic and
     * SQL-expressible, so st2 is oracle-checked against DuckDB.
+    *
+    * Caveats (deliberate, documented trade-offs):
+    *  - session_id is a per-state counter for oracle parity with the
+    *    batch sessionize; after state eviction a RETURNING user restarts
+    *    at session_id = 1, so (user_id, session_id) is only unique within
+    *    a state lifetime. For globally-unique ids on an unbounded stream,
+    *    key on (user_id, first_ts_ms) downstream — first_ts_ms is emitted
+    *    for exactly that purpose.
+    *  - a straggler group whose session already expired when its next
+    *    data arrives emits-and-removes immediately (watermark strictly
+    *    past lastTs + gap, same strict compare as the timeout), so
+    *    multi-batch incremental runs match the oracle; the only residual
+    *    skew is a group that never receives data again after the
+    *    watermark lands EXACTLY on lastTs + gap (timeout is re-armed 1 ms
+    *    late) — unreachable in a single-drain and a 1 ms window beyond it.
     */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val gapMs = 1800000L
+    // keep the watermarked `ts` attribute in the projection:
+    // EventTimeTimeout requires the event-time column to survive into
+    // flatMapGroupsWithState's child output (dropping it is an
+    // AnalysisException at plan time); the pre-computed ts_ms rides along
     val events = eventStream(spark, dir)
       .withWatermark("ts", "2 hours")
-      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
-      .as[(Long, Long)]
+      .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ts_ms"))
+      .as[(Long, java.sql.Timestamp, Long)]
 
     val out = events.groupByKey(_._1).flatMapGroupsWithState(
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-      (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+      (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+       state: GroupState[SessionState]) =>
         if (state.hasTimedOut) {
           // watermark passed lastTs + gap: no future event can extend
           // this session — emit it and drop the state (the eviction)
@@ -90,7 +110,7 @@ object EventStreams {
           state.remove()
           Iterator.single(SessionOut(user, st.sessionId, st.nEvents, st.startTs, st.lastTs))
         } else {
-          val sorted = rows.map(_._2).toArray.sorted
+          val sorted = rows.map(_._3).toArray.sorted
           var st = state.getOption.orNull
           val closed = Seq.newBuilder[SessionOut]
           sorted.foreach { t =>
@@ -101,12 +121,19 @@ object EventStreams {
             } else st = st.copy(lastTs = t, nEvents = st.nEvents + 1)
           }
           if (st != null) {
-            state.update(st)
-            // must exceed the current watermark or Spark rejects it (a
-            // straggler group whose session already expired times out on
-            // the next batch instead)
-            state.setTimeoutTimestamp(
-              math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            if (state.getCurrentWatermarkMs() > st.lastTs + gapMs) {
+              // straggler: the watermark already strictly passed this
+              // session's expiry (the timeout's own fire condition), so
+              // emit-and-remove now instead of re-arming a timeout that a
+              // quiet stream might never fire
+              closed += SessionOut(user, st.sessionId, st.nEvents, st.startTs, st.lastTs)
+              state.remove()
+            } else {
+              state.update(st)
+              // must exceed the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
           }
           closed.result().iterator
         }

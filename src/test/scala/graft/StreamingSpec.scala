@@ -22,21 +22,27 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
-  test("st2: streamed closed sessions match batch sessionize") {
+  test("st2: streamed sessions match batch sessionize (closed + timed-out)") {
     val streamed = EventStreams.sessionize(spark, sfDir)
       .orderBy("user_id", "session_id").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
         r.getAs[Long]("n_events")))
     assert(streamed.nonEmpty)
 
-    // batch ground truth: same gap rule; drop each user's LAST session
-    // (still open at end-of-stream, so the streaming side never emits it)
-    val batch = Relational.sessionize(Tables.events(spark, sfDir), col("user_id"), col("ts"), 1800000L)
+    // batch ground truth, mirroring the st2 DuckDB oracle
+    // (StreamingSuite.oracles): same gap rule; keep sessions either
+    // CLOSED by a later session of the same user (session_id < max_sess)
+    // or TIMED OUT by the final watermark — last event strictly older
+    // than max(ts) - 2h - gap. Only trailing sessions newer than the
+    // watermark horizon stay open and unemitted.
+    val events = Tables.events(spark, sfDir)
+    val wm = events.agg(max(unix_millis(col("ts")))).head.getLong(0) - 7200000L
+    val batch = Relational.sessionize(events, col("user_id"), col("ts"), 1800000L)
       .groupBy("user_id", "session_id")
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events"), max(unix_millis(col("ts"))).as("last_ts_ms"))
       .withColumn("max_sess",
         max("session_id").over(org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
-      .filter(col("session_id") < col("max_sess"))
+      .filter(col("session_id") < col("max_sess") || col("last_ts_ms") + 1800000L < lit(wm))
       .select("user_id", "session_id", "n_events")
       .collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
