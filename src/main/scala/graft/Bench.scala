@@ -24,13 +24,23 @@ object Bench {
     catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // a failed query records its time-to-fail but is flagged ok:false and
+    // counted in "failed" — a crash must never read as a fast success
+    val qs = results.map { case (k, v, ok) => s"""\"$k\":{"sec":$v,"ok":$ok}""" }
       .mkString("{", ",", "}")
+    val failed = results.filterNot(_._3).map(_._1)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
