@@ -21,13 +21,25 @@ object ScrapeSuite {
 
   private def pages(s: SparkSession) = HtmlSource.pages(s, FixtureDir)
 
-  // Parse each game page once per session: s4 and s5 both consume the
+  // Parse each game page once per session: s4/s5/s6/s7 all consume the
   // parsed dataset, and re-running the single-pass extractor over the
-  // corpus is the dominant cost of the scrape suite.
+  // corpus is the dominant cost of the scrape suite. The star-schema
+  // table map is memoized on top of it so s6 and s7 share one build.
   private val parsedCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, org.apache.spark.sql.Dataset[graft.scrape.BBRefParse.ParsedGame]]()
   private def parsed(s: SparkSession) =
     parsedCache.computeIfAbsent(s, s => Entities.parsedGames(pages(s)).cache())
+
+  private val starCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
+  private def star(s: SparkSession) =
+    starCache.computeIfAbsent(s, s => Entities.starSchema(pages(s), parsed(s)))
+
+  /** Drop this session's memoized parse + star schema (test teardown). */
+  def clear(s: SparkSession): Unit = {
+    starCache.remove(s)
+    Option(parsedCache.remove(s)).foreach(_.unpersist())
+  }
 
   val queries: Map[String, Q] = Map(
     "s1_link_classify" -> ((s, _) => {
@@ -63,7 +75,7 @@ object ScrapeSuite {
 
     "s6_star_schema_build" -> ((s, _) => {
       import s.implicits._
-      val tables = Entities.starSchema(pages(s))
+      val tables = star(s)
       tables.toSeq.sortBy(_._1)
         .map { case (name, df) => (name, df.count()) }
         .toDF("table_name", "n_rows")
@@ -74,7 +86,7 @@ object ScrapeSuite {
     // plate appearances, games and strikeout-ish outcomes per player,
     // joined through the built star schema with broadcast dims
     "s7_player_stats" -> ((s, _) => {
-      val t = Entities.starSchema(pages(s))
+      val t = star(s)
       t("play")
         .join(broadcast(t("player")),
           col("batter_id") === col("player_id"))

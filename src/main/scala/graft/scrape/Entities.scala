@@ -86,9 +86,20 @@ object Entities {
     * expressed as dependency-ordered DataFrame construction — player dim
     * first, then game star rows, then plays with numeric FKs resolved
     * through broadcast dim joins. Returns every output table.
+    *
+    * Convenience form: parses (and caches) the game pages itself. When a
+    * parsed dataset already exists — e.g. one shared across several
+    * queries in a session — pass it to the two-arg overload instead so
+    * the corpus is parsed exactly once; the caller then owns unpersist.
     */
-  def starSchema(pages: DataFrame): Map[String, DataFrame] = {
-    val parsed = parsedGames(pages).cache()
+  def starSchema(pages: DataFrame): Map[String, DataFrame] =
+    starSchema(pages, parsedGames(pages).cache())
+
+  /** As above, but over an externally-parsed (ideally cached) game
+    * dataset — the parse is the dominant cost of the scrape pipeline, so
+    * sharing it across s4/s5/s6/s7 halves the suite's work.
+    */
+  def starSchema(pages: DataFrame, parsed: Dataset[ParsedGame]): Map[String, DataFrame] = {
     val games = gamesMeta(parsed)
     val playerDim = playerRows(pages).toDF("name_id", "name", "bats", "throws")
       .withColumn("player_id",
