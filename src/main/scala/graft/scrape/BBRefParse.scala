@@ -140,13 +140,16 @@ object BBRefParse {
     GameMeta(nameId, date, startTime, tod, field, venue, teams._1, teams._2)
   }
 
-  /** Roster tables: first two comment-wrapped tables whose content says
-    * "batting" (bbref_pages.py:217-353). Names stripped unless two rows
+  /** Roster tables: the first two placeholder-anchored comment tables
+    * whose content says "batting", in (away, home) order — the same
+    * anchoring as the reference's `_PlaceholderDivFilter("batting")`
+    * (bbref_pages.py:202-226), so a stray earlier comment mentioning
+    * "batting" cannot mis-side a roster. Names stripped unless two rows
     * collide on the stripped name, in which case both stay unstripped
     * (get_name_name_ids).
     */
   private def parseRosters(html: String): Seq[RosterEntry] = {
-    val battingTables = Html.comments(html)
+    val battingTables = Html.placeholderComments(html)
       .filter(c => c.contains("batting") && c.contains("<table")).take(2).toSeq
     battingTables.zip(Seq("away", "home")).flatMap { case (table, side) =>
       val rows = Html.elements(table, "th").collect {
@@ -180,12 +183,14 @@ object BBRefParse {
   private val PlayStats =
     Set("inning", "outs", "runners_on_bases_pbp", "pitches_pbp", "play_desc", "batter", "pitcher")
 
-  /** Play rows from the comment-wrapped play_by_play table
-    * (bbref_pages.py:513-554): `tr` ids starting with "event_", cells by
-    * `data-stat`, with the reference's transforms applied downstream.
+  /** Play rows from the placeholder-anchored play_by_play comment table
+    * (bbref_pages.py:513-554, anchored as `_PlaceholderDivFilter
+    * ("play_by_play")` at 547-549): `tr` ids starting with "event_",
+    * cells by `data-stat`, with the reference's transforms applied
+    * downstream.
     */
   private def parsePlays(html: String): Seq[RawPlay] = {
-    val pbp = Html.comments(html)
+    val pbp = Html.placeholderComments(html)
       .find(c => c.contains("id=\"play_by_play\"") && c.contains("<table"))
       .getOrElse(return Seq.empty)
     Html.elements(pbp, "tr")

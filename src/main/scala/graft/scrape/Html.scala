@@ -87,6 +87,29 @@ object Html {
     }
   }
 
+  /** Comments anchored by `<div class="placeholder">` markers: for each
+    * placeholder div, the first comment following it, in document order.
+    * BBRef hides its real tables inside exactly these comments, and the
+    * reference instantiates tables from the placeholder rather than by
+    * scanning all comments (bbref_pages.py:187-226 _PlaceholderTable /
+    * _PlaceholderDivFilter) — a stray comment elsewhere on the page that
+    * happens to mention a table must never be mistaken for one.
+    */
+  def placeholderComments(html: String): Iterator[String] = {
+    val marker = "class=\"placeholder\""
+    val buf = ArrayBuffer.empty[String]
+    var i = html.indexOf(marker)
+    while (i >= 0) {
+      val c0 = html.indexOf("<!--", i)
+      if (c0 >= 0) {
+        val c1 = html.indexOf("-->", c0 + 4)
+        if (c1 >= 0) buf += html.substring(c0 + 4, c1)
+      }
+      i = html.indexOf(marker, i + marker.length)
+    }
+    buf.iterator
+  }
+
   /** Value of attribute `name` in a raw tag string like
     * `<td class="x" data-stat="outs">`; supports single/double quotes.
     */

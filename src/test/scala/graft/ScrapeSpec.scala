@@ -15,6 +15,13 @@ class ScrapeSpec extends SparkSpec {
   private lazy val pages = HtmlSource.pages(spark, ScrapeSuite.FixtureDir).cache()
   private lazy val parsed = Entities.parsedGames(pages).cache()
 
+  override def afterAll(): Unit = {
+    parsed.unpersist()
+    pages.unpersist()
+    ScrapeSuite.clear(spark)
+    super.afterAll()
+  }
+
   test("s1: link classification by name_id") {
     val types = pages.select("name_id", "page_type").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -111,8 +118,37 @@ class ScrapeSpec extends SparkSpec {
     assert(byNum(84) == "griffke02")
   }
 
+  test("s4: roster tables anchor on placeholder divs, ignoring decoy comments") {
+    // an early comment that LOOKS like a batting table but has no
+    // placeholder div in front of it — the pre-anchoring parser would
+    // have taken it as the away roster and mis-sided every FK
+    val decoy =
+      """<!-- decoy batting <table><tbody>
+        |<tr><th data-append-csv="fakeaa01" data-stat="player"><a href="/players/f/fakeaa01.shtml">Fake Guy</a></th></tr>
+        |</tbody></table> -->""".stripMargin
+    def btable(id: String, nameId: String, name: String) =
+      s"""<div class="placeholder"></div>
+         |<!-- <table id="$id" class="stats_table"><tbody>
+         |<tr><th data-append-csv="$nameId" data-stat="player"><a href="/players/x/$nameId.shtml">$name</a></th></tr>
+         |</tbody></table> -->""".stripMargin
+    val html =
+      s"""<html><body>
+         |<div class="scorebox">
+         |<a href="/teams/AAA/2020.shtml">Away Team</a>
+         |<a href="/teams/HHH/2020.shtml">Home Team</a>
+         |<div class="scorebox_meta"><div>Monday, April 6, 2020</div></div>
+         |</div>
+         |$decoy
+         |${btable("AwayTeambatting", "awaypl01", "Away Player")}
+         |${btable("HomeTeambatting", "homepl01", "Home Player")}
+         |</body></html>""".stripMargin
+    val pg = BBRefParse.parseGame("TST202004060", html).get
+    assert(pg.roster.map(r => (r.side, r.nameId)) ==
+      Seq(("away", "awaypl01"), ("home", "homepl01")))
+  }
+
   test("s6: end-to-end star schema builds with resolved numeric FKs") {
-    val tables = Entities.starSchema(pages)
+    val tables = Entities.starSchema(pages, parsed)
     val counts = tables.map { case (n, df) => n -> df.count() }
     assert(counts("game") == 13L)
     assert(counts("player") == 46L) // 47 fixture pages minus the malformed one
