@@ -82,6 +82,15 @@ object ScrapeSuite {
         .orderBy("table_name")
     }),
 
+    // the crawl ledger from the reference's recursive frontier
+    // (nodes.py ScrapeNode DFS): every page reachable from the schedule
+    // seeds, its discovery wave, and whether the cache held it — the
+    // in_cache=false rows are the to-visit list a live PageRetriever
+    // would fetch
+    "s8_crawl_frontier" -> ((s, _) => {
+      graft.scrape.Crawl.frontier(pages(s)).orderBy("depth", "name_id")
+    }),
+
     // the reference's end goal (README: "aggregate your own stats"):
     // plate appearances, games and strikeout-ish outcomes per player,
     // joined through the built star schema with broadcast dims

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.ScrapeSuite
+import graft.scrape.{Crawl, Entities}
+import graft.sources.HtmlSource
+
+class CrawlSpec extends SparkSpec {
+
+  private def gameLink(id: String) =
+    s"""<p class="game"><em><a href="/boxes/${id.take(3)}/$id.shtml">$id</a></em></p>"""
+
+  test("frontier expands schedule -> games -> roster players and builds the star schema") {
+    import spark.implicits._
+    // a schedule seed linking two real fixture games; the cache holds the
+    // fixture game + player pages but NO other schedule
+    val sched = Seq(("2020-schedule", "SchedulePage",
+      s"<html><body>${gameLink("WAS201710120")}${gameLink("OAK201903200")}</body></html>"))
+      .toDF("name_id", "page_type", "html")
+    val fixture = HtmlSource.pages(spark, ScrapeSuite.FixtureDir)
+      .filter(col("page_type") =!= "SchedulePage")
+    val cache = sched.unionByName(fixture).cache()
+
+    val ledger = Crawl.frontier(cache).cache()
+
+    // wave 0: the seed; wave 1: exactly the two linked games, both served
+    val d0 = ledger.filter(col("depth") === 0).collect()
+    assert(d0.map(_.getAs[String]("name_id")).toSeq == Seq("2020-schedule"))
+    val d1 = ledger.filter(col("depth") === 1).collect()
+    assert(d1.map(_.getAs[String]("name_id")).toSet ==
+      Set("WAS201710120", "OAK201903200"))
+    assert(d1.forall(_.getAs[Boolean]("in_cache")))
+
+    // wave 2: the games' roster players — cache hits where a fixture
+    // player page exists, to-visit rows where it doesn't
+    val d2 = ledger.filter(col("depth") === 2).collect()
+      .map(r => r.getAs[String]("name_id") -> r.getAs[Boolean]("in_cache")).toMap
+    assert(d2("jayjo02"))                       // WAS fixture player page
+    assert(d2.contains("gordode01") && !d2("gordode01")) // OAK roster, no page
+    assert(d2.values.exists(identity) && d2.values.exists(!_))
+    assert(ledger.filter(col("depth") >= 3).isEmpty) // players are leaves
+
+    // end-to-end: the star schema materializes from the crawled,
+    // cache-served pages alone (the reference's update_db over the DFS)
+    val crawled = cache.join(
+      ledger.filter(col("in_cache")).select("name_id"), Seq("name_id"), "left_semi")
+    val tables = Entities.starSchema(crawled)
+    assert(tables("game").count() == 2L)
+    assert(tables("play").count() > 100L)
+    assert(tables("play").join(tables("game"), Seq("game_id"), "left_anti").count() == 0)
+
+    ledger.unpersist(); cache.unpersist()
+  }
+
+  test("frontier over the raw fixture corpus records schedule links as to-visit") {
+    val ledger = ScrapeSuite.queries("s8_crawl_frontier")(spark, sfDir).cache()
+    assert(ledger.filter(col("depth") === 0).count() == 1L) // 2016-schedule
+    // the 2016 schedule's games are not among the fixture pages: every
+    // wave-1 id is a cache miss, so expansion stops there
+    val d1 = ledger.filter(col("depth") === 1)
+    assert(d1.count() > 2000L)
+    assert(d1.filter(col("in_cache")).isEmpty)
+    assert(ledger.filter(col("depth") >= 2).isEmpty)
+    ledger.unpersist()
+  }
+}
