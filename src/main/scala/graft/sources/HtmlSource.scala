@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** HTML cache directory → DataFrame(name_id, page_type, html).
@@ -17,6 +17,13 @@ object HtmlSource {
   val GameIdRe = "^[A-Z0-9]{3}[0-9]{9}$"
   val PlayerIdRe = "^[\\w\\.']+\\d\\d$"
 
+  /** Page type from a name_id, as a codegen'd column expression. */
+  def classifyCol(nameId: Column): Column =
+    when(regexp_like(nameId, lit(GameIdRe)), "GamePage")
+      .when(regexp_like(nameId, lit(PlayerIdRe)), "PlayerPage")
+      .when(nameId.contains("schedule"), "SchedulePage")
+      .otherwise("unknown")
+
   def pages(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read
       .option("wholetext", "true")
@@ -27,10 +34,26 @@ object HtmlSource {
     val nameId = regexp_replace(file, "\\.s?html$", "")
     raw.select(
       nameId.as("name_id"),
-      when(regexp_like(nameId, lit(GameIdRe)), "GamePage")
-        .when(regexp_like(nameId, lit(PlayerIdRe)), "PlayerPage")
-        .when(file.contains("schedule"), "SchedulePage")
-        .otherwise("unknown").as("page_type"),
+      classifyCol(nameId).as("page_type"),
       col("value").as("html"))
+  }
+
+  /** Distributed retrieval through [[PageRetriever]]: one retriever per
+    * partition (per-executor cache directory + rate limiter — see the
+    * retriever's scaladoc for the global-budget arithmetic), so the
+    * fetch-on-miss path runs where the data lands and the driver never
+    * touches a page body. `mk` is the only thing shipped to executors.
+    */
+  def retrieve(spark: SparkSession, urls: Seq[String],
+               mk: () => PageRetriever): DataFrame = {
+    import spark.implicits._
+    val nPart = math.max(1, math.min(urls.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(urls).repartition(nPart)
+      .mapPartitions { it =>
+        val r = mk()
+        it.map(u => (graft.scrape.BBRefParse.nameIdOf(u), r.page(u)))
+      }
+      .toDF("name_id", "html")
+      .select(col("name_id"), classifyCol(col("name_id")).as("page_type"), col("html"))
   }
 }
