@@ -43,6 +43,28 @@ object Sinks {
   def readJdbc(spark: org.apache.spark.sql.SparkSession, url: String, table: String): DataFrame =
     spark.read.jdbc(url, table, new java.util.Properties())
 
+  /** Idempotent insert-if-absent on a natural key — the reference's
+    * update_db semantics (pages.py:97-106 re-runs without duplicating;
+    * db/models.py:14-28 enforces unique natural keys): anti-join the
+    * incoming batch against the target's existing keys, then append only
+    * the remainder. Re-running the same batch is a no-op. The key scan
+    * reads one column (broadcast when small), never the incoming fact.
+    *
+    * Not transactional across concurrent writers — two simultaneous
+    * upserts of the same key can both pass the anti-join; the reference
+    * is single-writer and so is this guarantee. For concurrent writers
+    * keep a DB-side unique constraint as the backstop.
+    */
+  def jdbcUpsert(df: DataFrame, url: String, table: String, key: String,
+                 numPartitions: Int = 8, batchSize: Int = 1000): Unit = {
+    val spark = df.sparkSession
+    val existing =
+      try Some(readJdbc(spark, url, table).select(key))
+      catch { case _: Exception => None } // table absent: plain insert creates it
+    val fresh = existing.map(notYetIngested(df, _, key)).getOrElse(df)
+    jdbc(fresh, url, table, SaveMode.Append, numPartitions, batchSize)
+  }
+
   /** Bucketed managed table: pre-shuffles rows into `nBuckets` by the
     * join key at WRITE time, so every later join/aggregation on that key
     * is exchange-free (the scan exposes the hash partitioning). This is

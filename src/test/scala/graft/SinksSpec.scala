@@ -72,6 +72,20 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("jdbc upsert is idempotent: rewriting the same batch adds nothing") {
+    val url = s"jdbc:derby:${tmp("derby-upsert")}/graftdb;create=true"
+    val batch = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    Sinks.jdbcUpsert(batch, url, "t_upsert", "id")   // creates the table
+    Sinks.jdbcUpsert(batch, url, "t_upsert", "id")   // full overlap: no-op
+    assert(Sinks.readJdbc(spark, url, "t_upsert").count() == 3)
+    // partial overlap: only the genuinely new key lands
+    val next = Seq((3L, "c2"), (4L, "d")).toDF("id", "s")
+    Sinks.jdbcUpsert(next, url, "t_upsert", "id")
+    val back = Sinks.readJdbc(spark, url, "t_upsert").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+  }
+
   test("incremental ingest skips keys already in the target") {
     val existing = Seq(("a", 1), ("b", 2)).toDF("k", "v")
     val incoming = Seq(("b", 20), ("c", 30)).toDF("k", "v")
