@@ -25,6 +25,9 @@ object StreamingSuite {
     }),
     "st4_stream_dedup" -> ((s, d) => {
       EventStreams.streamDedupCount(s, d).orderBy("event_type")
+    }),
+    "st5_stream_stream_join" -> ((s, d) => {
+      EventStreams.streamStreamJoin(s, d).orderBy("user_id")
     })
   )
 
@@ -70,6 +73,15 @@ object StreamingSuite {
 
     "st4_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "st5_stream_stream_join" ->
+      s"""SELECT v.user_id, COUNT(*) AS n_pairs,
+         |  (SUM(CAST(p.value AS DECIMAL(18,2))))::DOUBLE AS sum_value
+         |FROM events v JOIN events p
+         |  ON v.user_id = p.user_id
+         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
   )
 }

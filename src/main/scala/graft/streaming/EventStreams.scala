@@ -157,6 +157,36 @@ object EventStreams {
     drain(joined, OutputMode.Complete())
   }
 
+  /** Stream-stream interval join — the canonical attribution shape
+    * (impression stream ⋈ conversion stream): every `view` pairs with
+    * the same user's `purchase`s in the hour after it. Both sides carry
+    * a watermark and the join condition bounds event-time distance, so
+    * each side's join state is evicted once the watermark passes its
+    * reach (1 h range + 2 h delay) — bounded state per key on an
+    * unbounded stream, which is what makes the plan safe at scale. The
+    * pair emission runs in the stream; the per-user rollup is batch
+    * post-processing over the drained sink (same pattern as the other
+    * finite drains), and the whole result is oracle-checked against the
+    * equivalent DuckDB self-join.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val views = eventStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+    val pairs = drain(
+      views.join(purchases,
+        expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour")),
+      OutputMode.Append())
+    pairs.groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
   /** Streaming dedup on the event id, then a per-type distinct count —
     * exactly-once semantics over an at-least-once source.
     * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`, whose

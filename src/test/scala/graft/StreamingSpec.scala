@@ -51,4 +51,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSet == batch.toSet,
       s"streamed=${streamed.length} batch=${batch.length}")
   }
+
+  test("st5: streamed interval join equals the batch self-join") {
+    val streamed = EventStreams.streamStreamJoin(spark, sfDir)
+      .orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("sum_value")))
+    assert(streamed.nonEmpty)
+
+    val ev = Tables.events(spark, sfDir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+    val batch = v.join(p,
+        expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"))
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("sum_value")))
+
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
