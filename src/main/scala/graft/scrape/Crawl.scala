@@ -37,6 +37,50 @@ object Crawl {
     fromSchedules.union(fromGames).toDF("name_id").distinct()
   }
 
+  /** Canonical URL of a discovered name_id, by page-type convention
+    * (games under /boxes/<home>/, players under /players/<initial>/ —
+    * the same shapes the reference's BBRefLink classifies,
+    * bbref_pages.py:65-75).
+    */
+  def urlOf(nameId: String): String =
+    if (nameId.matches(graft.sources.HtmlSource.GameIdRe))
+      s"${BBRefParse.BaseUrl}/boxes/${nameId.take(3)}/$nameId.shtml"
+    else
+      s"${BBRefParse.BaseUrl}/players/${nameId.head}/$nameId.shtml"
+
+  /** Frontier expansion driven by a LIVE fetcher instead of a static
+    * cache: each wave's undiscovered ids are retrieved through
+    * [[graft.sources.HtmlSource.retrieve]] (cache-first, rate-limited)
+    * and then expanded in turn. Returns every page fetched.
+    *
+    * The per-wave id list passes through the driver (`collect`) —
+    * deliberately: a crawl is throughput-bound by the politeness delay
+    * (seconds per page), so a wave is at most a few thousand id strings
+    * and the reference's own frontier is driver-resident too
+    * (nodes.py:9-58). Page BODIES never touch the driver.
+    */
+  def crawlAndFetch(spark: org.apache.spark.sql.SparkSession, seedUrls: Seq[String],
+                    mk: () => graft.sources.PageRetriever, maxWaves: Int = 8): DataFrame = {
+    var wave = graft.sources.HtmlSource.retrieve(spark, seedUrls, mk).cache()
+    var all = wave
+    var visited = wave.select("name_id")
+    var depth = 0
+    var expanding = true
+    while (expanding && depth < maxWaves) {
+      depth += 1
+      val freshIds = linkedIds(wave)
+        .join(visited, Seq("name_id"), "left_anti")
+        .collect().map(_.getString(0)).sorted
+      if (freshIds.isEmpty) expanding = false
+      else {
+        wave = graft.sources.HtmlSource.retrieve(spark, freshIds.map(urlOf), mk).cache()
+        all = all.unionByName(wave)
+        visited = visited.union(wave.select("name_id"))
+      }
+    }
+    all
+  }
+
   /** Expand the frontier from the cache's schedule pages. Returns the
     * crawl ledger `(name_id, depth, in_cache)`: every page some wave
     * requested, the wave that first discovered it, and whether the cache

@@ -56,12 +56,19 @@ object Sinks {
     * keep a DB-side unique constraint as the backstop.
     */
   def jdbcUpsert(df: DataFrame, url: String, table: String, key: String,
-                 numPartitions: Int = 8, batchSize: Int = 1000): Unit = {
+                 numPartitions: Int = 8, batchSize: Int = 1000): Unit =
+    jdbcUpsert(df, url, table, Seq(key), numPartitions, batchSize)
+
+  /** Composite-natural-key variant (the reference's play table keys on
+    * (game, play_num), models.py:79-83).
+    */
+  def jdbcUpsert(df: DataFrame, url: String, table: String, keys: Seq[String],
+                 numPartitions: Int, batchSize: Int): Unit = {
     val spark = df.sparkSession
     val existing =
-      try Some(readJdbc(spark, url, table).select(key))
+      try Some(readJdbc(spark, url, table).select(keys.head, keys.tail: _*))
       catch { case _: Exception => None } // table absent: plain insert creates it
-    val fresh = existing.map(notYetIngested(df, _, key)).getOrElse(df)
+    val fresh = existing.map(notYetIngested(df, _, keys)).getOrElse(df)
     jdbc(fresh, url, table, SaveMode.Append, numPartitions, batchSize)
   }
 
@@ -85,5 +92,8 @@ object Sinks {
     * when the existing-keys side broadcasts).
     */
   def notYetIngested(incoming: DataFrame, existing: DataFrame, key: String): DataFrame =
-    incoming.join(existing.select(key).distinct(), Seq(key), "left_anti")
+    notYetIngested(incoming, existing, Seq(key))
+
+  def notYetIngested(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.head, keys.tail: _*).distinct(), keys, "left_anti")
 }
