@@ -78,6 +78,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("UDF"), "no Scala UDFs in the dedup hot path")
   }
 
+  test("incremental-ingest anti-join broadcasts the existing-key side") {
+    val incoming = graft.sources.Tables.lineitem(spark, sfDir)
+    val existing = graft.sources.Tables.orders(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("o_orderkey").as("l_orderkey"))
+    val plan = graft.sources.Sinks.notYetIngested(incoming, existing, "l_orderkey")
+      .queryExecution.executedPlan.toString
+    // the fact side must stream through unshuffled; only the key set moves
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
