@@ -28,6 +28,9 @@ object StreamingSuite {
     }),
     "st5_stream_stream_join" -> ((s, d) => {
       EventStreams.streamStreamJoin(s, d).orderBy("user_id")
+    }),
+    "st6_stream_upsert_sink" -> ((s, d) => {
+      EventStreams.streamUpsertSink(s, d).orderBy("user_id")
     })
   )
 
@@ -82,6 +85,13 @@ object StreamingSuite {
          |  ON v.user_id = p.user_id
          | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
          |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
-         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
+         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+
+    // the sink receives every micro-batch twice; equality with the
+    // plain distinct count is the exactly-once guarantee under test
+    "st6_stream_upsert_sink" ->
+      """SELECT user_id, COUNT(DISTINCT event_id) AS n_rows
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -204,6 +204,35 @@ object EventStreams {
     drain(deduped, OutputMode.Complete())
   }
 
+  /** Exactly-once relational sink: micro-batches land through the
+    * idempotent natural-key upsert (`foreachBatch` +
+    * [[graft.sources.Sinks.jdbcUpsert]]), so a replayed batch — the
+    * at-least-once delivery failure mode — cannot duplicate rows.
+    * Each batch is deliberately written TWICE to simulate redelivery;
+    * the oracle equality (distinct purchases per user) is therefore the
+    * proof that idempotent-write + at-least-once = effectively
+    * exactly-once. This is the pattern for landing a stream in a store
+    * with no transactional sink support: keys, not transactions.
+    */
+  def streamUpsertSink(spark: SparkSession, dir: String): DataFrame = {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_st6").toString
+    val url = s"jdbc:derby:$dbDir/sinkdb;create=true"
+    val q = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.jdbcUpsert(batch, url, "purchase_sink", "event_id")
+        // redelivery: the second write must be absorbed by the key upsert
+        graft.sources.Sinks.jdbcUpsert(batch, url, "purchase_sink", "event_id")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.sources.Sinks.readJdbc(spark, url, "purchase_sink")
+      .groupBy("user_id").agg(count(lit(1)).as("n_rows"))
+  }
+
   /** Run a finite streaming query into a memory sink and return the
     * materialized table.
     */

@@ -75,4 +75,18 @@ class StreamingSpec extends SparkSpec {
 
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("st6: doubly-delivered micro-batches land exactly once through the key upsert") {
+    val streamed = EventStreams.streamUpsertSink(spark, sfDir)
+      .orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_rows")))
+    assert(streamed.nonEmpty)
+    val batch = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(countDistinct(col("event_id")).as("n_rows"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_rows")))
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
