@@ -36,23 +36,42 @@ object Relational {
     * window: range-partition the distinct keys so the global sort is
     * spread over `partitions` reducers, then assign
     * `partition offset + local position` via `zipWithIndex` (one extra
-    * count-per-partition job, no data movement). Output is byte-identical
-    * to surrogateDim — dense 1-based ids in natural-key order — because
+    * count-per-partition job, no data movement). Output is value-identical
+    * to surrogateDim — dense 1-based ids in natural-key order (emitted as
+    * LONG, so a dimension past 2^31 keys cannot silently wrap) — because
     * ids depend only on the global key order, not on where the range
     * boundaries fall. This is the sanctioned RDD exception: the offset
     * arithmetic is genuinely per-partition imperative logic.
+    *
+    * The range-partitioned keys are persisted (MEMORY_AND_DISK) before
+    * `zipWithIndex` so its two passes — the eager per-partition count and
+    * the later data pass — are guaranteed to see identical partition
+    * contents even if an executor is lost in between; the pinned
+    * footprint is the distinct key column only, never the input rows.
+    * Note `zipWithIndex` launches its count job at CALL time, so this
+    * builder is eager, which fits its role as a one-shot dimension
+    * materialization step.
     */
   def surrogateDimLarge(df: DataFrame, naturalKey: String, idName: String,
-                        partitions: Int = 200): DataFrame = {
+                        partitions: Int = 200): DataFrame =
+    surrogateDimLarge(df, Seq(naturalKey), idName, partitions)
+
+  /** Composite-natural-key variant (e.g. team keyed on
+    * (name, abbreviation)); ids follow the lexicographic key order.
+    */
+  def surrogateDimLarge(df: DataFrame, naturalKeys: Seq[String], idName: String,
+                        partitions: Int): DataFrame = {
     val spark = df.sparkSession
-    val keys = df.select(naturalKey).distinct()
-      .repartitionByRange(partitions, col(naturalKey))
-      .sortWithinPartitions(naturalKey)
+    val keyCols = naturalKeys.map(col)
+    val keys = df.select(keyCols: _*).distinct()
+      .repartitionByRange(partitions, keyCols: _*)
+      .sortWithinPartitions(naturalKeys.head, naturalKeys.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = org.apache.spark.sql.types.StructType(
       keys.schema.fields :+ org.apache.spark.sql.types.StructField(
-        idName, org.apache.spark.sql.types.IntegerType, nullable = false))
+        idName, org.apache.spark.sql.types.LongType, nullable = false))
     val rows = keys.toDF().rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L).toInt)
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(rows, schema)
   }

@@ -1,6 +1,6 @@
 package graft.scrape
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Recursive crawl frontier over an HTML cache — the reference's
@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   * is bounded by the link-graph depth (2 for schedule→game→player), not
   * by data volume — at 100 TB of cached pages each wave is one anti-join
   * plus one semi-join on `name_id`.
+  *
+  * Wave materialization: each wave is appended to a parquet SPOOL
+  * directory as soon as it lands and every later reference (the visited
+  * set, the returned corpus / ledger) reads the spool, not the wave's
+  * lineage. Two properties follow: (a) nothing stays pinned in executor
+  * storage once the crawl returns — a deep crawl does not accumulate
+  * cached blocks for the whole job — and (b) a recomputation can never
+  * re-fire the fetcher (the fetch lineage dies at the spool write),
+  * which matters now that schedule pages are fetch-always.
   */
 object Crawl {
 
@@ -48,37 +57,44 @@ object Crawl {
     else
       s"${BBRefParse.BaseUrl}/players/${nameId.head}/$nameId.shtml"
 
+  private def tempSpool(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_${tag}_spool").toString
+
   /** Frontier expansion driven by a LIVE fetcher instead of a static
     * cache: each wave's undiscovered ids are retrieved through
     * [[graft.sources.HtmlSource.retrieve]] (cache-first, rate-limited)
-    * and then expanded in turn. Returns every page fetched.
+    * and then expanded in turn. Returns every page fetched, including
+    * failure rows (`ok = false`) — a flaky page is skipped and reported,
+    * never retried and never fatal (nodes.py:41-47 catches per link).
     *
     * The per-wave id list passes through the driver (`collect`) —
     * deliberately: a crawl is throughput-bound by the politeness delay
     * (seconds per page), so a wave is at most a few thousand id strings
     * and the reference's own frontier is driver-resident too
-    * (nodes.py:9-58). Page BODIES never touch the driver.
+    * (nodes.py:9-58). Page BODIES never touch the driver: they flow
+    * executor → spool parquet. The spool dir (caller-supplied via
+    * `spoolDir`, else a temp dir) backs the returned DataFrame, so it
+    * must outlive the caller's reads; at scale it IS the landed corpus.
     */
   def crawlAndFetch(spark: org.apache.spark.sql.SparkSession, seedUrls: Seq[String],
-                    mk: () => graft.sources.PageRetriever, maxWaves: Int = 8): DataFrame = {
-    var wave = graft.sources.HtmlSource.retrieve(spark, seedUrls, mk).cache()
-    var all = wave
-    var visited = wave.select("name_id")
-    var depth = 0
-    var expanding = true
-    while (expanding && depth < maxWaves) {
-      depth += 1
-      val freshIds = linkedIds(wave)
+                    mk: () => graft.sources.PageRetriever, maxWaves: Int = 8,
+                    spoolDir: Option[String] = None): DataFrame = {
+    val spool = spoolDir.getOrElse(tempSpool("crawl"))
+    var urls = seedUrls
+    var wavesLeft = maxWaves + 1 // the seed wave plus maxWaves expansions
+    while (urls.nonEmpty && wavesLeft > 0) {
+      wavesLeft -= 1
+      val wave = graft.sources.HtmlSource.retrieve(spark, urls, mk).cache()
+      // land the wave first: the ONLY action that runs the fetch lineage
+      wave.write.mode(SaveMode.Append).parquet(spool)
+      val visited = spark.read.parquet(spool).select("name_id")
+      val freshIds = linkedIds(wave.filter(col("ok")))
         .join(visited, Seq("name_id"), "left_anti")
         .collect().map(_.getString(0)).sorted
-      if (freshIds.isEmpty) expanding = false
-      else {
-        wave = graft.sources.HtmlSource.retrieve(spark, freshIds.map(urlOf), mk).cache()
-        all = all.unionByName(wave)
-        visited = visited.union(wave.select("name_id"))
-      }
+      wave.unpersist(blocking = true)
+      urls = freshIds.map(urlOf).toSeq
     }
-    all
+    spark.read.parquet(spool)
   }
 
   /** Expand the frontier from the cache's schedule pages. Returns the
@@ -87,32 +103,41 @@ object Crawl {
     * could serve it. Ids with `in_cache = false` are exactly the to-visit
     * list a live fetcher ([[graft.sources.PageRetriever]]) would pull
     * from the web; here they contribute no further links.
+    *
+    * Each wave's fresh ledger slice is appended to a parquet spool and
+    * every later reference (the already-requested anti-join, the next
+    * wave's semi-join, the returned ledger) reads the spool: iterative
+    * lineage is truncated at the files, so no per-wave cache() is ever
+    * pinned — the ledger is id/depth/flag metadata, a few bytes per page
+    * even when the page corpus is 100 TB.
     */
-  def frontier(cache: DataFrame, maxWaves: Int = 8): DataFrame = {
-    val ledgerCols = Seq("name_id", "depth", "in_cache").map(col)
-    var ledger = cache.filter(col("page_type") === "SchedulePage")
+  def frontier(cache: DataFrame, maxWaves: Int = 8,
+               spoolDir: Option[String] = None): DataFrame = {
+    val spark = cache.sparkSession
+    val spool = spoolDir.getOrElse(tempSpool("frontier"))
+    val ledger = () => spark.read.parquet(spool)
+    cache.filter(col("page_type") === "SchedulePage")
       .select(col("name_id"), lit(0).as("depth"), lit(true).as("in_cache"))
-    var wave = cache.join(ledger.select("name_id"), Seq("name_id"), "left_semi")
+      // depth-0 seed (written even when empty: pins the schema). Append:
+      // the spool dir itself already exists (createTempDirectory), and a
+      // caller-supplied spool is required to start empty.
+      .write.mode(SaveMode.Append).parquet(spool)
     var depth = 0
-    var expanding = true
+    var expanding = ledger().limit(1).count() > 0
     while (expanding && depth < maxWaves) {
       depth += 1
+      val wave = cache.join(
+        ledger().filter(col("depth") === depth - 1 && col("in_cache")).select("name_id"),
+        Seq("name_id"), "left_semi")
       // to-visit = links ⟕anti⟕ already-requested
       val fresh = linkedIds(wave)
-        .join(ledger.select("name_id"), Seq("name_id"), "left_anti")
+        .join(ledger().select("name_id"), Seq("name_id"), "left_anti")
         .join(cache.select(col("name_id"), lit(true).as("in_cache")), Seq("name_id"), "left")
         .select(col("name_id"), lit(depth).as("depth"),
           coalesce(col("in_cache"), lit(false)).as("in_cache"))
-        .cache() // truncate the iterative lineage, as in d6 label propagation
-      if (fresh.isEmpty) {
-        fresh.unpersist()
-        expanding = false
-      } else {
-        ledger = ledger.union(fresh)
-        wave = cache.join(fresh.filter(col("in_cache")).select("name_id"),
-          Seq("name_id"), "left_semi")
-      }
+      fresh.write.mode(SaveMode.Append).parquet(spool)
+      expanding = ledger().filter(col("depth") === depth).limit(1).count() > 0
     }
-    ledger.select(ledgerCols: _*)
+    ledger()
   }
 }

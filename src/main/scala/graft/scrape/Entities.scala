@@ -58,12 +58,56 @@ object Entities {
       .withColumn("team_id",
         dense_rank().over(Window.orderBy("name", "abbreviation")).cast("long"))
 
+  /** DB-aligned surrogate ids — the reference's get_or_create contract
+    * (bbref_pages.py:337-372 Team/Venue get_or_create; the database
+    * assigns an auto-increment id ONCE and never renumbers): natural keys
+    * already present in `existing` keep their stored id, and genuinely
+    * new keys get dense ids starting after the stored maximum, in
+    * natural-key order. With no existing mapping this is exactly
+    * [[graft.operators.Relational.surrogateDimLarge]] — dense 1-based
+    * long ids with the global sort range-spread, no single-partition
+    * window — so an incremental re-scrape against a populated database
+    * can never shift an id that a fact row already references.
+    */
+  def alignedIds(keys: DataFrame, keyCols: Seq[String], idName: String,
+                 existing: Option[DataFrame], partitions: Int = 32): DataFrame = {
+    val distinctKeys = keys.select(keyCols.map(col): _*).na.drop(keyCols).distinct()
+    existing match {
+      case None =>
+        graft.operators.Relational.surrogateDimLarge(distinctKeys, keyCols, idName, partitions)
+      case Some(ex0) =>
+        // Pin ONE stable snapshot of the stored mapping: `existing` is
+        // typically a live JDBC read, and the caller (Scraper) upserts
+        // this function's own output back into that table — without the
+        // persist, re-evaluating the returned dim after the upsert would
+        // re-read the mutated table and see every new key on BOTH sides
+        // of the union below (stored AND fresh), duplicating dim rows.
+        // The eager maxId aggregation doubles as the materializing
+        // action, so the snapshot always predates any write-back. The
+        // pinned footprint is key+id columns only.
+        val ex = ex0.select((keyCols :+ idName).map(c => col(c)): _*)
+          .withColumn(idName, col(idName).cast("long"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val maxId = ex.agg(coalesce(max(col(idName)), lit(0L))).head().getLong(0)
+        val freshKeys = distinctKeys
+          .join(ex.select(keyCols.map(col): _*), keyCols, "left_anti")
+        val fresh = graft.operators.Relational
+          .surrogateDimLarge(freshKeys, keyCols, idName, partitions)
+          .withColumn(idName, col(idName) + lit(maxId))
+        ex.unionByName(fresh)
+    }
+  }
+
   /** Game star rows with venue/team surrogate FKs resolved by broadcast
     * joins (dims are small by construction).
     */
-  def gameStar(games: DataFrame): DataFrame = {
-    val v = venueDim(games)
-    val t = teamDim(games)
+  def gameStar(games: DataFrame): DataFrame =
+    gameStar(games, venueDim(games), teamDim(games))
+
+  /** As above against externally-built (e.g. DB-aligned) dims: `v` must
+    * carry (name, venue_id), `t` (name, abbreviation, team_id).
+    */
+  def gameStar(games: DataFrame, v: DataFrame, t: DataFrame): DataFrame = {
     games
       .join(broadcast(v), games("venue") === v("name"), "left")
       .join(broadcast(t.as("away")),
@@ -99,18 +143,34 @@ object Entities {
     * dataset — the parse is the dominant cost of the scrape pipeline, so
     * sharing it across s4/s5/s6/s7 halves the suite's work.
     */
-  def starSchema(pages: DataFrame, parsed: Dataset[ParsedGame]): Map[String, DataFrame] = {
+  def starSchema(pages: DataFrame, parsed: Dataset[ParsedGame]): Map[String, DataFrame] =
+    starSchema(pages, parsed, Map.empty)
+
+  /** As above, aligned to an already-populated database: `existing` maps
+    * a table name (venue/team/player/game) to its stored
+    * (natural key..., surrogate id) rows, and every id assignment flows
+    * through [[alignedIds]] so stored ids are reused and only new keys
+    * extend the sequence — the incremental re-scrape contract
+    * (pages.py:97-106 exists_in_db + get_or_create). All surrogate ids
+    * come from the range-partitioned assigner, never a single-partition
+    * window, so the build scales past dim-in-one-partition sizes.
+    */
+  def starSchema(pages: DataFrame, parsed: Dataset[ParsedGame],
+                 existing: Map[String, DataFrame]): Map[String, DataFrame] = {
     val games = gamesMeta(parsed)
-    val playerDim = playerRows(pages).toDF("name_id", "name", "bats", "throws")
-      .withColumn("player_id",
-        org.apache.spark.sql.functions.dense_rank()
-          .over(Window.orderBy("name_id")).cast("long"))
-    val venues = venueDim(games)
-    val teams = teamDim(games)
-    val gameStarDf = gameStar(games)
-      .withColumn("game_id",
-        org.apache.spark.sql.functions.dense_rank()
-          .over(Window.orderBy("game_name_id")).cast("long"))
+    val venues = alignedIds(games.select(col("venue").as("name")),
+      Seq("name"), "venue_id", existing.get("venue"))
+    val teams = alignedIds(
+      games.select(col("awayTeam.*")).union(games.select(col("homeTeam.*"))),
+      Seq("name", "abbreviation"), "team_id", existing.get("team"))
+    val playerAttrs = playerRows(pages).toDF("name_id", "name", "bats", "throws")
+    val playerDim = playerAttrs.join(
+      broadcast(alignedIds(playerAttrs, Seq("name_id"), "player_id", existing.get("player"))),
+      Seq("name_id"))
+    val gameStarDf = gameStar(games, venues, teams).join(
+      broadcast(alignedIds(games.select(col("nameId").as("game_name_id")),
+        Seq("game_name_id"), "game_id", existing.get("game"))),
+      Seq("game_name_id"))
     val plays = resolvePlays(rawPlays(parsed), rosters(parsed))
       .join(broadcast(gameStarDf.select("game_name_id", "game_id")), Seq("game_name_id"))
       .join(broadcast(playerDim.select(col("name_id").as("batter_name_id"),

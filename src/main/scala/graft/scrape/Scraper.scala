@@ -20,6 +20,41 @@ import graft.sources.{PageRetriever, Sinks}
   */
 object Scraper {
 
+  /** Earliest scrapable season (scraper.py:11 EARLIEST_YEAR). */
+  val EarliestYear = 1920
+
+  /** robots.txt politeness floor, ms (scraping BBREF_CRAWL_DELAY = 3.0 s,
+    * scraper.py:21-23).
+    */
+  val PoliteDelayMs = 3000L
+
+  /** The reference's operator-facing argument contract
+    * (scraper.py:27-45 parse_year / parse_crawl_delay):
+    * seasons outside [[EarliestYear]]..current year are rejected.
+    */
+  def validateYears(years: Seq[Int],
+                    latest: Int = java.time.Year.now.getValue): Unit = {
+    val bad = years.filter(y => y < EarliestYear || y > latest)
+    require(bad.isEmpty,
+      s"seasons must be within $EarliestYear..$latest; rejected: ${bad.mkString(", ")}")
+  }
+
+  /** Crawl-delay politeness check (scraper.py:35-44): a negative delay is
+    * rejected; a delay below the robots.txt floor is ALLOWED but warned
+    * about — the reference warns and pauses, then honors the caller's
+    * value. `warn` is injectable so tests can observe the warning without
+    * scraping a log.
+    */
+  def checkedDelayMs(requested: Long,
+                     warn: String => Unit = m => System.err.println(m)): Long = {
+    require(requested >= 0, s"crawl delay cannot be negative: $requested ms")
+    if (requested < PoliteDelayMs)
+      warn(s"robots.txt specifies a crawl delay of ${PoliteDelayMs} ms but " +
+        s"$requested ms was given; it is HIGHLY RECOMMENDED to be polite " +
+        "and abide by the crawl delay")
+    requested
+  }
+
   /** Natural keys per star table (db/models.py:14-83 unique indexes). */
   val NaturalKeys: Map[String, Seq[String]] = Map(
     "venue" -> Seq("name"),
@@ -27,6 +62,13 @@ object Scraper {
     "player" -> Seq("name_id"),
     "game" -> Seq("game_name_id"),
     "play" -> Seq("game_id", "play_num"))
+
+  /** Surrogate-id column per dimension table (models.py auto-increment
+    * primary keys) — the mappings an incremental scrape must preserve.
+    */
+  val SurrogateIds: Map[String, String] = Map(
+    "venue" -> "venue_id", "team" -> "team_id",
+    "player" -> "player_id", "game" -> "game_id")
 
   /** Dependency order for relational insert (children first). */
   val InsertOrder: Seq[String] = Seq("venue", "team", "player", "game", "play")
@@ -36,14 +78,44 @@ object Scraper {
 
   /** Scrape seasons end-to-end; returns the built star-schema tables.
     * When `jdbcUrl` is set, each table is also upserted idempotently.
+    * Years are validated against the reference's bounds; the retriever's
+    * crawl delay is the caller's business on this overload (tests inject
+    * zero-delay fakes) — use the `delayMs` overload for the checked path.
     */
   def scrapeSeasons(spark: SparkSession, years: Seq[Int],
                     mk: () => PageRetriever,
                     jdbcUrl: Option[String] = None): Map[String, DataFrame] = {
+    validateYears(years)
     val pages = Crawl.crawlAndFetch(spark, years.map(scheduleUrl), mk)
-    val tables = Entities.starSchema(pages)
+      .filter(org.apache.spark.sql.functions.col("ok"))
+    // incremental contract: surrogate ids already stored in the target DB
+    // are reused verbatim (get_or_create), so fact rows written by an
+    // earlier run keep referencing the right dimension rows — without
+    // this a re-scrape of a grown season would renumber every id and
+    // corrupt the play/game FK chain on upsert
+    val existing: Map[String, DataFrame] = jdbcUrl match {
+      case None => Map.empty
+      case Some(url) =>
+        SurrogateIds.collect { case (table, id) if Sinks.tableExists(url, table) =>
+          table -> Sinks.readJdbc(spark, url, table)
+            .select((NaturalKeys(table) :+ id).map(org.apache.spark.sql.functions.col): _*)
+        }
+    }
+    val tables = Entities.starSchema(pages, Entities.parsedGames(pages).cache(), existing)
     for (url <- jdbcUrl; table <- InsertOrder)
       Sinks.jdbcUpsert(tables(table), url, table, NaturalKeys(table), 8, 1000)
     tables
+  }
+
+  /** As above, with the reference's checked crawl-delay contract: builds
+    * the retriever itself from a cache dir + fetcher, rejecting negative
+    * delays and warning below the politeness floor (scraper.py:35-44).
+    */
+  def scrapeSeasons(spark: SparkSession, years: Seq[Int], cacheDir: String,
+                    fetch: String => String, delayMs: Long,
+                    jdbcUrl: Option[String]): Map[String, DataFrame] = {
+    val checked = checkedDelayMs(delayMs)
+    scrapeSeasons(spark, years,
+      () => new PageRetriever(cacheDir, fetch, checked), jdbcUrl)
   }
 }

@@ -43,6 +43,14 @@ object HtmlSource {
     * retriever's scaladoc for the global-budget arithmetic), so the
     * fetch-on-miss path runs where the data lands and the driver never
     * touches a page body. `mk` is the only thing shipped to executors.
+    *
+    * Per-page failure isolation (the reference catches and logs per-link
+    * exceptions so one bad page never aborts a season, nodes.py:41-47):
+    * a throwing fetch yields a row with `ok = false`, an empty body and
+    * the error message in `err` instead of failing the task — which
+    * after Spark's retries would re-fetch the partition's earlier pages
+    * each attempt and then kill the whole crawl job. Callers filter on
+    * `ok` before parsing and report the failures from the ledger.
     */
   def retrieve(spark: SparkSession, urls: Seq[String],
                mk: () => PageRetriever): DataFrame = {
@@ -51,9 +59,17 @@ object HtmlSource {
     spark.createDataset(urls).repartition(nPart)
       .mapPartitions { it =>
         val r = mk()
-        it.map(u => (graft.scrape.BBRefParse.nameIdOf(u), r.page(u)))
+        it.map { u =>
+          val nameId = graft.scrape.BBRefParse.nameIdOf(u)
+          scala.util.Try(r.page(u)) match {
+            case scala.util.Success(html) => (nameId, html, true, null: String)
+            case scala.util.Failure(e) =>
+              (nameId, "", false, s"${e.getClass.getName}: ${e.getMessage}")
+          }
+        }
       }
-      .toDF("name_id", "html")
-      .select(col("name_id"), classifyCol(col("name_id")).as("page_type"), col("html"))
+      .toDF("name_id", "html", "ok", "err")
+      .select(col("name_id"), classifyCol(col("name_id")).as("page_type"),
+        col("html"), col("ok"), col("err"))
   }
 }

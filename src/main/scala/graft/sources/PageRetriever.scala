@@ -1,9 +1,21 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import graft.scrape.BBRefParse
+
+object PageRetriever {
+  /** Schedule pages are never SERVED from cache: a live season's schedule
+    * grows as games are played, so re-scraping must re-fetch it to
+    * discover new games — the reference constructs the schedule link with
+    * `is_cachable=False` (deep-field scraper.py:58, honored by
+    * pages.py:29,150). Game and player pages are immutable once written
+    * and stay cache-first.
+    */
+  val DefaultCachable: String => Boolean =
+    nameId => !nameId.toLowerCase.contains("schedule")
+}
 
 /** Cache-first page retrieval with a crawl-delay rate limit on misses —
   * the reference's `_PageRetriever` / `_WebHandler` / `HtmlCache`
@@ -13,6 +25,12 @@ import graft.scrape.BBRefParse
   * `BBREF_CRAWL_DELAY = 3.0` seconds between requests,
   * pages.py:175-186), and insert the fetched page into the cache so the
   * next retrieval is a hit (pages.py:158-163).
+  *
+  * Non-cachable pages (schedules, by [[PageRetriever.DefaultCachable]])
+  * skip the cache READ but still write through: the fetched page lands
+  * in the cache so offline analysis ([[HtmlSource.pages]],
+  * [[graft.scrape.Crawl.frontier]]) sees the freshest copy, while the
+  * next live retrieval re-fetches regardless.
   *
   * The fetcher, clock and sleep are injectable: the sandbox has no
   * network, so tests drive a fixture-backed fake and verify the
@@ -29,7 +47,8 @@ final class PageRetriever(
     fetch: String => String,
     delayMs: Long,
     clock: () => Long = () => System.currentTimeMillis(),
-    sleep: Long => Unit = Thread.sleep) {
+    sleep: Long => Unit = Thread.sleep,
+    cachable: String => Boolean = PageRetriever.DefaultCachable) {
 
   // end of the current crawl-delay slot; fetches queue behind it
   private var nextSlot = 0L
@@ -44,21 +63,35 @@ final class PageRetriever(
     else None
   }
 
-  /** The page for a URL: cache hit wins (no fetch, no delay); a miss
-    * waits for the next crawl-delay slot, fetches, and inserts the page
-    * into the cache.
+  /** Atomic cache insert: write to a temp file in the cache directory,
+    * then rename over the target. A task killed mid-write can therefore
+    * never leave a truncated page that later runs would serve as a valid
+    * cache hit — the rename either happened completely or not at all.
+    */
+  private def insert(nameId: String, html: String): Unit = {
+    val dir = Paths.get(cacheDir)
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, nameId + ".", ".tmp")
+    Files.write(tmp, html.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, cachePath(nameId),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The page for a URL: a cache hit on a cachable page wins (no fetch,
+    * no delay); a miss — or any non-cachable page — waits for the next
+    * crawl-delay slot, fetches, and (re)inserts the page into the cache.
     */
   def page(url: String): String = {
     val nameId = BBRefParse.nameIdOf(url)
-    cached(nameId).getOrElse {
+    val hit = if (cachable(nameId)) cached(nameId) else None
+    hit.getOrElse {
       synchronized {
         val now = clock()
         if (now < nextSlot) sleep(nextSlot - now)
         nextSlot = math.max(now, nextSlot) + delayMs
       }
       val html = fetch(url)
-      Files.createDirectories(Paths.get(cacheDir))
-      Files.write(cachePath(nameId), html.getBytes(StandardCharsets.UTF_8))
+      insert(nameId, html)
       html
     }
   }

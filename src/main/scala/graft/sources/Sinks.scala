@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** Sink side of the engine (reference: deep-field db/models.py SQLite
   * star schema + pages.py:92-116 InsertablePage.update_db).
@@ -35,13 +36,32 @@ object Sinks {
     */
   def jdbc(df: DataFrame, url: String, table: String,
            mode: SaveMode = SaveMode.Append, numPartitions: Int = 8,
-           batchSize: Int = 1000): Unit =
-    df.coalesce(numPartitions).write.mode(mode)
+           batchSize: Int = 1000, createColumnTypes: Option[String] = None): Unit = {
+    val w = df.coalesce(numPartitions).write.mode(mode)
       .option("batchsize", batchSize.toString)
-      .jdbc(url, table, new java.util.Properties())
+    createColumnTypes.foreach(t => w.option("createTableColumnTypes", t))
+    w.jdbc(url, table, new java.util.Properties())
+  }
 
   def readJdbc(spark: org.apache.spark.sql.SparkSession, url: String, table: String): DataFrame =
     spark.read.jdbc(url, table, new java.util.Properties())
+
+  /** True when `table` exists in the target database, via JDBC metadata —
+    * NOT exception sniffing: a transient connectivity error propagates to
+    * the caller instead of being mistaken for "table absent" (which would
+    * silently degrade an upsert into a duplicate-producing blind append).
+    */
+  def tableExists(url: String, table: String): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      try {
+        var found = false
+        while (!found && rs.next()) found = rs.getString(3).equalsIgnoreCase(table)
+        found
+      } finally rs.close()
+    } finally conn.close()
+  }
 
   /** Idempotent insert-if-absent on a natural key — the reference's
     * update_db semantics (pages.py:97-106 re-runs without duplicating;
@@ -61,16 +81,59 @@ object Sinks {
 
   /** Composite-natural-key variant (the reference's play table keys on
     * (game, play_num), models.py:79-83).
+    *
+    * The incoming batch is deduplicated on the natural key first (the
+    * reference's per-row exists_in_db check cannot double-insert within
+    * a batch; a set-oriented anti-join can, so the dedup restores that
+    * guarantee), and the existing-key read is BOUNDED to the batch's
+    * leading-key range — the range predicate is pushed into the database
+    * scan, so a long-running per-batch caller (the st6 streaming sink)
+    * pays O(batch key range) per batch, not O(target table), which would
+    * otherwise grow without bound over the stream's lifetime.
     */
   def jdbcUpsert(df: DataFrame, url: String, table: String, keys: Seq[String],
                  numPartitions: Int, batchSize: Int): Unit = {
     val spark = df.sparkSession
-    val existing =
-      try Some(readJdbc(spark, url, table).select(keys.head, keys.tail: _*))
-      catch { case _: Exception => None } // table absent: plain insert creates it
-    val fresh = existing.map(notYetIngested(df, _, keys)).getOrElse(df)
-    jdbc(fresh, url, table, SaveMode.Append, numPartitions, batchSize)
+    val batch = df.dropDuplicates(keys)
+    if (!tableExists(url, table))
+      // String natural keys become VARCHAR, not the dialect's default
+      // CLOB/TEXT: key columns must stay range-comparable (and indexable)
+      // for the bounded existing-key scan — Derby, for one, refuses
+      // comparisons on CLOB outright.
+      jdbc(batch, url, table, SaveMode.Append, numPartitions, batchSize,
+        createColumnTypes = varcharKeys(batch, keys))
+    else {
+      val b = batch.agg(min(col(keys.head)).as("lo"), max(col(keys.head)).as("hi")).head()
+      if (!b.isNullAt(0)) { // empty batch: nothing to insert
+        val existing = boundedExistingKeys(spark, url, table, keys, b.get(0), b.get(1))
+        jdbc(notYetIngested(batch, existing, keys), url, table,
+          SaveMode.Append, numPartitions, batchSize)
+      }
+    }
   }
+
+  /** `createTableColumnTypes` clause pinning string-typed key columns to
+    * VARCHAR(512) (natural keys are short by construction — ids, names).
+    */
+  private def varcharKeys(df: DataFrame, keys: Seq[String]): Option[String] = {
+    val ks = df.schema.fields
+      .filter(f => keys.contains(f.name)
+        && f.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => s"${f.name} VARCHAR(512)")
+    if (ks.isEmpty) None else Some(ks.mkString(", "))
+  }
+
+  /** The existing-key scan for an upsert, restricted to the incoming
+    * batch's `[lo, hi]` leading-key range. The filter is pushed down to
+    * the JDBC source (a WHERE clause in the generated query — asserted
+    * in PlanAuditSpec), and bounding on the LEADING key of a composite
+    * key is a safe over-approximation: the anti-join still compares full
+    * keys, the bound only shrinks what the database ships.
+    */
+  def boundedExistingKeys(spark: org.apache.spark.sql.SparkSession, url: String,
+                          table: String, keys: Seq[String], lo: Any, hi: Any): DataFrame =
+    readJdbc(spark, url, table).select(keys.head, keys.tail: _*)
+      .filter(col(keys.head) >= lit(lo) && col(keys.head) <= lit(hi))
 
   /** Bucketed managed table: pre-shuffles rows into `nBuckets` by the
     * join key at WRITE time, so every later join/aggregation on that key

@@ -53,6 +53,33 @@ class CrawlSpec extends SparkSpec {
     ledger.unpersist(); cache.unpersist()
   }
 
+  test("crawlAndFetch: failure-isolated, and nothing stays pinned after return") {
+    val cacheDir = java.nio.file.Files.createTempDirectory("graft_crawl_hyg").toString
+    val sched = s"<html><body>${gameLink("WAS201710120")}${gameLink("OAK201903200")}</body></html>"
+    val fetch: String => String = u => {
+      val nid = graft.scrape.BBRefParse.nameIdOf(u)
+      if (nid.contains("schedule")) sched
+      else if (nid == "OAK201903200") sys.error("HTTP 503") // one flaky page
+      else ScraperSpecFixtures.serveFixture(nid)
+    }
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pages = Crawl.crawlAndFetch(spark,
+      Seq("https://example.test/leagues/MLB/2020-schedule.shtml"),
+      () => new graft.sources.PageRetriever(cacheDir, fetch, 0L))
+    // the flaky game is a reportable failure row; the healthy game's
+    // subtree (page + its roster players) was still crawled in full
+    assert(pages.filter(!col("ok")).collect()
+      .map(_.getAs[String]("name_id")).toSeq == Seq("OAK201903200"))
+    // wave caches were released: the crawl pinned nothing it didn't unpin
+    // (the corpus lives in the spool, so recompute can never re-fetch)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"crawl leaked pinned RDDs: $leaked")
+    val parsed = Entities.parsedGames(pages.filter(col("ok")))
+    val tables = Entities.starSchema(pages.filter(col("ok")), parsed)
+    assert(tables("game").count() == 1L)
+    assert(tables("play").count() > 50L)
+  }
+
   test("frontier over the raw fixture corpus records schedule links as to-visit") {
     val ledger = ScrapeSuite.queries("s8_crawl_frontier")(spark, sfDir).cache()
     assert(ledger.filter(col("depth") === 0).count() == 1L) // 2016-schedule

@@ -62,6 +62,27 @@ class PageRetrieverSpec extends AnyFunSuite {
     assert(f.fetched.map(_._1) == Seq(0L, 3000L, 6000L))
   }
 
+  test("schedule pages are never served from cache but still write through") {
+    val dir = tmpCache()
+    // a stale schedule sits in the cache (yesterday's standings)
+    Files.write(Paths.get(dir, "2020-schedule.shtml"),
+      "<html>stale</html>".getBytes(StandardCharsets.UTF_8))
+    val f = new Fake(3000, dir,
+      Map("https://example.test/leagues/MLB/2020-schedule.shtml" -> "<html>grown</html>"))
+    val url = "https://example.test/leagues/MLB/2020-schedule.shtml"
+    // is_cachable=False (scraper.py:58): the fetch happens despite the hit
+    assert(f.retriever.page(url) == "<html>grown</html>")
+    assert(f.fetched.map(_._2) == Seq(url))
+    // write-through: the cache now holds the fresh copy for offline reads
+    assert(new String(Files.readAllBytes(Paths.get(dir, "2020-schedule.shtml")),
+      StandardCharsets.UTF_8) == "<html>grown</html>")
+    // and a SECOND retrieval fetches again — schedules are always live
+    f.retriever.page(url)
+    assert(f.fetched.size == 2)
+    // schedule fetches still honor the crawl delay
+    assert(f.sleeps == Seq(3000L))
+  }
+
   test("cache-first ordering: hit between misses consumes no delay slot") {
     val dir = tmpCache()
     Files.write(Paths.get(dir, "hit01.shtml"),
@@ -94,5 +115,28 @@ class RetrieveIntegrationSpec extends SparkSpec {
     assert(rows("WAS201710120")._2.startsWith("<html>fetched"))
     // the miss was inserted into the shared cache directory
     assert(Files.isRegularFile(Paths.get(dir, "WAS201710120.shtml")))
+  }
+
+  test("one throwing fetch yields a failure row, not a dead crawl") {
+    val dir = Files.createTempDirectory("graft_cache_fail").toString
+    val urls = Seq(
+      "https://example.test/boxes/WAS/WAS201710120.shtml",
+      "https://example.test/boxes/BAD/BAD000000000.shtml", // fetcher throws
+      "https://example.test/players/v/vendipa01.shtml")
+    val df = HtmlSource.retrieve(spark, urls,
+      () => new PageRetriever(dir, u => {
+        if (u.contains("BAD")) sys.error("HTTP 503")
+        s"<html>fetched $u</html>"
+      }, 0L))
+    val rows = df.collect().map(r => r.getAs[String]("name_id") ->
+      ((r.getAs[Boolean]("ok"), r.getAs[String]("html"), r.getAs[String]("err")))).toMap
+    assert(rows.size == 3)
+    // the N-1 healthy pages landed in full
+    assert(rows("WAS201710120")._1 && rows("WAS201710120")._2.startsWith("<html>fetched"))
+    assert(rows("vendipa01")._1)
+    // the flaky page became a reportable ledger row instead of a task
+    // failure (which after retries would have killed the whole crawl)
+    val (ok, html, err) = rows("BAD000000000")
+    assert(!ok && html.isEmpty && err.contains("HTTP 503"))
   }
 }

@@ -86,6 +86,38 @@ class SinksSpec extends SparkSpec {
     assert(back == Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
   }
 
+  test("upsert existing-key scan is bounded to the batch range and pushed down") {
+    val url = s"jdbc:derby:${tmp("derby-bound")}/graftdb;create=true"
+    val first = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "s")
+    Sinks.jdbcUpsert(first, url, "t_bound", "id")
+    // a later batch touching only [101, 103]: the existing-key read must
+    // carry the range as a pushed JDBC filter, not scan all 100 keys
+    val scan = Sinks.boundedExistingKeys(spark, url, "t_bound", Seq("id"), 101L, 103L)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual")
+      && plan.contains("LessThanOrEqual"), plan)
+    Sinks.jdbcUpsert(Seq((101L, "x"), (50L, "dup")).toDF("id", "s"), url, "t_bound", "id")
+    assert(Sinks.readJdbc(spark, url, "t_bound").count() == 101L)
+    // id 50 kept its original value: the overlap was skipped, not rewritten
+    assert(Sinks.readJdbc(spark, url, "t_bound")
+      .filter(col("id") === 50L).collect().head.getString(1) == "v50")
+  }
+
+  test("upsert dedupes the incoming batch on the natural key") {
+    val url = s"jdbc:derby:${tmp("derby-dup")}/graftdb;create=true"
+    val batch = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")).toDF("id", "s")
+    Sinks.jdbcUpsert(batch, url, "t_dup", "id")
+    assert(Sinks.readJdbc(spark, url, "t_dup").count() == 2L)
+  }
+
+  test("a connectivity error fails the upsert instead of degrading to blind append") {
+    // missing database, no ;create=true: the existence probe must throw,
+    // never be mistaken for "table absent" (which would blind-append)
+    val url = s"jdbc:derby:${tmp("derby-gone")}/no_such_db"
+    val batch = Seq((1L, "a")).toDF("id", "s")
+    intercept[java.sql.SQLException](Sinks.jdbcUpsert(batch, url, "t_x", "id"))
+  }
+
   test("incremental ingest skips keys already in the target") {
     val existing = Seq(("a", 1), ("b", 2)).toDF("k", "v")
     val incoming = Seq(("b", 20), ("c", 30)).toDF("k", "v")
