@@ -43,14 +43,17 @@ object Relational {
     * boundaries fall. This is the sanctioned RDD exception: the offset
     * arithmetic is genuinely per-partition imperative logic.
     *
-    * The range-partitioned keys are persisted (MEMORY_AND_DISK) before
-    * `zipWithIndex` so its two passes — the eager per-partition count and
-    * the later data pass — are guaranteed to see identical partition
-    * contents even if an executor is lost in between; the pinned
-    * footprint is the distinct key column only, never the input rows.
-    * Note `zipWithIndex` launches its count job at CALL time, so this
-    * builder is eager, which fits its role as a one-shot dimension
-    * materialization step.
+    * Persist lifecycle: the distinct keys are persisted only while the
+    * two `zipWithIndex` passes run (the per-partition count and the data
+    * pass must see identical partition contents), then RELEASED before
+    * returning — the interim pin cannot accumulate across calls. What
+    * the caller receives is the materialized (key, id) mapping itself,
+    * persisted MEMORY_AND_DISK because every consumer joins it at least
+    * once (usually several times, dim-style); the caller owns that pin
+    * and releases it with a plain `df.unpersist()` when done — the same
+    * caller-owned contract as the two-arg starSchema's parsed dataset.
+    * This builder is therefore eager (both passes run at call time),
+    * which fits its role as a one-shot dimension materialization step.
     */
   def surrogateDimLarge(df: DataFrame, naturalKey: String, idName: String,
                         partitions: Int = 200): DataFrame =
@@ -73,7 +76,11 @@ object Relational {
     val rows = keys.toDF().rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
     }
-    spark.createDataFrame(rows, schema)
+    val out = spark.createDataFrame(rows, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // run the data pass now: ids are fixed in the mapping
+    keys.unpersist(blocking = false)
+    out
   }
 
   /** Resolve a natural key to its surrogate id by broadcast-joining the

@@ -57,8 +57,11 @@ object Crawl {
     else
       s"${BBRefParse.BaseUrl}/players/${nameId.head}/$nameId.shtml"
 
-  private def tempSpool(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_${tag}_spool").toString
+  // default spools resolve through Spool: under the checkpoint dir when
+  // one is configured (cluster-visible), else a driver-local temp dir
+  // (local master only — executors share the filesystem) deleted on JVM
+  // exit. A caller-supplied spoolDir is the caller's to keep/clean and
+  // must be cluster-visible; at scale it IS the landed corpus.
 
   /** Frontier expansion driven by a LIVE fetcher instead of a static
     * cache: each wave's undiscovered ids are retrieved through
@@ -79,7 +82,7 @@ object Crawl {
   def crawlAndFetch(spark: org.apache.spark.sql.SparkSession, seedUrls: Seq[String],
                     mk: () => graft.sources.PageRetriever, maxWaves: Int = 8,
                     spoolDir: Option[String] = None): DataFrame = {
-    val spool = spoolDir.getOrElse(tempSpool("crawl"))
+    val spool = spoolDir.getOrElse(graft.sources.Spool.dir(spark, "crawl"))
     var urls = seedUrls
     var wavesLeft = maxWaves + 1 // the seed wave plus maxWaves expansions
     while (urls.nonEmpty && wavesLeft > 0) {
@@ -114,12 +117,12 @@ object Crawl {
   def frontier(cache: DataFrame, maxWaves: Int = 8,
                spoolDir: Option[String] = None): DataFrame = {
     val spark = cache.sparkSession
-    val spool = spoolDir.getOrElse(tempSpool("frontier"))
+    val spool = spoolDir.getOrElse(graft.sources.Spool.dir(spark, "frontier"))
     val ledger = () => spark.read.parquet(spool)
     cache.filter(col("page_type") === "SchedulePage")
       .select(col("name_id"), lit(0).as("depth"), lit(true).as("in_cache"))
       // depth-0 seed (written even when empty: pins the schema). Append:
-      // the spool dir itself already exists (createTempDirectory), and a
+      // the parquet writer creates the spool dir if needed, and a
       // caller-supplied spool is required to start empty.
       .write.mode(SaveMode.Append).parquet(spool)
     var depth = 0

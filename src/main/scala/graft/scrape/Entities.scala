@@ -78,23 +78,31 @@ object Entities {
       case Some(ex0) =>
         // Pin ONE stable snapshot of the stored mapping: `existing` is
         // typically a live JDBC read, and the caller (Scraper) upserts
-        // this function's own output back into that table — without the
-        // persist, re-evaluating the returned dim after the upsert would
+        // this function's own output back into that table — without a
+        // snapshot, re-evaluating the returned dim after the upsert would
         // re-read the mutated table and see every new key on BOTH sides
         // of the union below (stored AND fresh), duplicating dim rows.
-        // The eager maxId aggregation doubles as the materializing
-        // action, so the snapshot always predates any write-back. The
-        // pinned footprint is key+id columns only.
+        // Lifecycle: the snapshot (and the fresh-key assignment inside
+        // surrogateDimLarge) are interim pins — the durable artifact is
+        // the UNION mapping, which is persisted, materialized eagerly
+        // (so it always predates any write-back), and then the interim
+        // pins are released. The caller owns the returned pin and
+        // releases it with `df.unpersist()` ([[StarBuild.release]] does
+        // this for the full star build).
         val ex = ex0.select((keyCols :+ idName).map(c => col(c)): _*)
           .withColumn(idName, col(idName).cast("long"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val maxId = ex.agg(coalesce(max(col(idName)), lit(0L))).head().getLong(0)
         val freshKeys = distinctKeys
           .join(ex.select(keyCols.map(col): _*), keyCols, "left_anti")
-        val fresh = graft.operators.Relational
+        val freshIds = graft.operators.Relational
           .surrogateDimLarge(freshKeys, keyCols, idName, partitions)
-          .withColumn(idName, col(idName) + lit(maxId))
-        ex.unionByName(fresh)
+        val out = ex.unionByName(freshIds.withColumn(idName, col(idName) + lit(maxId)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count() // materialize before any write-back mutates `existing`
+        ex.unpersist(blocking = false)
+        freshIds.unpersist(blocking = false)
+        out
     }
   }
 
@@ -156,7 +164,24 @@ object Entities {
     * window, so the build scales past dim-in-one-partition sizes.
     */
   def starSchema(pages: DataFrame, parsed: Dataset[ParsedGame],
-                 existing: Map[String, DataFrame]): Map[String, DataFrame] = {
+                 existing: Map[String, DataFrame]): Map[String, DataFrame] =
+    starSchemaBuild(pages, parsed, existing).tables
+
+  /** A built star schema plus the id mappings it pinned. Each
+    * [[alignedIds]] call persists its (natural key, surrogate id)
+    * mapping — the artifact every FK join consumes — and [[release]]
+    * is the caller's single hand to unpin all of them once the tables
+    * are landed (spool/DB) or no longer needed. Releasing while still
+    * holding the table DataFrames is safe only if `existing` sources
+    * have not been mutated since (see [[alignedIds]]).
+    */
+  final case class StarBuild(tables: Map[String, DataFrame], pins: Seq[DataFrame]) {
+    def release(): Unit = pins.foreach(_.unpersist(false))
+  }
+
+  /** [[starSchema]] with an explicit pin-lifecycle handle. */
+  def starSchemaBuild(pages: DataFrame, parsed: Dataset[ParsedGame],
+                      existing: Map[String, DataFrame]): StarBuild = {
     val games = gamesMeta(parsed)
     val venues = alignedIds(games.select(col("venue").as("name")),
       Seq("name"), "venue_id", existing.get("venue"))
@@ -164,13 +189,13 @@ object Entities {
       games.select(col("awayTeam.*")).union(games.select(col("homeTeam.*"))),
       Seq("name", "abbreviation"), "team_id", existing.get("team"))
     val playerAttrs = playerRows(pages).toDF("name_id", "name", "bats", "throws")
-    val playerDim = playerAttrs.join(
-      broadcast(alignedIds(playerAttrs, Seq("name_id"), "player_id", existing.get("player"))),
-      Seq("name_id"))
+    val playerIds = alignedIds(playerAttrs, Seq("name_id"), "player_id",
+      existing.get("player"))
+    val playerDim = playerAttrs.join(broadcast(playerIds), Seq("name_id"))
+    val gameIds = alignedIds(games.select(col("nameId").as("game_name_id")),
+      Seq("game_name_id"), "game_id", existing.get("game"))
     val gameStarDf = gameStar(games, venues, teams).join(
-      broadcast(alignedIds(games.select(col("nameId").as("game_name_id")),
-        Seq("game_name_id"), "game_id", existing.get("game"))),
-      Seq("game_name_id"))
+      broadcast(gameIds), Seq("game_name_id"))
     val plays = resolvePlays(rawPlays(parsed), rosters(parsed))
       .join(broadcast(gameStarDf.select("game_name_id", "game_id")), Seq("game_name_id"))
       .join(broadcast(playerDim.select(col("name_id").as("batter_name_id"),
@@ -179,8 +204,10 @@ object Entities {
         col("player_id").as("pitcher_id"))), Seq("pitcher_name_id"), "left")
       .select("game_id", "play_num", "inning_half", "start_outs", "start_on_base",
         "desc", "pitch_ct", "batter_id", "pitcher_id")
-    Map("venue" -> venues, "team" -> teams, "player" -> playerDim,
-      "game" -> gameStarDf, "play" -> plays)
+    StarBuild(
+      Map("venue" -> venues, "team" -> teams, "player" -> playerDim,
+        "game" -> gameStarDf, "play" -> plays),
+      Seq(venues, teams, playerIds, gameIds))
   }
 
   /** Spark regexp twin of [[BBRefParse.stripName]] (same Java regexes). */

@@ -76,18 +76,40 @@ object Scraper {
   def scheduleUrl(year: Int): String =
     s"${BBRefParse.BaseUrl}/leagues/MLB/$year-schedule.shtml"
 
-  /** Scrape seasons end-to-end; returns the built star-schema tables.
+  /** Scrape seasons end-to-end; returns the star-schema tables plus the
+    * crawl's failure ledger under `"fetch_failures"` (name_id, err).
     * When `jdbcUrl` is set, each table is also upserted idempotently.
     * Years are validated against the reference's bounds; the retriever's
     * crawl delay is the caller's business on this overload (tests inject
     * zero-delay fakes) — use the `delayMs` overload for the checked path.
+    *
+    * Failure contract (reference nodes.py:41-47 catches and logs per
+    * link): a failed page never aborts the season — every failure is
+    * WARNED about through `warn` and returned in the ledger so operators
+    * can retry, instead of being silently dropped from the scrape.
+    *
+    * Materialization contract: every table is landed in a parquet spool
+    * (`spoolDir`, else a [[graft.sources.Spool]]-resolved directory) and
+    * the returned DataFrames read from that spool — so all interim pins
+    * (the parse cache, the id-mapping persists) are RELEASED before
+    * returning and nothing stays in executor storage. The upserts run
+    * from the landed parquet, after which the DB holds the same rows.
     */
   def scrapeSeasons(spark: SparkSession, years: Seq[Int],
                     mk: () => PageRetriever,
-                    jdbcUrl: Option[String] = None): Map[String, DataFrame] = {
+                    jdbcUrl: Option[String] = None,
+                    spoolDir: Option[String] = None,
+                    warn: String => Unit = m => System.err.println(m)): Map[String, DataFrame] = {
     validateYears(years)
-    val pages = Crawl.crawlAndFetch(spark, years.map(scheduleUrl), mk)
-      .filter(org.apache.spark.sql.functions.col("ok"))
+    val fcol = org.apache.spark.sql.functions.col _
+    val crawled = Crawl.crawlAndFetch(spark, years.map(scheduleUrl), mk)
+    val failures = crawled.filter(!fcol("ok")).select("name_id", "err")
+    val failed = failures.collect() // failures are few: the ledger is reportable
+    failed.foreach(r => warn(s"scrape: page ${r.getString(0)} failed and was " +
+      s"skipped: ${r.getString(1)}"))
+    if (failed.nonEmpty) warn(s"scrape: ${failed.length} page(s) failed; " +
+      "see the fetch_failures ledger to retry them")
+    val pages = crawled.filter(fcol("ok"))
     // incremental contract: surrogate ids already stored in the target DB
     // are reused verbatim (get_or_create), so fact rows written by an
     // earlier run keep referencing the right dimension rows — without
@@ -98,13 +120,22 @@ object Scraper {
       case Some(url) =>
         SurrogateIds.collect { case (table, id) if Sinks.tableExists(url, table) =>
           table -> Sinks.readJdbc(spark, url, table)
-            .select((NaturalKeys(table) :+ id).map(org.apache.spark.sql.functions.col): _*)
+            .select((NaturalKeys(table) :+ id).map(fcol): _*)
         }
     }
-    val tables = Entities.starSchema(pages, Entities.parsedGames(pages).cache(), existing)
+    val parsed = Entities.parsedGames(pages).cache()
+    val build = Entities.starSchemaBuild(pages, parsed, existing)
+    val spool = spoolDir.getOrElse(graft.sources.Spool.dir(spark, "scrape_tables"))
+    val landed = build.tables.map { case (t, df) =>
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$spool/$t")
+      t -> spark.read.parquet(s"$spool/$t")
+    }
     for (url <- jdbcUrl; table <- InsertOrder)
-      Sinks.jdbcUpsert(tables(table), url, table, NaturalKeys(table), 8, 1000)
-    tables
+      Sinks.jdbcUpsert(landed(table), url, table, NaturalKeys(table), 8, 1000)
+    // tables are landed (and upserted): nothing needs the pins any more
+    build.release()
+    parsed.unpersist(blocking = false)
+    landed + ("fetch_failures" -> failures)
   }
 
   /** As above, with the reference's checked crawl-delay contract: builds

@@ -85,31 +85,75 @@ object Sinks {
     * The incoming batch is deduplicated on the natural key first (the
     * reference's per-row exists_in_db check cannot double-insert within
     * a batch; a set-oriented anti-join can, so the dedup restores that
-    * guarantee), and the existing-key read is BOUNDED to the batch's
-    * leading-key range — the range predicate is pushed into the database
-    * scan, so a long-running per-batch caller (the st6 streaming sink)
-    * pays O(batch key range) per batch, not O(target table), which would
-    * otherwise grow without bound over the stream's lifetime.
+    * guarantee). Rows with a NULL in ANY key column are dropped and
+    * counted loudly — a NULL key can never satisfy the anti-join
+    * equality, so keeping such rows would re-insert them on every run
+    * (and a unique index can't protect them); they are not silently part
+    * of the idempotence contract.
+    *
+    * The existing-key read is BOUNDED to the batch's leading-key range
+    * when that key is numeric/temporal — the range predicate is pushed
+    * into the database scan, so a long-running per-batch caller (the st6
+    * streaming sink) pays O(batch key range) per batch, not O(target
+    * table), which would otherwise grow without bound over the stream's
+    * lifetime. String keys deliberately fall back to the full key scan:
+    * pushing a string range assumes the database collates like Spark's
+    * binary UTF-8 ordering, and a case-insensitive or locale collation
+    * (e.g. MySQL defaults) could exclude stored keys Spark would match,
+    * turning the upsert into a duplicate producer.
     */
   def jdbcUpsert(df: DataFrame, url: String, table: String, keys: Seq[String],
                  numPartitions: Int, batchSize: Int): Unit = {
     val spark = df.sparkSession
-    val batch = df.dropDuplicates(keys)
+    val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
+    val stats = df.agg(sum(when(anyKeyNull, 1L).otherwise(0L)).as("n_null")).head()
+    val nNull = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    if (nNull > 0)
+      log.warn(s"jdbcUpsert($table): dropping $nNull row(s) whose natural key " +
+        s"(${keys.mkString(", ")}) contains NULL — un-upsertable rows would " +
+        "re-insert on every run")
+    val batch = df.filter(!anyKeyNull).dropDuplicates(keys)
     if (!tableExists(url, table))
       // String natural keys become VARCHAR, not the dialect's default
-      // CLOB/TEXT: key columns must stay range-comparable (and indexable)
-      // for the bounded existing-key scan — Derby, for one, refuses
+      // CLOB/TEXT: key columns must stay comparable (and indexable) for
+      // the existing-key anti-join — Derby, for one, refuses
       // comparisons on CLOB outright.
       jdbc(batch, url, table, SaveMode.Append, numPartitions, batchSize,
         createColumnTypes = varcharKeys(batch, keys))
     else {
-      val b = batch.agg(min(col(keys.head)).as("lo"), max(col(keys.head)).as("hi")).head()
-      if (!b.isNullAt(0)) { // empty batch: nothing to insert
-        val existing = boundedExistingKeys(spark, url, table, keys, b.get(0), b.get(1))
-        jdbc(notYetIngested(batch, existing, keys), url, table,
-          SaveMode.Append, numPartitions, batchSize)
-      }
+      val existing = existingKeysScan(spark, url, table, batch, keys)
+      jdbc(notYetIngested(batch, existing, keys), url, table,
+        SaveMode.Append, numPartitions, batchSize)
     }
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** True when `dt` orders identically in Spark and in any sane database
+    * — the precondition for pushing a range bound into the target scan.
+    */
+  private def rangeBoundable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | DateType | TimestampType | BooleanType => true
+      case _ => false // strings: DB collation may not be binary
+    }
+  }
+
+  /** The existing-key read for an upsert of `batch`: bounded to the
+    * batch's leading-key [min, max] when the leading key is
+    * numeric/temporal (collation-safe), else the full key columns.
+    */
+  def existingKeysScan(spark: org.apache.spark.sql.SparkSession, url: String,
+                       table: String, batch: DataFrame, keys: Seq[String]): DataFrame = {
+    val leadType = batch.schema(keys.head).dataType
+    if (rangeBoundable(leadType)) {
+      val b = batch.agg(min(col(keys.head)).as("lo"), max(col(keys.head)).as("hi")).head()
+      if (b.isNullAt(0)) // empty batch: nothing can match
+        readJdbc(spark, url, table).select(keys.head, keys.tail: _*).limit(0)
+      else boundedExistingKeys(spark, url, table, keys, b.get(0), b.get(1))
+    } else
+      readJdbc(spark, url, table).select(keys.head, keys.tail: _*)
   }
 
   /** `createTableColumnTypes` clause pinning string-typed key columns to
@@ -126,9 +170,12 @@ object Sinks {
   /** The existing-key scan for an upsert, restricted to the incoming
     * batch's `[lo, hi]` leading-key range. The filter is pushed down to
     * the JDBC source (a WHERE clause in the generated query — asserted
-    * in PlanAuditSpec), and bounding on the LEADING key of a composite
+    * in SinksSpec), and bounding on the LEADING key of a composite
     * key is a safe over-approximation: the anti-join still compares full
-    * keys, the bound only shrinks what the database ships.
+    * keys, the bound only shrinks what the database ships. Callers
+    * should route through [[existingKeysScan]], which only bounds
+    * numeric/temporal keys — a pushed string range is only safe when
+    * the database's collation is binary (as Derby's UCS_BASIC is).
     */
   def boundedExistingKeys(spark: org.apache.spark.sql.SparkSession, url: String,
                           table: String, keys: Seq[String], lo: Any, hi: Any): DataFrame =

@@ -215,22 +215,59 @@ object EventStreams {
     * with no transactional sink support: keys, not transactions.
     */
   def streamUpsertSink(spark: SparkSession, dir: String): DataFrame = {
-    val dbDir = java.nio.file.Files.createTempDirectory("graft_st6").toString
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_st6")
     val url = s"jdbc:derby:$dbDir/sinkdb;create=true"
-    val q = eventStream(spark, dir)
-      .filter(col("event_type") === "purchase")
-      .select("event_id", "user_id")
-      .writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.Sinks.jdbcUpsert(batch, url, "purchase_sink", "event_id")
-        // redelivery: the second write must be absorbed by the key upsert
-        graft.sources.Sinks.jdbcUpsert(batch, url, "purchase_sink", "event_id")
-      }
-      .start()
+    val q = withDrainConf(spark) {
+      eventStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id")
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.sources.Sinks.jdbcUpsert(batch, url, "purchase_sink", "event_id")
+          // redelivery: the second write must be absorbed by the key upsert
+          graft.sources.Sinks.jdbcUpsert(batch, url, "purchase_sink", "event_id")
+        }
+        .start()
+    }
     try q.processAllAvailable() finally q.stop()
-    graft.sources.Sinks.readJdbc(spark, url, "purchase_sink")
+    val out = graft.sources.Sinks.readJdbc(spark, url, "purchase_sink")
       .groupBy("user_id").agg(count(lit(1)).as("n_rows"))
+    // The per-user rollup is a small bounded aggregate, so materialize it
+    // driver-side and release the Derby db — the db dir is a PER-CALL
+    // temp resource, and leaving one behind per invocation (plus an open
+    // Derby engine on it) is a leak. The production shape of this
+    // operator is the foreachBatch upsert above; this tail only exists
+    // to hand the finite drain's result back as a DataFrame.
+    val rows = out.collect()
+    val result = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+    scala.util.Try( // a successful single-db shutdown THROWS 08006
+      java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir/sinkdb;shutdown=true"))
+    graft.sources.Spool.deleteRecursively(dbDir)
+    result
+  }
+
+  /** Start a streaming query with the finite-drain tuning: 8 shuffle
+    * partitions instead of the session's 32. State-store instances (and
+    * per-micro-batch tasks) equal the shuffle-partition count captured at
+    * query start, and a finite drain's state holds a few thousand rows —
+    * 32 stores are pure fixed overhead. Results are partition-count
+    * independent; an unbounded deployment sizes this to key cardinality
+    * via its own conf. The session conf is restored after start returns
+    * a running query (the captured value is read during query startup,
+    * which `start()` completes synchronously for planning).
+    */
+  private def withDrainConf(spark: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): org.apache.spark.sql.streaming.StreamingQuery = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = start
+      q.processAllAvailable() // finish the drain before restoring the conf
+      q
+    } finally spark.conf.set(key, prev)
   }
 
   /** Run a finite streaming query into a memory sink and return the
@@ -238,7 +275,9 @@ object EventStreams {
     */
   private def drain(df: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"graft_stream_${qid.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    val q = withDrainConf(df.sparkSession) {
+      df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    }
     try q.processAllAvailable() finally q.stop()
     df.sparkSession.table(name)
   }

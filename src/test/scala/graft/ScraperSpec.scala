@@ -113,6 +113,33 @@ class ScraperSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("game_id") === g2id).count() > 0L)
   }
 
+  test("scrapeSeasons surfaces fetch failures and leaves nothing pinned") {
+    val cacheDir = Files.createTempDirectory("graft_scrape_fail").toString
+    val flaky: String => String = u => {
+      val nid = BBRefParse.nameIdOf(u)
+      if (nid.contains("schedule")) schedule(Game1, Game2)
+      else if (nid == Game2) sys.error("HTTP 503")
+      else serveFixture(nid)
+    }
+    var warned = List.empty[String]
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val tables = Scraper.scrapeSeasons(spark, Seq(2020),
+      () => new PageRetriever(cacheDir, flaky, 0L), None, None, m => warned ::= m)
+    // the parse cache and every id-mapping pin were released: the tables
+    // live in the spool, not in executor storage
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"scrapeSeasons leaked pinned RDDs: $leaked")
+    // the flaky page is in the returned ledger AND was warned about —
+    // never silently dropped from the season
+    val fails = tables("fetch_failures").collect()
+    assert(fails.map(_.getString(0)).toSeq == Seq(Game2))
+    assert(warned.exists(m => m.contains(Game2) && m.contains("503")))
+    assert(warned.exists(_.contains("1 page(s) failed")))
+    // the healthy game still scraped in full
+    assert(tables("game").count() == 1L)
+    assert(tables("play").count() > 50L)
+  }
+
   test("entry contract: years outside the reference bounds are rejected") {
     val mk = () => new PageRetriever("/nonexistent", _ => "<html></html>", 0L)
     intercept[IllegalArgumentException] {
