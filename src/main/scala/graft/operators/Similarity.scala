@@ -53,16 +53,18 @@ object Similarity {
 
   /** IVF-style ANN: partition the corpus into `nCentroids` Voronoi cells
     * around deterministically-sampled centroid vectors (the corpus rows
-    * with the smallest id hash — stateless, reproducible on every
-    * executor); each query probes its `nProbe` nearest cells and reranks
-    * members by exact cosine. The cell id is the shuffle/join key, so
-    * per-query work is bounded by nProbe/nCentroids of the corpus.
+    * with the smallest md5(id) — stateless, reproducible on every
+    * executor, and engine-portable so the assignment is oracle-checkable
+    * in any SQL engine); each query probes its `nProbe` nearest cells and
+    * reranks members by exact cosine. The cell id is the shuffle/join
+    * key, so per-query work is bounded by nProbe/nCentroids of the
+    * corpus.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
     val cents = corpus
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .orderBy(xxhash64(col("cid")), col("cid"))
+      .orderBy(md5(col("cid").cast("string")), col("cid"))
       .limit(nCentroids)
 
     // nearest-cell assignment: broadcast the centroids, keep argmax-cosine

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExpressions
+import graft.functions.{HashExpressions, HashKernels}
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 
@@ -152,6 +152,60 @@ object DocumentSuite {
   private def hits(langWords: Seq[String]) =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${langWords.map(w => s"'$w'").mkString(", ")})))"
 
+  // --- shared DuckDB arithmetic for the embedding oracles -----------------
+  // Same left-to-right double fold as Similarity.cosineSql /
+  // HashKernels.cosineF, so cosines are bit-identical across engines.
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (a, b) -> a + b)"
+  private def cosSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Testdata embeddings are 64-dimensional; the plane literals below are
+    * emitted for exactly this width (list_zip truncates to the shorter
+    * list, so a narrower vector would silently use a plane prefix — keep
+    * in sync with the generator).
+    */
+  private val EmbDim = 64
+
+  /** The random-hyperplane components of LSH tables `0 until tables` as a
+    * literal DuckDB relation. The planes are a pure function of their
+    * indices ([[HashKernels.planeComponent]]) — embedding their values in
+    * the oracle is the same move as embedding the stopword lists in the
+    * t1/t2 oracles: operator constants, not query results. Each component
+    * is k/1000 for an integer k, so the decimal literal parses to the
+    * bit-identical double on any IEEE engine.
+    */
+  private def planesCte(tables: Int, planes: Int): String = {
+    val rows = for { t <- 0 until tables; p <- 0 until planes } yield {
+      val w = (0 until EmbDim).map(j => HashKernels.planeComponent(t, p, j)).mkString(", ")
+      s"($t, $p, [$w]::DOUBLE[])"
+    }
+    s"planes(tbl, p, w) AS (SELECT * FROM (VALUES ${rows.mkString(", ")}))"
+  }
+
+  /** CTE chain `e` (id, double vector) + `sigs` (id, tbl, bucket): the
+    * sign-bit bucket of every vector under every LSH table — the DuckDB
+    * twin of [[HashKernels.hyperplaneSig]] (dot >= 0 sets bit p).
+    */
+  private def lshSigsCte(tables: Int, planes: Int): String =
+    s"""${planesCte(tables, planes)},
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sigs AS (
+       |  SELECT id, tbl,
+       |    CAST(SUM(CASE WHEN ${dotSql("e.v", "pl.w")} >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+       |  FROM e, planes pl GROUP BY id, tbl)""".stripMargin
+
+  /** Voronoi-cell assignment for the a3 oracle: per vector, the `keep`
+    * nearest of the md5-sampled centroids by exact cosine (ties to the
+    * smaller centroid id — the same ordering [[Similarity.ivfTopK]]
+    * uses).
+    */
+  private def ivfAssignCte(filter: String, keep: Int, idAs: String, vecAs: String): String =
+    s"""(SELECT id AS $idAs, v AS $vecAs, cid FROM (
+       |    SELECT e.id, e.v, ce.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY ${cosSql("e.v", "ce.cw")} DESC, ce.cid) AS r
+       |    FROM e, cents ce $filter) WHERE r <= $keep)""".stripMargin
+
   /** Shared DuckDB CTE chain: 3-gram shingles -> inverted-index pair
     * counts -> Jaccard >= 0.5 pairs (used by the d2 and d6 oracles).
     */
@@ -244,6 +298,45 @@ object DocumentSuite {
         |SELECT query_id, neighbor_id, cos,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
         |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "a2_ann_lsh" ->
+      s"""WITH ${lshSigsCte(tables = 8, planes = 4)},
+         |cand AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+         |  FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.id <> c.id
+         |  WHERE q.id < 10),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ROUND(${cosSql("a.v", "b.v")}, 6) AS cos
+         |  FROM cand JOIN e a ON a.id = query_id JOIN e b ON b.id = neighbor_id)
+         |SELECT query_id, neighbor_id, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "a3_ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cw FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cassign AS ${ivfAssignCte("", keep = 1, "neighbor_id", "cv2")},
+         |qassign AS ${ivfAssignCte("WHERE e.id < 10", keep = 4, "query_id", "qv")},
+         |scored AS (
+         |  SELECT qa.query_id, ca.neighbor_id, ROUND(${cosSql("qa.qv", "ca.cv2")}, 6) AS cos
+         |  FROM cassign ca JOIN qassign qa USING (cid)
+         |  WHERE qa.query_id <> ca.neighbor_id)
+         |SELECT query_id, neighbor_id, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "d5_dedup_embedding" ->
+      s"""WITH ${lshSigsCte(tables = 8, planes = 4)},
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id),
+         |scored AS (
+         |  SELECT id_a, id_b, ${cosSql("a.v", "b.v")} AS cos
+         |  FROM cand JOIN e a ON a.id = id_a JOIN e b ON b.id = id_b)
+         |SELECT id_a, id_b, ROUND(cos, 6) AS cos
+         |FROM scored WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "m4_resize_plan" ->
       """WITH meta AS (
