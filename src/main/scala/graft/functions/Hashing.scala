@@ -60,6 +60,14 @@ object HashKernels {
   private[this] lazy val coefB: Array[Long] =
     Array.tabulate(maxK)(i => mod61(fnv1a64String(s"graft-minhash-b-$i")))
 
+  /** The permutation coefficients, publicly readable: they are operator
+    * CONSTANTS (pure FNV derivations of their index), and an external
+    * oracle recomputing the signature needs their values — the same way
+    * the text oracles embed the stopword lists.
+    */
+  def minhashA(j: Int): Long = coefA(j)
+  def minhashB(j: Int): Long = coefB(j)
+
   /** k-permutation MinHash signature of a string set: one pass over the
     * shingles, k running minima — no per-shingle shuffle, no O(n*k) rows.
     */

@@ -78,10 +78,14 @@ object Dedup {
         HashExpressions.minhash(expr(s"array_distinct(${gramsExpr(n)})"), k).as("sig"))
 
   /** MinHash + LSH banding near-dup pairs. Docs land in `bands` buckets
-    * keyed by (band index, hash of the band's signature rows); candidates
-    * are same-bucket pairs; the estimated Jaccard is the fraction of
+    * keyed by (band index, the band's signature rows); candidates are
+    * same-bucket pairs; the estimated Jaccard is the fraction of
     * matching signature components. Band key is the shuffle key — skew
-    * only if a bucket degenerates, which banding width controls.
+    * only if a bucket degenerates, which banding width controls. The key
+    * is the signature SLICE itself (`rows` longs), not an engine hash of
+    * it: textbook banding, a few extra key bytes on the shuffle, and the
+    * bucketing is reproducible by any engine (which is what lets the d3
+    * oracle recompute it in SQL).
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
@@ -89,7 +93,7 @@ object Dedup {
     val rows = k / bands
     val sigs = minhashSignatures(docs, idCol, textCol, n, k) // exchange-reused, not cached
     val banded = sigs.select(col("id"),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rows + 1, $rows))"))
           .as(Seq("band", "bh")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

@@ -74,15 +74,20 @@ object Multimodal {
   /** Frame sampling over decoded media: one row per sampled frame with a
     * deterministic frame fingerprint — the batch shape of a video
     * pipeline (decode → sample every k-th frame → per-frame features).
-    * The frame "content" is stubbed (hash of payload digest + index);
-    * the explode/partitioning plumbing is the real deliverable.
+    * The frame "content" is stubbed (a 60-bit md5 prefix over
+    * "doc:frame:WxH"); md5 rather than an engine-internal hash so the
+    * fingerprint is reproducible by any engine (the m3 oracle recomputes
+    * it in SQL). The explode/partitioning plumbing is the real
+    * deliverable.
     */
   def sampleFrames(decoded: DataFrame, everyKth: Int): DataFrame =
     decoded
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyKth))))
       .withColumn("frame_fp",
-        abs(xxhash64(col("doc_id"), col("frame_idx"), col("width"), col("height"))))
+        conv(substring(md5(concat_ws(":",
+          col("doc_id"), col("frame_idx"), col("width"), col("height")).cast("binary")),
+          1, 15), 16, 10).cast("long"))
       .select("doc_id", "frame_idx", "frame_fp")
 
   /** Batched feature extraction over (id, payload) rows. `mapPartitions`

@@ -10,10 +10,16 @@ import graft.sources.Tables
 /** §2.3 training-data pipeline operators over `documents` / `embeddings`:
   * text analysis (t*), dedup (d*), ANN (a*), multimodal plumbing (m*).
   *
-  * SQL-expressible operators carry a DuckDB oracle with the exact same
-  * arithmetic (same fold order for doubles, same tie-breaks); signature-
-  * based operators (minhash/simhash/LSH/fingerprint) are rows-only here
-  * and property-tested in ScalaTest against exact ground truth.
+  * EVERY operator in this suite carries a DuckDB oracle with the exact
+  * same arithmetic — same fold order for doubles, same tie-breaks, and
+  * for the signature operators (minhash/simhash/hyperplane LSH/
+  * fingerprint) the hash kernels themselves recomputed in SQL: FNV-1a
+  * and the Mersenne-61 modular algebra run as HUGEINT folds, and the
+  * operator constants (permutation coefficients, hyperplane components,
+  * Rabin–Karp window weights) are embedded as literal relations the way
+  * the t1/t2 oracles embed their stopword lists. The ScalaTest property
+  * specs against exact ground truth remain as a second, independent
+  * check.
   */
 object DocumentSuite {
   type Q = (SparkSession, String) => DataFrame
@@ -195,6 +201,48 @@ object DocumentSuite {
        |    CAST(SUM(CASE WHEN ${dotSql("e.v", "pl.w")} >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
        |  FROM e, planes pl GROUP BY id, tbl)""".stripMargin
 
+  // --- FNV-1a-in-SQL machinery for the signature oracles ------------------
+  // DuckDB's BIGINT arithmetic is overflow-checked, so the wrapping
+  // 64-bit FNV multiply runs in HUGEINT (128-bit) with an explicit
+  // mod 2^64; products stay under 2^104. The documents table is pure
+  // ASCII by construction (byte_len == char length — asserted by the m1
+  // oracle), so unicode(char) IS the UTF-8 byte.
+
+  private val M61 = "2305843009213693951" // 2^61 - 1, the MinHash modulus
+
+  /** FNV-1a 64 of an ASCII string expression as an unsigned HUGEINT —
+    * byte-exact twin of [[HashKernels.fnv1a64String]].
+    */
+  private def fnvSql(col: String): String =
+    s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+       |    list_transform(range(1, length($col)+1), i ->
+       |      CAST(unicode(substr($col, CAST(i AS INT), 1)) AS HUGEINT))),
+       |  (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** The MinHash permutation coefficients as a literal relation —
+    * operator constants ([[HashKernels.minhashA]]/[[HashKernels.minhashB]]),
+    * embedded exactly like the stopword lists and hyperplane components.
+    */
+  private def minhashCoefCte(k: Int): String =
+    "coef(j, ca, cb) AS (SELECT * FROM (VALUES " +
+      (0 until k).map(j =>
+        s"($j, ${HashKernels.minhashA(j)}::HUGEINT, ${HashKernels.minhashB(j)}::HUGEINT)")
+        .mkString(", ") + "))"
+
+  /** The stub decoder's dimension arithmetic over the document payload —
+    * the DuckDB twin of [[Multimodal.StubDecoder.decode]] (FNV of the
+    * payload bytes, then bit-field extraction), shared by m2 and m3.
+    */
+  private def decodedDimsCte: String =
+    s"""fh AS (SELECT doc_id, ${fnvSql("text")} AS u FROM documents),
+       |dec AS (
+       |  SELECT doc_id,
+       |    CAST(64 + u % 1024 AS INT) AS width,
+       |    CAST(64 + (u // 2048) % 1024 AS INT) AS height,
+       |    CAST(1 + (u // 4194304) % 16 AS INT) AS n_frames,
+       |    CAST((u // 67108864) % 256 AS DOUBLE) / 255.0 AS mean_luma
+       |  FROM fh)""".stripMargin
+
   /** Voronoi-cell assignment for the a3 oracle: per vector, the `keep`
     * nearest of the md5-sampled centroids by exact cosine (ties to the
     * smaller centroid id — the same ordering [[Similarity.ivfTopK]]
@@ -298,6 +346,95 @@ object DocumentSuite {
         |SELECT query_id, neighbor_id, cos,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
         |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "t4_fingerprint" -> {
+      // 257^15 .. 257^0 mod 2^61-1: the Rabin–Karp window weights
+      val pows = Iterator.iterate(1L)(p => HashKernels.mulMod61(p, 257L))
+        .take(16).toSeq.reverse
+      val powsLit = pows.map(p => s"$p::HUGEINT").mkString(", ")
+      s"""WITH b AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |    list_transform(range(1, length(text)+1), i ->
+         |      CAST(unicode(substr(text, CAST(i AS INT), 1)) AS HUGEINT)) AS bl
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE
+         |    WHEN n = 0 THEN 0
+         |    WHEN n <= 16 THEN CAST((${fnvSql("text")}) % $M61::HUGEINT AS BIGINT)
+         |    ELSE CAST(list_min(list_transform(range(0, n - 16 + 1), i ->
+         |      list_reduce(list_transform(range(0, 16), j ->
+         |        bl[CAST(i + j + 1 AS INT)] * ([$powsLit])[CAST(j + 1 AS INT)]),
+         |        (a, c) -> a + c) % $M61::HUGEINT)) AS BIGINT)
+         |  END AS fp
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "d3_dedup_minhash_lsh" ->
+      s"""WITH ${minhashCoefCte(64)},
+         |toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+         |hs AS (SELECT doc_id, (${fnvSql("s")}) % $M61::HUGEINT AS h FROM sh),
+         |sigj AS (
+         |  SELECT doc_id, j, MIN(((ca * h) % $M61::HUGEINT + cb) % $M61::HUGEINT) AS sj
+         |  FROM hs, coef GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id AS id, list(CAST(sj AS BIGINT) ORDER BY j) AS sig
+         |        FROM sigj GROUP BY doc_id),
+         |banded AS (
+         |  SELECT id, sig, b, sig[4*b+1 : 4*b+4] AS bh
+         |  FROM sig, UNNEST(range(0, 16)) AS u2(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.id < b.id),
+         |est AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE) / 64 AS ej
+         |  FROM cand)
+         |SELECT id_a, id_b, ROUND(ej, 4) AS est_jaccard
+         |FROM est WHERE ej >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "d4_dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${fnvSql("t.tok")} AS th
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)),
+         |votes AS (
+         |  SELECT doc_id, j,
+         |    SUM(CASE WHEN (th // (1::HUGEINT << CAST(j AS INT))) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM tok, UNNEST(range(0, 64)) AS u(j)
+         |  GROUP BY doc_id, j),
+         |usig AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN v > 0 THEN (1::HUGEINT << CAST(j AS INT)) ELSE 0::HUGEINT END) AS u
+         |  FROM votes GROUP BY doc_id),
+         |sig AS (
+         |  SELECT doc_id AS id, u,
+         |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+         |              THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS s
+         |  FROM usig),
+         |blocked AS (
+         |  SELECT id, s, b, (u // (1::HUGEINT << CAST(16 * b AS INT))) % 65536 AS bv
+         |  FROM sig, UNNEST(range(0, 4)) AS u2(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+         |  FROM blocked a JOIN blocked b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    "m2_multimodal_batch" ->
+      s"""WITH $decodedDimsCte
+         |SELECT doc_id, width, height, n_frames, mean_luma
+         |FROM dec ORDER BY doc_id""".stripMargin,
+
+    "m3_frame_sample" ->
+      s"""WITH $decodedDimsCte
+         |SELECT doc_id, CAST(f.frame_idx AS INT) AS frame_idx,
+         |  ('0x' || substr(md5(doc_id || ':' || f.frame_idx || ':' || width || ':' || height),
+         |    1, 15))::BIGINT AS frame_fp
+         |FROM dec, UNNEST(range(0, n_frames, 4)) AS f(frame_idx)
+         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "a2_ann_lsh" ->
       s"""WITH ${lshSigsCte(tables = 8, planes = 4)},
