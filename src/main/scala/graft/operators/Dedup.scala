@@ -69,6 +69,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Benchmark decontamination — the training-data hygiene step every
+    * large pretraining pipeline runs (the GPT-3/Gopher-style n-gram
+    * collision check, reported in their public appendices): a corpus
+    * document is contaminated when it shares any word `n`-gram with an
+    * evaluation/benchmark document. Returns one row per contaminated doc
+    * with the count of distinct shared n-grams (callers drop or audit).
+    *
+    * Scale posture: the benchmark side is an EVAL SET — thousands of
+    * documents, not billions — so its distinct gram set is broadcast and
+    * the 100 TB corpus side streams through the probe without a shuffle;
+    * the only exchange is the final per-doc count. A corpus-sized
+    * benchmark would flip this into the d2 inverted-index join instead.
+    */
+  def benchmarkContamination(docs: DataFrame, bench: DataFrame, idCol: String,
+                             textCol: String, n: Int): DataFrame = {
+    val dg = shingles(docs, idCol, textCol, n)
+    val bg = shingles(bench, idCol, textCol, n).select(col("s")).distinct()
+    dg.join(broadcast(bg), Seq("s")) // dg is distinct (id, gram): count = distinct shared
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** MinHash signatures: (id, sig array<long>[k]) — one codegen pass/doc. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame =

@@ -65,6 +65,27 @@ object TextAnalysis {
     df.withColumn("__sr", row_number().over(w)).filter(col("__sr") <= quota).drop("__sr")
   }
 
+  /** Within-document n-gram repetition (the Gopher/C4 family of
+    * repetition quality rules): the fraction of a document's word
+    * n-grams that are repeats of an earlier n-gram —
+    * `1 - distinct/total`. High values flag boilerplate, keyword
+    * stuffing and degenerate generations that near-dup detection across
+    * documents never sees. One scan, no shuffle, all codegen'd
+    * collection functions, so at 100 TB it rides the document read like
+    * the other t* scores.
+    */
+  def repetitionScore(tokens: Column, n: Int): (Column, Column, Column) = {
+    val grams = transform(sequence(lit(0), size(tokens) - n),
+      i => concat_ws(" ", slice(tokens, i + 1, lit(n))))
+    val total = greatest(size(tokens) - (n - 1), lit(0)).cast("long")
+    val distinct = when(size(tokens) < n, lit(0L))
+      .otherwise(size(array_distinct(grams)).cast("long"))
+    val rep = when(size(tokens) < n, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double")
+        / (size(tokens) - (n - 1)))
+    (total, distinct, rep)
+  }
+
   /** Deterministic document-quality score in [0,1]:
     * 0.3·min(tokens/100, 1) + 0.4·stopword-ratio + 0.3·(1 − punct-ratio).
     * Emitted unrounded: the double arithmetic is bit-identical to the

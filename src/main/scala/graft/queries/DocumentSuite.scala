@@ -63,6 +63,15 @@ object DocumentSuite {
         .orderBy("doc_id")
     }),
 
+    "t6_repetition_score" -> ((s, d) => {
+      val (total, distinct, rep) =
+        TextAnalysis.repetitionScore(TextAnalysis.wsTokens(col("text")), 3)
+      Tables.documents(s, d)
+        .select(col("doc_id"), total.as("n_grams"), distinct.as("n_distinct"),
+          rep.as("repetition"))
+        .orderBy("doc_id")
+    }),
+
     // --- dedup -------------------------------------------------------------
     "d1_dedup_exact" -> ((s, d) => {
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -99,6 +108,18 @@ object DocumentSuite {
       Dedup.embeddingDedupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         tables = 8, planes = 4, threshold = 0.4)
         .orderBy("id_a", "id_b")
+    }),
+
+    // a 10%-of-corpus stand-in plays the benchmark/eval set (the real
+    // pipeline reads a separate, small eval table); 8-gram collisions
+    // are the standard decontamination window
+    "d7_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.benchmarkContamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", 8)
+        .orderBy("doc_id")
     }),
 
     // --- similarity search -------------------------------------------------
@@ -316,6 +337,36 @@ object DocumentSuite {
     "d1_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "t6_repetition_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(GREATEST(len(t) - 2, 0) AS BIGINT) AS n_grams,
+        |    CASE WHEN len(t) < 3 THEN 0
+        |         ELSE CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS BIGINT) END AS n_distinct,
+        |    CASE WHEN len(t) < 3 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS DOUBLE)
+        |              / (len(t) - 2) END AS repetition
+        |  FROM toks)
+        |SELECT doc_id, n_grams, n_distinct, repetition FROM g ORDER BY doc_id""".stripMargin,
+
+    "d7_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS s
+        |  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+        |bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        |FROM g JOIN bench USING (s)
+        |WHERE g.doc_id % 10 <> 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
     "d2_dedup_ngram_jaccard" ->
       s"""WITH $NgramPairsCte

@@ -31,13 +31,16 @@ object ScrapeSuite {
     parsedCache.computeIfAbsent(s, s => Entities.parsedGames(pages(s)).cache())
 
   private val starCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Entities.StarBuild]()
   private def star(s: SparkSession) =
-    starCache.computeIfAbsent(s, s => Entities.starSchema(pages(s), parsed(s)))
+    starCache.computeIfAbsent(s,
+      s => Entities.starSchemaBuild(pages(s), parsed(s), Map.empty)).tables
 
-  /** Drop this session's memoized parse + star schema (test teardown). */
+  /** Drop this session's memoized parse + star schema (test teardown),
+    * releasing the build's pinned id mappings with it.
+    */
   def clear(s: SparkSession): Unit = {
-    starCache.remove(s)
+    Option(starCache.remove(s)).foreach(_.release())
     Option(parsedCache.remove(s)).foreach(_.unpersist())
   }
 

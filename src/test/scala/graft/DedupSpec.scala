@@ -62,6 +62,35 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((0L, 1L)))
   }
 
+  test("repetitionScore measures within-doc n-gram repetition") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "a b a b a b"),              // 4 3-grams, 2 distinct -> 0.5
+      (2L, "x y"),                      // shorter than the window -> zeros
+      (3L, "one two three four")        // all distinct -> 0.0
+    ).toDF("doc_id", "text")
+    val (total, dist, rep) = TextAnalysis.repetitionScore(
+      TextAnalysis.wsTokens(col("text")), 3)
+    val out = df.select(col("doc_id"), total.as("t"), dist.as("d"), rep.as("r"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 4L && out(0).getLong(2) == 2L && out(0).getDouble(3) == 0.5)
+    assert(out(1).getLong(1) == 0L && out(1).getLong(2) == 0L && out(1).getDouble(3) == 0.0)
+    assert(out(2).getDouble(3) == 0.0)
+  }
+
+  test("benchmarkContamination flags corpus docs sharing an 8-gram with the benchmark") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text") // 9 tokens -> two 8-grams
+    val corpus = Seq(
+      (1L, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+      (2L, "completely unrelated text with eight or more words in this row")
+    ).toDF("doc_id", "text")
+    val out = Dedup.benchmarkContamination(corpus, bench, "doc_id", "text", 8)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L)) // only the leaking doc
+    assert(out.head.getLong(1) == 2L) // both benchmark 8-grams collide
+  }
+
   test("dedupClusters computes transitive components with min-id labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (3L, 4L))
       .toDF("id_a", "id_b")
