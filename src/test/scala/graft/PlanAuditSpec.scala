@@ -78,6 +78,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("UDF"), "no Scala UDFs in the dedup hot path")
   }
 
+  test("t6: repetition score is a single scan, no joins or extra shuffles") {
+    val df = SparkEntry.queries("t6_repetition_score")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Join"))
+  }
+
+  test("d7: the benchmark gram set broadcasts — the corpus probe never shuffles") {
+    val df = SparkEntry.queries("d7_decontaminate")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("incremental-ingest anti-join broadcasts the existing-key side") {
     val incoming = graft.sources.Tables.lineitem(spark, sfDir)
     val existing = graft.sources.Tables.orders(spark, sfDir)
