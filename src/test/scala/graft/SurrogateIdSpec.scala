@@ -42,6 +42,19 @@ class SurrogateIdSpec extends SparkSpec {
     assert(ids == Map(("a", "x") -> 1L, ("a", "y") -> 2L, ("b", "w") -> 3L, ("b", "x") -> 4L))
   }
 
+  test("surrogateDimLarge pins only the returned mapping, released by unpersist") {
+    val li = Tables.lineitem(spark, sfDir)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ids = Relational.surrogateDimLarge(li, "l_orderkey", "ok_id", partitions = 8)
+    // the interim distinct-key persist was released inside the builder;
+    // what remains pinned is the materialized mapping the caller holds
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.size == 1, s"expected only the mapping pinned, got $during")
+    ids.unpersist(blocking = true)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "caller unpersist must release the mapping")
+  }
+
   test("alignedIds keeps stored ids and extends the sequence for new keys") {
     import spark.implicits._
     val stored = Seq(("mays", 7L), ("ruth", 3L)).toDF("name_id", "player_id")
