@@ -141,6 +141,29 @@ object EventStreams {
     drain(out.toDF(), OutputMode.Append())
   }
 
+  /** Sessionization with the BUILT-IN session window — the declarative
+    * twin of [[sessionize]]: `session_window(ts, gap)` makes Spark's own
+    * state store do the merging (no user state function at all), the
+    * watermark closes and evicts sessions, and append mode emits each
+    * session exactly once when the watermark passes its end. Prefer this
+    * shape when per-session output is (start, end, aggregates); drop to
+    * flatMapGroupsWithState (st2) only for semantics the built-in can't
+    * express (session counters, custom emit timing). A finite drain
+    * emits exactly the sessions whose end the final watermark passed —
+    * deterministic and SQL-expressible, so st7 is oracle-checked.
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("start_ms"),
+        unix_millis(col("w.end")).as("end_ms"),
+        col("n_events"))
+    drain(agg, OutputMode.Append())
+  }
+
   /** Stream-static join: the unbounded event stream joins a broadcast
     * static dimension (customer) with no stream-side state at all — the
     * canonical enrichment shape. Aggregated per segment so the finite
