@@ -31,6 +31,9 @@ object StreamingSuite {
     }),
     "st6_stream_upsert_sink" -> ((s, d) => {
       EventStreams.streamUpsertSink(s, d).orderBy("user_id")
+    }),
+    "st7_session_window" -> ((s, d) => {
+      EventStreams.sessionWindowAgg(s, d).orderBy("user_id", "start_ms")
     })
   )
 
@@ -86,6 +89,32 @@ object StreamingSuite {
          | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
          |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
          |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+
+    // Built-in session_window in append mode emits exactly the sessions
+    // whose END (last event + 30-min gap) the final watermark
+    // (max event ts - 2h) passed — unlike st2 there is no "closed by a
+    // later session" emission path; the state store holds a closed-but-
+    // unexpired session until the watermark reaches its end.
+    "st7_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |wm AS (SELECT MAX(ts_ms) - 7200000 AS w FROM e),
+        |flagged AS (
+        |  SELECT user_id, ts_ms,
+        |    CASE WHEN LAG(ts_ms) OVER win IS NULL THEN 1
+        |         WHEN ts_ms - LAG(ts_ms) OVER win > 1800000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_ms)),
+        |sess AS (
+        |  SELECT user_id, ts_ms,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, MIN(ts_ms) AS start_ms,
+        |    MAX(ts_ms) + 1800000 AS end_ms, COUNT(*) AS n_events
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, start_ms, end_ms, n_events
+        |FROM agg, wm WHERE end_ms < w
+        |ORDER BY user_id, start_ms""".stripMargin,
 
     // the sink receives every micro-batch twice; equality with the
     // plain distinct count is the exactly-once guarantee under test

@@ -288,7 +288,12 @@ object EventStreams {
     spark.conf.set(key, "8")
     try {
       val q = start
-      q.processAllAvailable() // finish the drain before restoring the conf
+      // finish the drain before restoring the conf; if the drain itself
+      // fails, stop the query before rethrowing — otherwise the caller's
+      // try/finally q.stop() (installed only after we return) never runs
+      // and the query + its state stores leak for the session's lifetime
+      try q.processAllAvailable()
+      catch { case e: Throwable => scala.util.Try(q.stop()); throw e }
       q
     } finally spark.conf.set(key, prev)
   }

@@ -52,6 +52,35 @@ class StreamingSpec extends SparkSpec {
       s"streamed=${streamed.length} batch=${batch.length}")
   }
 
+  test("st7: built-in session_window emits sessions whose end the watermark passed") {
+    val streamed = EventStreams.sessionWindowAgg(spark, sfDir)
+      .orderBy("user_id", "start_ms").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_ms"),
+        r.getAs[Long]("end_ms"), r.getAs[Long]("n_events")))
+    assert(streamed.nonEmpty)
+
+    // batch ground truth, mirroring the st7 DuckDB oracle: same 30-min
+    // gap sessionization; keep sessions whose END (last event + gap) is
+    // strictly below the final watermark (max event ts - 2h). No
+    // closed-by-later-session path here — the built-in operator holds a
+    // closed session in state until the watermark reaches its end.
+    val events = Tables.events(spark, sfDir)
+    val wm = events.agg(max(unix_millis(col("ts")))).head.getLong(0) - 7200000L
+    val batch = Relational.sessionize(events, col("user_id"), col("ts"), 1800000L)
+      .groupBy("user_id", "session_id")
+      .agg(min(unix_millis(col("ts"))).as("start_ms"),
+        (max(unix_millis(col("ts"))) + 1800000L).as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .filter(col("end_ms") < lit(wm))
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_ms"),
+        r.getAs[Long]("end_ms"), r.getAs[Long]("n_events")))
+
+    assert(streamed.toSet == batch.toSet,
+      s"streamed=${streamed.length} batch=${batch.length}")
+  }
+
   test("st5: streamed interval join equals the batch self-join") {
     val streamed = EventStreams.streamStreamJoin(spark, sfDir)
       .orderBy("user_id").collect()
