@@ -61,21 +61,33 @@ object BBRefParse {
   private val HandMatcher = """(?:Bats:|Throws:)\s*(\w+)""".r
 
   /** Name from the info `h1`, handedness ints from the Bats:/Throws: text.
-    * Returns None when the page is malformed (no h1 / no handedness).
+    * Returns Left with the malformation reason (no info block / no name /
+    * missing handedness) — the reference treats these as per-page parse
+    * errors to log and skip, never season aborts (nodes.py:41-47).
     */
-  def parsePlayer(nameId: String, html: String): Option[PlayerRow] = {
+  def parsePlayerE(nameId: String, html: String): Either[String, PlayerRow] = {
     val infoIdx = html.indexOf("id=\"info\"")
-    if (infoIdx < 0) return None
+    if (infoIdx < 0) return Left("player page: no info block")
     val seg = html.substring(infoIdx)
-    val name = Html.elements(seg, "h1").toSeq.headOption.map(h => Html.text(h._2).trim)
+    val name = Html.elements(seg, "h1").toSeq.headOption
+      .map(h => Html.text(h._2).trim).filter(_.nonEmpty)
     val hands = HandMatcher.findAllMatchIn(Html.text(seg.take(12000)))
       .map(_.group(1).toUpperCase(Locale.ROOT)).toList
-    for {
-      n <- name if n.nonEmpty
-      b <- hands.headOption.flatMap(Handedness.get)
-      t <- hands.drop(1).headOption.flatMap(Handedness.get)
-    } yield PlayerRow(nameId, n, b, t)
+    val bats = hands.headOption.flatMap(Handedness.get)
+    val thr = hands.drop(1).headOption.flatMap(Handedness.get)
+    (name, bats, thr) match {
+      case (Some(n), Some(b), Some(t)) => Right(PlayerRow(nameId, n, b, t))
+      case _ =>
+        val missing = Seq(
+          if (name.isEmpty) Some("name h1") else None,
+          if (bats.isEmpty) Some("Bats: handedness") else None,
+          if (thr.isEmpty) Some("Throws: handedness") else None).flatten
+        Left(s"player page: missing ${missing.mkString(", ")}")
+    }
   }
+
+  def parsePlayer(nameId: String, html: String): Option[PlayerRow] =
+    parsePlayerE(nameId, html).toOption
 
   // --- game page ------------------------------------------------------------
   final case class TeamInfo(name: String, abbreviation: String)
@@ -216,10 +228,20 @@ object BBRefParse {
       }.toSeq
   }
 
-  def parseGame(nameId: String, html: String): Option[ParsedGame] =
-    parseTeams(html).map { teams =>
-      ParsedGame(parseMeta(nameId, html, teams), parseRosters(html), parsePlays(html))
+  /** Parse a game page, or explain why it can't be: a page with no
+    * scorebox team links carries no play data — the reference's
+    * MissingPlayDataError, logged "missing play data, skipping"
+    * (nodes.py:43-47), never a season abort.
+    */
+  def parseGameE(nameId: String, html: String): Either[String, ParsedGame] =
+    parseTeams(html) match {
+      case Some(teams) =>
+        Right(ParsedGame(parseMeta(nameId, html, teams), parseRosters(html), parsePlays(html)))
+      case None => Left("game page: missing play data (no scorebox team links)")
     }
+
+  def parseGame(nameId: String, html: String): Option[ParsedGame] =
+    parseGameE(nameId, html).toOption
 
   // --- play transforms (bbref_pages.py:652-666) -----------------------------
   /** "t3"→4, "b3"→5: 0-indexed half innings. */

@@ -17,21 +17,57 @@ import graft.scrape.BBRefParse._
   */
 object Entities {
 
-  /** Parse all game pages once; reused by meta/roster/play extractors. */
-  def parsedGames(pages: DataFrame): Dataset[ParsedGame] = {
+  /** Per-page game parse outcome: exactly one of `err`/`game` is set.
+    * The attempt layer is what makes parse failures a LEDGER instead of a
+    * silent flatMap-away — the reference logs each fetched-but-malformed
+    * page ("missing play data, skipping", nodes.py:43-47) and so do we.
+    */
+  final case class GameAttempt(nameId: String, err: Option[String],
+                               game: Option[ParsedGame])
+
+  final case class PlayerAttempt(nameId: String, err: Option[String],
+                                 row: Option[PlayerRow])
+
+  /** Parse every game page once, keeping failures as first-class rows. */
+  def gameAttempts(pages: DataFrame): Dataset[GameAttempt] = {
     val spark = pages.sparkSession
     import spark.implicits._
     pages.filter(col("page_type") === "GamePage")
       .select("name_id", "html").as[(String, String)]
-      .flatMap { case (nid, html) => parseGame(nid, html) }
+      .map { case (nid, html) => parseGameE(nid, html) match {
+        case Right(g) => GameAttempt(nid, None, Some(g))
+        case Left(e)  => GameAttempt(nid, Some(e), None)
+      } }
+  }
+
+  def playerAttempts(pages: DataFrame): Dataset[PlayerAttempt] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.filter(col("page_type") === "PlayerPage")
+      .select("name_id", "html").as[(String, String)]
+      .map { case (nid, html) => parsePlayerE(nid, html) match {
+        case Right(r) => PlayerAttempt(nid, None, Some(r))
+        case Left(e)  => PlayerAttempt(nid, Some(e), None)
+      } }
+  }
+
+  /** Parse all game pages once; reused by meta/roster/play extractors. */
+  def parsedGames(pages: DataFrame): Dataset[ParsedGame] =
+    parsedOf(gameAttempts(pages))
+
+  /** Successful parses of an attempt set (share the cached attempts so
+    * the ledger and the star build parse each page exactly once).
+    */
+  def parsedOf(attempts: Dataset[GameAttempt]): Dataset[ParsedGame] = {
+    val spark = attempts.sparkSession
+    import spark.implicits._
+    attempts.flatMap(_.game)
   }
 
   def playerRows(pages: DataFrame): Dataset[PlayerRow] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.filter(col("page_type") === "PlayerPage")
-      .select("name_id", "html").as[(String, String)]
-      .flatMap { case (nid, html) => parsePlayer(nid, html) }
+    playerAttempts(pages).flatMap(_.row)
   }
 
   def gamesMeta(parsed: Dataset[ParsedGame]): DataFrame =
@@ -181,14 +217,24 @@ object Entities {
 
   /** [[starSchema]] with an explicit pin-lifecycle handle. */
   def starSchemaBuild(pages: DataFrame, parsed: Dataset[ParsedGame],
-                      existing: Map[String, DataFrame]): StarBuild = {
+                      existing: Map[String, DataFrame]): StarBuild =
+    starSchemaBuildWith(
+      playerRows(pages).toDF("name_id", "name", "bats", "throws"),
+      parsed, existing)
+
+  /** Core build over pre-parsed inputs: `playerAttrs` carries
+    * (name_id, name, bats, throws). Callers that already hold a cached
+    * player-attempt set (the Scraper's parse ledger) pass its successes
+    * here so player pages are parsed exactly once.
+    */
+  def starSchemaBuildWith(playerAttrs: DataFrame, parsed: Dataset[ParsedGame],
+                          existing: Map[String, DataFrame]): StarBuild = {
     val games = gamesMeta(parsed)
     val venues = alignedIds(games.select(col("venue").as("name")),
       Seq("name"), "venue_id", existing.get("venue"))
     val teams = alignedIds(
       games.select(col("awayTeam.*")).union(games.select(col("homeTeam.*"))),
       Seq("name", "abbreviation"), "team_id", existing.get("team"))
-    val playerAttrs = playerRows(pages).toDF("name_id", "name", "bats", "throws")
     val playerIds = alignedIds(playerAttrs, Seq("name_id"), "player_id",
       existing.get("player"))
     val playerDim = playerAttrs.join(broadcast(playerIds), Seq("name_id"))

@@ -76,8 +76,10 @@ object Scraper {
   def scheduleUrl(year: Int): String =
     s"${BBRefParse.BaseUrl}/leagues/MLB/$year-schedule.shtml"
 
-  /** Scrape seasons end-to-end; returns the star-schema tables plus the
-    * crawl's failure ledger under `"fetch_failures"` (name_id, err).
+  /** Scrape seasons end-to-end; returns the star-schema tables plus two
+    * failure ledgers, each (name_id, err): `"fetch_failures"` (pages the
+    * crawl could not retrieve) and `"parse_failures"` (pages retrieved
+    * fine whose HTML the parsers rejected).
     * When `jdbcUrl` is set, each table is also upserted idempotently.
     * Years are validated against the reference's bounds; the retriever's
     * crawl delay is the caller's business on this overload (tests inject
@@ -123,8 +125,33 @@ object Scraper {
             .select((NaturalKeys(table) :+ id).map(fcol): _*)
         }
     }
-    val parsed = Entities.parsedGames(pages).cache()
-    val build = Entities.starSchemaBuild(pages, parsed, existing)
+    // parse ledger (reference nodes.py:43-47 "missing play data,
+    // skipping"): a page that FETCHED fine but fails to parse must be
+    // reported, not silently flatMapped away — a season with one
+    // malformed boxscore should say so instead of quietly producing one
+    // fewer game. Attempts are cached so ledger + star build parse each
+    // page exactly once.
+    val gameAtt = Entities.gameAttempts(pages).cache()
+    val playerAtt = Entities.playerAttempts(pages).cache()
+    val parseFailDf = gameAtt.toDF().select("nameId", "err")
+      .unionByName(playerAtt.toDF().select("nameId", "err"))
+      .filter(fcol("err").isNotNull)
+      .select(fcol("nameId").as("name_id"), fcol("err"))
+    val parseFailed = parseFailDf.collect() // parse failures are few: reportable
+    parseFailed.foreach(r => warn(s"scrape: page ${r.getString(0)} fetched but " +
+      s"failed to parse and was skipped: ${r.getString(1)}"))
+    if (parseFailed.nonEmpty) warn(s"scrape: ${parseFailed.length} page(s) " +
+      "fetched but failed to parse; see the parse_failures ledger")
+    // materialized driver-side so the ledger survives the attempt-cache
+    // release below (it is small by the same argument as fetch_failures)
+    val parseFailures = spark.createDataFrame(
+      java.util.Arrays.asList(parseFailed: _*), parseFailDf.schema)
+    val parsed = Entities.parsedOf(gameAtt)
+    val build = Entities.starSchemaBuildWith(
+      playerAtt.toDF().filter(fcol("err").isNull)
+        .select(fcol("row.nameId").as("name_id"), fcol("row.name").as("name"),
+          fcol("row.bats").as("bats"), fcol("row.throwsHand").as("throws")),
+      parsed, existing)
     val spool = spoolDir.getOrElse(graft.sources.Spool.dir(spark, "scrape_tables"))
     val landed = build.tables.map { case (t, df) =>
       df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$spool/$t")
@@ -134,8 +161,9 @@ object Scraper {
       Sinks.jdbcUpsert(landed(table), url, table, NaturalKeys(table), 8, 1000)
     // tables are landed (and upserted): nothing needs the pins any more
     build.release()
-    parsed.unpersist(blocking = false)
-    landed + ("fetch_failures" -> failures)
+    gameAtt.unpersist(blocking = false)
+    playerAtt.unpersist(blocking = false)
+    landed + ("fetch_failures" -> failures) + ("parse_failures" -> parseFailures)
   }
 
   /** As above, with the reference's checked crawl-delay contract: builds

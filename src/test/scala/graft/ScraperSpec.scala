@@ -140,6 +140,33 @@ class ScraperSpec extends SparkSpec {
     assert(tables("play").count() > 50L)
   }
 
+  test("a fetched-but-malformed game page lands in the parse_failures ledger") {
+    val cacheDir = Files.createTempDirectory("graft_scrape_malformed").toString
+    // Game2's page FETCHES fine but carries no scorebox — the reference's
+    // MissingPlayDataError shape ("missing play data, skipping",
+    // nodes.py:43-47). It must be reported, not silently dropped.
+    val malformed: String => String = u => {
+      val nid = BBRefParse.nameIdOf(u)
+      if (nid.contains("schedule")) schedule(Game1, Game2)
+      else if (nid == Game2) "<html><body>no scorebox here</body></html>"
+      else serveFixture(nid)
+    }
+    var warned = List.empty[String]
+    val tables = Scraper.scrapeSeasons(spark, Seq(2020),
+      () => new PageRetriever(cacheDir, malformed, 0L), None, None, m => warned ::= m)
+    // the fetch succeeded, so the fetch ledger is clean...
+    assert(!tables("fetch_failures").collect().map(_.getString(0)).contains(Game2))
+    // ...but the parse ledger names the page with its reason
+    val pf = tables("parse_failures").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pf.exists { case (nid, err) =>
+      nid == Game2 && err.contains("missing play data") }, s"ledger: ${pf.toSeq}")
+    assert(warned.exists(m => m.contains(Game2) && m.contains("failed to parse")))
+    // the healthy game still scraped in full
+    assert(tables("game").count() == 1L)
+    assert(tables("play").count() > 50L)
+  }
+
   test("entry contract: years outside the reference bounds are rejected") {
     val mk = () => new PageRetriever("/nonexistent", _ => "<html></html>", 0L)
     intercept[IllegalArgumentException] {
