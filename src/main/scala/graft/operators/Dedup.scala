@@ -102,8 +102,8 @@ object Dedup {
   /** MinHash + LSH banding near-dup pairs. Docs land in `bands` buckets
     * keyed by (band index, the band's signature rows); candidates are
     * same-bucket pairs; the estimated Jaccard is the fraction of
-    * matching signature components. Band key is the shuffle key — skew
-    * only if a bucket degenerates, which banding width controls. The key
+    * matching signature components. Band key is the shuffle key; a
+    * degenerate band bucket is split 16 ways by the candidate salt. The key
     * is the signature SLICE itself (`rows` longs), not an engine hash of
     * it: textbook banding, a few extra key bytes on the shuffle, and the
     * bucketing is reproducible by any engine (which is what lets the d3
@@ -117,11 +117,7 @@ object Dedup {
     val banded = sigs.select(col("id"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rows + 1, $rows))"))
           .as(Seq("band", "bh")))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val cand = saltedSelfCandidates(banded, Seq("band", "bh"))
     cand.join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
       .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
       .withColumn("est_jaccard",
@@ -165,7 +161,21 @@ object Dedup {
         else updated.join(labels.withColumnRenamed("label", "old"), "id")
           .filter(col("label") =!= col("old")).limit(1).count()
       labels.unpersist()
-      labels = updated
+      // Cap the logical lineage: each round's plan nests the previous
+      // round's join+agg, so by round N a task failure recomputes an
+      // N-deep chain (and the plan itself grows). Every 5th round,
+      // truncate with an eager localCheckpoint — the checkpointed rows
+      // live on executors (lost with one, like any cached partition, and
+      // recomputed-from-nothing is no longer possible), which is the
+      // right trade for an iterative refinement whose rounds are cheap
+      // to re-enter from the last checkpoint but expensive to replay
+      // end-to-end through a deepening plan.
+      labels =
+        if ((iter + 1) % 5 == 0) {
+          val cp = updated.localCheckpoint() // eager: materializes now
+          updated.unpersist(blocking = false)
+          cp
+        } else updated
       converged = changed == 0
       iter += 1
     }
@@ -175,6 +185,30 @@ object Dedup {
     require(converged,
       s"dedupClusters did not converge in $maxIter rounds — raise maxIter (component diameter exceeds it)")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Salted candidate self-join shared by d3/d4/d5: same-bucket id pairs
+    * (`id_a < id_b`), with a degenerate bucket's quadratic pair space
+    * split across 16 salt keys instead of expanding inside ONE task —
+    * mass-duplicated boilerplate that survives the exact-dedup pre-pass
+    * by differing in one token is exactly the corpus that degenerates a
+    * bucket. Replicating the left side over 16 salts and routing the
+    * right side by id hash keeps the pair set IDENTICAL (each right row
+    * meets each left row under exactly one salt); only task granularity
+    * changes. `rel` must carry an `id` column; `bucketCols` are the
+    * bucket key. Rows are assumed narrow (id + bucket key) — callers
+    * join payloads back by id AFTER candidate generation.
+    */
+  private def saltedSelfCandidates(rel: DataFrame, bucketCols: Seq[String],
+                                   salts: Int = 16): DataFrame = {
+    val aSide = rel.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    val bSide = rel.withColumn("salt", pmod(xxhash64(col("id")), lit(salts)).cast("int"))
+    aSide.as("a").join(bSide.as("b"),
+        bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
+          .reduce(_ && _) && col("a.salt") === col("b.salt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 
   /** SimHash near-dup pairs: 64-bit signature, split into `blocks` bit
@@ -215,21 +249,23 @@ object Dedup {
     * independent bucketings of `planes` sign bits each; same-bucket pairs
     * in any table are candidates; exact cosine (double) verifies. Bucket
     * id is the shuffle key; per-bucket work is |bucket|², controlled by
-    * `planes`.
+    * `planes` and split 16 ways by the candidate salt.
     */
   def embeddingDedupPairs(embs: DataFrame, idCol: String, vecCol: String,
                           tables: Int, planes: Int, threshold: Double): DataFrame = {
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bucketed = base.select(col("id"), col("v"),
+    // candidates carry ids only: the salted join must not replicate the
+    // (wide) vector payload 16x — vectors re-join by id for the verify
+    val bucketed = base.select(col("id"),
       posexplode(array((0 until tables).map(t =>
         HashExpressions.hyperplaneSig(col("v"), t, planes)): _*)).as(Seq("tbl", "bucket")))
-    bucketed.as("a").join(bucketed.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        HashExpressions.cosine(col("a.v"), col("b.v")).as("cos"))
-      .filter(col("cos") >= threshold) // verify before distinct: losers dominate
-      .distinct()
+    val cand = saltedSelfCandidates(bucketed, Seq("tbl", "bucket"))
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        HashExpressions.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 }

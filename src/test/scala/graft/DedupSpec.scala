@@ -62,6 +62,42 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((0L, 1L)))
   }
 
+  test("degenerate corpus: 500 near-identical docs complete through the salted candidate joins") {
+    // mass-duplicated boilerplate differing in one token — survives an
+    // exact-dedup pre-pass, then every doc lands in the SAME LSH band /
+    // hyperplane bucket. Without the candidate salt the whole |bucket|^2
+    // pair space expands inside one task; with it the pair SET must be
+    // unchanged while the work is split 16 ways. 500 docs -> 124750
+    // pairs, a scaled-down model of the 100 TB boilerplate cluster.
+    // ~80 shared tokens with ONE differing token: only 3 of ~80 shingles
+    // differ, so every pair shares a band with probability ~1-1e-8 (the
+    // candidate-recall assertion below is deterministic given the fixed
+    // minhash seeds, and the margin makes it robust to reseeding)
+    val nDocs = 500
+    val boiler = Seq(
+      "terms of service apply to every user of this website all rights",
+      "reserved by the operator and its affiliates worldwide including any",
+      "subsidiary agent or assign hereof the materials on this site are",
+      "provided as is without warranty of any kind either express or",
+      "implied including but not limited to fitness for a particular purpose")
+      .mkString(" ")
+    val degenerate = (0L until nDocs.toLong)
+      .map(i => (i, s"$boiler account identifier number $i"))
+      .toDF("doc_id", "text")
+    val lsh = Dedup.minhashLshPairs(degenerate, "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.2)
+    assert(lsh.count() == nDocs.toLong * (nDocs - 1) / 2)
+
+    val vecs = (0L until nDocs.toLong)
+      .map(i => (i, Array(1.0f, 1e-6f * i, 0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val emb = Dedup.embeddingDedupPairs(vecs, "vec_id", "embedding",
+      tables = 4, planes = 4, threshold = 0.999)
+    // every vector is near-parallel: all pairs bucket together and all
+    // verify above threshold
+    assert(emb.count() == nDocs.toLong * (nDocs - 1) / 2)
+  }
+
   test("repetitionScore measures within-doc n-gram repetition") {
     import graft.operators.TextAnalysis
     val df = Seq(
@@ -98,6 +134,23 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("dedupClusters: deep component chains converge with bounded lineage") {
+    // a 12-hop path needs 12 label-propagation rounds (min label moves
+    // one hop per round) — past two checkpoint intervals, so the result's
+    // physical lineage must hang off the round-10 localCheckpoint, not
+    // replay all 12 rounds of join+agg
+    val path = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(path, maxIter = 20)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 12L).map(_ -> 0L).toMap)
+    // a round contributes ~15 RDD nodes; the checkpoint interval caps the
+    // chain at <=4 rounds past the last checkpoint (~60 observed) where
+    // the full 13-round replay would be ~200
+    val depth = out.rdd.toDebugString.linesIterator.size
+    assert(depth < 120,
+      s"result lineage spans $depth RDDs — checkpointing is not truncating it:\n${out.rdd.toDebugString}")
   }
 
   test("frame sampling emits every k-th frame per decoded doc") {
