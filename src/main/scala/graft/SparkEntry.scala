@@ -23,5 +23,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalSuite.oracles ++ DocumentSuite.oracles ++ StreamingSuite.oracles
+    RelationalSuite.oracles ++ DocumentSuite.oracles ++ ScrapeSuite.oracles ++
+      StreamingSuite.oracles
 }

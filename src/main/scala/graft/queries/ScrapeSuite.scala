@@ -10,9 +10,11 @@ import graft.sources.HtmlSource
   *
   * Inputs are the reference's own test fixtures (read-only); the sfDir
   * argument is unused because these operators consume HTML, not the
-  * TPC-H-ish tables. All rows-only (HTML extraction is not expressible
-  * in DuckDB SQL); ground truth lives in ScrapeSpec, checked against
-  * values read directly from the fixture pages.
+  * TPC-H-ish tables. s1–s5/s8 are rows-only (HTML extraction is not
+  * expressible in DuckDB SQL) with ground truth in ScrapeSpec, checked
+  * against values read directly from the fixture pages; s6/s7 operate on
+  * the BUILT star schema, which IS relational — they land it as parquet
+  * and carry DuckDB oracles over the landed tables (see [[oracles]]).
   */
 object ScrapeSuite {
   type Q = (SparkSession, String) => DataFrame
@@ -36,10 +38,33 @@ object ScrapeSuite {
     starCache.computeIfAbsent(s,
       s => Entities.starSchemaBuild(pages(s), parsed(s), Map.empty)).tables
 
+  /** Where s6/s7 land the built star schema so DuckDB can hash-check
+    * them: the star build's OUTPUT is plain relational data even though
+    * its INPUT is HTML DuckDB can't read, so landing it as parquet turns
+    * s6 (table counts) and s7 (player stats) from rows-only into
+    * oracle-checked queries — the oracle SQL `read_parquet`s these files
+    * directly. A fixed driver-local path is correct here: this is a
+    * single-JVM verification artifact, not a production sink (those go
+    * through [[graft.sources.Spool]], which refuses non-cluster-visible
+    * paths on real masters).
+    */
+  val StarOracleDir: String =
+    s"${sys.props("java.io.tmpdir")}/graft_star_oracle"
+
+  private val landedCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
+  private def landedStar(s: SparkSession): Map[String, DataFrame] =
+    landedCache.computeIfAbsent(s, s => star(s).map { case (name, df) =>
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$StarOracleDir/$name.parquet")
+      name -> s.read.parquet(s"$StarOracleDir/$name.parquet")
+    })
+
   /** Drop this session's memoized parse + star schema (test teardown),
     * releasing the build's pinned id mappings with it.
     */
   def clear(s: SparkSession): Unit = {
+    landedCache.remove(s)
     Option(starCache.remove(s)).foreach(_.release())
     Option(parsedCache.remove(s)).foreach(_.unpersist())
   }
@@ -78,7 +103,7 @@ object ScrapeSuite {
 
     "s6_star_schema_build" -> ((s, _) => {
       import s.implicits._
-      val tables = star(s)
+      val tables = landedStar(s)
       tables.toSeq.sortBy(_._1)
         .map { case (name, df) => (name, df.count()) }
         .toDF("table_name", "n_rows")
@@ -98,7 +123,7 @@ object ScrapeSuite {
     // plate appearances, games and strikeout-ish outcomes per player,
     // joined through the built star schema with broadcast dims
     "s7_player_stats" -> ((s, _) => {
-      val t = star(s)
+      val t = landedStar(s)
       t("play")
         .join(broadcast(t("player")),
           col("batter_id") === col("player_id"))
@@ -111,5 +136,30 @@ object ScrapeSuite {
           sum(when(lower(col("desc")).startsWith("home run"), 1L).otherwise(0L)).as("home_runs"))
         .orderBy("player_id")
     })
+  )
+
+  private def starGlob(t: String) = s"'$StarOracleDir/$t.parquet/*.parquet'"
+
+  /** s1–s5/s8 stay rows-only (their input is HTML, which DuckDB cannot
+    * read), but s6/s7 consume the BUILT schema — relational data the
+    * query functions land at [[StarOracleDir]] — so DuckDB recomputes
+    * them from the landed parquet and hash-checks the results.
+    */
+  val oracles: Map[String, String] = Map(
+    "s6_star_schema_build" ->
+      Seq("game", "play", "player", "team", "venue").map(t =>
+        s"SELECT '$t' AS table_name, COUNT(*)::BIGINT AS n_rows FROM read_parquet(${starGlob(t)})")
+        .mkString("", "\nUNION ALL ", "\nORDER BY table_name"),
+
+    "s7_player_stats" ->
+      s"""SELECT pl.player_id, pl.name,
+         |  COUNT(*)::BIGINT AS plate_appearances,
+         |  COUNT(DISTINCT p.game_id)::BIGINT AS games,
+         |  CAST(SUM(CASE WHEN lower(p."desc") LIKE '%strikeout%' THEN 1 ELSE 0 END) AS BIGINT) AS strikeouts,
+         |  CAST(SUM(CASE WHEN lower(p."desc") LIKE 'single%' THEN 1 ELSE 0 END) AS BIGINT) AS singles,
+         |  CAST(SUM(CASE WHEN lower(p."desc") LIKE 'home run%' THEN 1 ELSE 0 END) AS BIGINT) AS home_runs
+         |FROM read_parquet(${starGlob("play")}) p
+         |JOIN read_parquet(${starGlob("player")}) pl ON p.batter_id = pl.player_id
+         |GROUP BY pl.player_id, pl.name ORDER BY pl.player_id""".stripMargin
   )
 }
