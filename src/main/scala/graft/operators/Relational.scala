@@ -54,6 +54,24 @@ object Relational {
     * caller-owned contract as the two-arg starSchema's parsed dataset.
     * This builder is therefore eager (both passes run at call time),
     * which fits its role as a one-shot dimension materialization step.
+    *
+    * Executor-loss caveat: once the interim pin is released, a lost
+    * partition of the returned MEMORY_AND_DISK mapping recomputes
+    * through the unpinned distinct/shuffle lineage. That recompute is
+    * value-deterministic HERE — and only because of two properties this
+    * method maintains on purpose: (1) the rows are DISTINCT on the full
+    * sort key, so the within-partition sort is a total order with no
+    * ties for a nondeterministic shuffle-fetch order to break, and
+    * (2) `zipWithIndex` fixes its per-partition offsets (and the range
+    * partitioner its boundaries) when the RDD is created, not per
+    * recompute. A variant that sorted on a key prefix, or skipped the
+    * distinct, would regenerate DIFFERENT ids on recompute and corrupt
+    * every fact row already joined against the lost partition's old ids
+    * — such a variant must write the mapping to cluster storage (a
+    * [[graft.sources.Spool]] path, as Scraper does with its landed
+    * tables) instead of relying on persist. `localCheckpoint` is NOT the
+    * hardening here: it trades a deterministic recompute for outright
+    * data loss on executor failure.
     */
   def surrogateDimLarge(df: DataFrame, naturalKey: String, idName: String,
                         partitions: Int = 200): DataFrame =

@@ -105,14 +105,20 @@ object Sinks {
   def jdbcUpsert(df: DataFrame, url: String, table: String, keys: Seq[String],
                  numPartitions: Int, batchSize: Int): Unit = {
     val spark = df.sparkSession
+    // NULL-key audit: rides the write's own pass as an observed metric —
+    // a separate counting aggregation would recompute the batch once per
+    // upsert call (per MICRO-BATCH in the st6 streaming sink). When the
+    // schema says no key column is nullable, skip the audit plumbing
+    // entirely.
+    val keysNullable = keys.exists(k => df.schema(k).nullable)
     val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
-    val stats = df.agg(sum(when(anyKeyNull, 1L).otherwise(0L)).as("n_null")).head()
-    val nNull = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-    if (nNull > 0)
-      log.warn(s"jdbcUpsert($table): dropping $nNull row(s) whose natural key " +
-        s"(${keys.mkString(", ")}) contains NULL — un-upsertable rows would " +
-        "re-insert on every run")
-    val batch = df.filter(!anyKeyNull).dropDuplicates(keys)
+    val obs = new org.apache.spark.sql.Observation(s"graft_upsert_audit_$table")
+    val audited =
+      if (keysNullable)
+        df.observe(obs, sum(when(anyKeyNull, 1L).otherwise(0L)).as("n_null"))
+          .filter(!anyKeyNull)
+      else df
+    val batch = audited.dropDuplicates(keys)
     if (!tableExists(url, table))
       // String natural keys become VARCHAR, not the dialect's default
       // CLOB/TEXT: key columns must stay comparable (and indexable) for
@@ -124,6 +130,15 @@ object Sinks {
       val existing = existingKeysScan(spark, url, table, batch, keys)
       jdbc(notYetIngested(batch, existing, keys), url, table,
         SaveMode.Append, numPartitions, batchSize)
+    }
+    if (keysNullable) {
+      // the write (or the bounded-scan min/max pass) has consumed the
+      // observed plan, so this does not block; null means zero rows flowed
+      val nNull = obs.get.get("n_null").collect { case n: Long => n }.getOrElse(0L)
+      if (nNull > 0)
+        log.warn(s"jdbcUpsert($table): dropped $nNull row(s) whose natural key " +
+          s"(${keys.mkString(", ")}) contains NULL — un-upsertable rows would " +
+          "re-insert on every run")
     }
   }
 
