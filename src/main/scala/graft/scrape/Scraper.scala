@@ -169,12 +169,17 @@ object Scraper {
   /** As above, with the reference's checked crawl-delay contract: builds
     * the retriever itself from a cache dir + fetcher, rejecting negative
     * delays and warning below the politeness floor (scraper.py:35-44).
+    * `delayMs` is the GLOBAL budget (one request per `delayMs` across
+    * the whole crawl, like the reference's single process); each of the
+    * E per-partition retrievers is built with the derived `delayMs * E`
+    * ([[PageRetriever.derivedDelayMs]]) so running distributed never
+    * multiplies the aggregate request rate by the parallelism.
     */
   def scrapeSeasons(spark: SparkSession, years: Seq[Int], cacheDir: String,
                     fetch: String => String, delayMs: Long,
                     jdbcUrl: Option[String]): Map[String, DataFrame] = {
-    val checked = checkedDelayMs(delayMs)
+    val perRetriever = PageRetriever.derivedDelayMs(spark, checkedDelayMs(delayMs))
     scrapeSeasons(spark, years,
-      () => new PageRetriever(cacheDir, fetch, checked), jdbcUrl)
+      () => new PageRetriever(cacheDir, fetch, perRetriever), jdbcUrl)
   }
 }

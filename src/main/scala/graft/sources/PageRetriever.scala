@@ -15,6 +15,19 @@ object PageRetriever {
     */
   val DefaultCachable: String => Boolean =
     nameId => !nameId.toLowerCase.contains("schedule")
+
+  /** Per-retriever delay honoring a GLOBAL politeness budget: with one
+    * retriever per partition slot ([[HtmlSource.retrieve]] runs up to
+    * `defaultParallelism` concurrently), E retrievers each waiting
+    * `delayMs * E` keep the aggregate request rate at one per `delayMs`
+    * — the same budget the reference's single process honors. This is
+    * the default the entry point uses ([[graft.scrape.Scraper]]'s
+    * checked overload), so the polite path is what you get unless you
+    * deliberately construct retrievers yourself.
+    */
+  def derivedDelayMs(spark: org.apache.spark.sql.SparkSession,
+                     globalDelayMs: Long): Long =
+    globalDelayMs * math.max(1, spark.sparkContext.defaultParallelism)
 }
 
 /** Cache-first page retrieval with a crawl-delay rate limit on misses —

@@ -76,9 +76,11 @@ object EventStreams {
     *  - session_id is a per-state counter for oracle parity with the
     *    batch sessionize; after state eviction a RETURNING user restarts
     *    at session_id = 1, so (user_id, session_id) is only unique within
-    *    a state lifetime. For globally-unique ids on an unbounded stream,
-    *    key on (user_id, first_ts_ms) downstream — first_ts_ms is emitted
-    *    for exactly that purpose.
+    *    a state lifetime. The DURABLE primary key is (user_id,
+    *    first_ts_ms), emitted for exactly that purpose: the output
+    *    composes directly with [[graft.sources.Sinks.jdbcUpsert]] on that
+    *    key (re-drains and redeliveries are absorbed — proven in
+    *    StreamingSpec's st2-upsert case).
     *  - a straggler group whose session already expired when its next
     *    data arrives emits-and-removes immediately (watermark strictly
     *    past lastTs + gap, same strict compare as the timeout), so

@@ -117,6 +117,18 @@ class RetrieveIntegrationSpec extends SparkSpec {
     assert(Files.isRegularFile(Paths.get(dir, "WAS201710120.shtml")))
   }
 
+  test("derived per-retriever delay preserves the global politeness budget") {
+    // E parallel retrievers each waiting delay*E keep the aggregate rate
+    // at one request per delay — the polite default the checked Scraper
+    // entry point now applies instead of documenting as a footnote
+    val e = spark.sparkContext.defaultParallelism
+    assert(e > 1, "spec needs a parallel master to be meaningful")
+    assert(PageRetriever.derivedDelayMs(spark, 3000L) == 3000L * e)
+    // the budget survives the politeness check path end to end
+    assert(PageRetriever.derivedDelayMs(spark,
+      graft.scrape.Scraper.checkedDelayMs(5000L)) == 5000L * e)
+  }
+
   test("one throwing fetch yields a failure row, not a dead crawl") {
     val dir = Files.createTempDirectory("graft_cache_fail").toString
     val urls = Seq(

@@ -81,6 +81,31 @@ class StreamingSpec extends SparkSpec {
       s"streamed=${streamed.length} batch=${batch.length}")
   }
 
+  test("st2 sessions upsert idempotently on (user_id, first_ts_ms)") {
+    // the emitted (user_id, first_ts_ms) pair is the durable primary key
+    // (session_id restarts after state eviction, so it is only unique
+    // within a state lifetime): st2's output must compose with the st6
+    // sink — upsert, re-drain the same stream, upsert again, and the
+    // at-least-once redelivery is absorbed by the natural key
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_st2_upsert")
+    val url = s"jdbc:derby:$dbDir/sessdb;create=true"
+    try {
+      val first = EventStreams.sessionize(spark, sfDir)
+      val nSessions = first.count()
+      graft.sources.Sinks.jdbcUpsert(first, url, "sessions",
+        Seq("user_id", "first_ts_ms"), 8, 1000)
+      assert(graft.sources.Sinks.readJdbc(spark, url, "sessions").count() == nSessions)
+      val again = EventStreams.sessionize(spark, sfDir)
+      graft.sources.Sinks.jdbcUpsert(again, url, "sessions",
+        Seq("user_id", "first_ts_ms"), 8, 1000)
+      assert(graft.sources.Sinks.readJdbc(spark, url, "sessions").count() == nSessions)
+    } finally {
+      scala.util.Try(java.sql.DriverManager
+        .getConnection(s"jdbc:derby:$dbDir/sessdb;shutdown=true"))
+      graft.sources.Spool.deleteRecursively(dbDir)
+    }
+  }
+
   test("st5: streamed interval join equals the batch self-join") {
     val streamed = EventStreams.streamStreamJoin(spark, sfDir)
       .orderBy("user_id").collect()
