@@ -201,8 +201,18 @@ object Dedup {
     */
   private def saltedSelfCandidates(rel: DataFrame, bucketCols: Seq[String],
                                    salts: Int = 16): DataFrame = {
-    val aSide = rel.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
-    val bSide = rel.withColumn("salt", pmod(xxhash64(col("id")), lit(salts)).cast("int"))
+    // Prune singleton buckets BEFORE replicating: a bucket with one
+    // member can never produce a pair, and on a 100 TB corpus MOST
+    // buckets are singletons — exploding them over 16 salts just to
+    // join with nothing would multiply the dominant (empty) part of the
+    // shuffle by 16. The window count shuffles on the bucket key the
+    // self-join needed anyway.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketCols.map(col): _*)
+    val multi = rel.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") >= 2).drop("__n")
+    val aSide = multi.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    val bSide = multi.withColumn("salt", pmod(xxhash64(col("id")), lit(salts)).cast("int"))
     aSide.as("a").join(bSide.as("b"),
         bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
           .reduce(_ && _) && col("a.salt") === col("b.salt") &&

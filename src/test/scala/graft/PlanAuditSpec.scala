@@ -92,6 +92,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("d3/d5: salted candidate joins stay equi-joins and prune singleton buckets") {
+    Seq("d3_dedup_minhash_lsh", "d5_dedup_embedding").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.optimizedPlan.toString
+      // the salt + bucket key must remain hash-joinable — a salted join
+      // degrading to a nested-loop would quadratically scan every bucket
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"$name: salted join degenerated\n$plan")
+      // singleton-bucket pruning: the window count runs BEFORE the
+      // 16-way salt explode so empty buckets are never replicated (plans
+      // print top-down, so upstream window text appears AFTER the
+      // downstream Generate [salt#..] that consumes it)
+      val wIdx = plan.indexOf("windowspecdefinition")
+      val eIdx = plan.indexOf("[salt#")
+      assert(wIdx >= 0 && eIdx >= 0 && wIdx > eIdx,
+        s"$name: prune-window / salt-explode shape missing (window@$wIdx salt@$eIdx)")
+    }
+  }
+
   test("incremental-ingest anti-join broadcasts the existing-key side") {
     val incoming = graft.sources.Tables.lineitem(spark, sfDir)
     val existing = graft.sources.Tables.orders(spark, sfDir)
