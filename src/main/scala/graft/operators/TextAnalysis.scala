@@ -86,6 +86,54 @@ object TextAnalysis {
     (total, distinct, rep)
   }
 
+  /** PII patterns restricted to constructs that evaluate identically
+    * under Java regex (Spark codegen) and RE2 (the DuckDB oracle): plain
+    * character classes, bounded quantifiers and ASCII `\b` boundaries —
+    * no lookaround, no backreferences, no engine-specific classes. That
+    * restriction is what makes the scrub oracle-checkable; a production
+    * deployment extends the pattern set, not the mechanism.
+    */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Per-category PII hit counts over the RAW text (email, ipv4, phone). */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long"),
+      size(regexp_extract_all(text, lit(ipv4Re), lit(0))).cast("long"),
+      size(regexp_extract_all(text, lit(phoneRe), lit(0))).cast("long"))
+
+  /** Redacted text: categories replace in a FIXED order (email → ip →
+    * phone) so the result is deterministic — earlier replacements insert
+    * no digits, so later patterns can never match inside a placeholder.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      lit(emailRe), lit("<EMAIL>")),
+      lit(ipv4Re), lit("<IP>")),
+      lit(phoneRe), lit("<PHONE>"))
+
+  /** Greedy contiguous sequence packing — the training-batch shaping
+    * step of an LLM pipeline: documents are laid end to end per group in
+    * `order`, and each doc is assigned the pack (fixed token `budget`)
+    * in which it STARTS, with its offset inside that pack. One window
+    * (= one shuffle keyed on the group) per call; packing a whole corpus
+    * runs embarrassingly parallel across group keys (source, shard,
+    * date...), which is why the contract is per-group contiguity rather
+    * than a global order. Integer `div` keeps pack ids exact past 2^53
+    * cumulative tokens, where double-floor arithmetic would drift.
+    */
+  def sequencePack(df: org.apache.spark.sql.DataFrame, group: Column,
+                   order: Column, tokens: Column, budget: Long): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(group).orderBy(order)
+    df.withColumn("n_tokens", tokens)
+      .withColumn("__cumb", coalesce(sum(col("n_tokens")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id", expr(s"__cumb div ${budget}L"))
+      .withColumn("pack_offset", col("__cumb") % budget)
+      .drop("__cumb")
+  }
+
   /** Deterministic document-quality score in [0,1]:
     * 0.3·min(tokens/100, 1) + 0.4·stopword-ratio + 0.3·(1 − punct-ratio).
     * Emitted unrounded: the double arithmetic is bit-identical to the

@@ -72,6 +72,37 @@ object DocumentSuite {
         .orderBy("doc_id")
     }),
 
+    // PII is injected deterministically (the synthetic corpus has none):
+    // every 5th doc gains an email, every 7th an IP, every 11th a phone
+    // number — so the scrub exercises real hits AND real misses, and the
+    // oracle rebuilds the identical augmented corpus in SQL before
+    // matching with the same regexes under RE2
+    "t7_pii_scrub" -> ((s, d) => {
+      val injected = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10.0."), col("doc_id") % 256, lit(".17")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" call 555-867-5309"))
+            .otherwise(lit(""))).as("text"))
+      val (ne, ni, np) = TextAnalysis.piiCounts(col("text"))
+      injected.select(col("doc_id"), ne.as("n_emails"), ni.as("n_ips"),
+          np.as("n_phones"), TextAnalysis.piiRedact(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    "t8_sequence_pack" -> ((s, d) => {
+      TextAnalysis.sequencePack(
+        Tables.documents(s, d).select("doc_id", "source", "text"),
+        col("source"), col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")), 512L)
+        .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    }),
+
     // --- dedup -------------------------------------------------------------
     "d1_dedup_exact" -> ((s, d) => {
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -333,6 +364,41 @@ object DocumentSuite {
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sr
         |  FROM documents)
         |WHERE sr <= 5 ORDER BY source, doc_id""".stripMargin,
+
+    // same regex family in RE2 (DuckDB) as in Java regex (Spark):
+    // char classes + bounded quantifiers + ASCII \b only — see
+    // TextAnalysis.emailRe/ipv4Re/phoneRe
+    "t7_pii_scrub" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.17' ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.emailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.phoneRe}')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.ipv4Re}', '<IP>', 'g'),
+         |    '${TextAnalysis.phoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "t8_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(cumb // 512 AS BIGINT) AS pack_id,
+        |  CAST(cumb % 512 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

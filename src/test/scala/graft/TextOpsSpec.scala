@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Ground truth for the t7 PII scrub and t8 sequence packing operators
+  * (hand-computed expectations; the DuckDB oracles are the second,
+  * independent check at sf0.01).
+  */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiScrub counts and redacts emails, IPs and phone numbers") {
+    val df = Seq(
+      (1L, "write to alice.smith@corp.example.org or bob@x.io today"),
+      (2L, "server at 10.0.42.17 and backup 192.168.1.254 online"),
+      (3L, "call 555-867-5309 maybe"),
+      (4L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val (ne, ni, np) = TextAnalysis.piiCounts(col("text"))
+    val out = df.select(col("doc_id"), ne.as("e"), ni.as("i"), np.as("p"),
+      TextAnalysis.piiRedact(col("text")).as("r")).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 2L &&
+      out(0).getString(4) == "write to <EMAIL> or <EMAIL> today")
+    assert(out(1).getLong(2) == 2L &&
+      out(1).getString(4) == "server at <IP> and backup <IP> online")
+    assert(out(2).getLong(3) == 1L && out(2).getString(4) == "call <PHONE> maybe")
+    assert(out(3).toSeq.slice(1, 4) == Seq(0L, 0L, 0L) &&
+      out(3).getString(4) == "nothing sensitive here at all")
+  }
+
+  test("sequencePack assigns contiguous budget-boundary packs per group") {
+    // group g: 3-token docs, budget 5 -> cumulative starts 0,3,6 ->
+    // packs 0,0,1 with offsets 0,3,1 (doc 2 STARTS in pack 0 and
+    // overflows the boundary — the documented greedy-contiguous rule);
+    // group h packs independently from offset 0
+    val df = Seq(
+      (1L, "g", "a b c"), (2L, "g", "d e f"), (3L, "g", "g h i"),
+      (4L, "h", "j k l m n o")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sequencePack(df, col("source"), col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")), 5L)
+      .select("doc_id", "pack_id", "pack_offset").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 1L), (4L, 0L, 0L)))
+  }
+}
