@@ -56,6 +56,15 @@ object Dedup {
     // would pin executor storage for the caller's whole session
     val sh = shingles(docs, idCol, textCol, n)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // Measured negative result #2 (like the PPJoin note above): routing
+    // this join through the salted+singleton-pruned machinery the LSH
+    // tiers use was 1.8x SLOWER here (3.2s -> 5.9s at sf0.1) — natural
+    // shingles repeat across documents, so the prune removes little
+    // while its window sort and the 16x left-side replication are pure
+    // overhead on a join whose OUTPUT (one row per shared shingle) is
+    // the payload, not a candidate set to verify. Skew in this tier is
+    // governed by shingle entropy; when that bound is too loose the
+    // answer is the LSH tier, not salting the exact one.
     val common = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -187,30 +196,35 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** Salted candidate self-join shared by d3/d4/d5: same-bucket id pairs
-    * (`id_a < id_b`), with a degenerate bucket's quadratic pair space
-    * split across 16 salt keys instead of expanding inside ONE task —
-    * mass-duplicated boilerplate that survives the exact-dedup pre-pass
-    * by differing in one token is exactly the corpus that degenerates a
-    * bucket. Replicating the left side over 16 salts and routing the
-    * right side by id hash keeps the pair set IDENTICAL (each right row
-    * meets each left row under exactly one salt); only task granularity
-    * changes. `rel` must carry an `id` column; `bucketCols` are the
-    * bucket key. Rows are assumed narrow (id + bucket key) — callers
-    * join payloads back by id AFTER candidate generation.
+  // --- shared candidate-join machinery (d2/d3/d4/d5) ------------------------
+  // A degenerate bucket — mass-duplicated boilerplate that survives the
+  // exact-dedup pre-pass by differing in one token — would expand its
+  // quadratic pair space inside ONE task; the 16-way salt splits it.
+  // `rel` must carry an `id` column and be narrow (id + bucket key):
+  // callers join payloads back by id AFTER candidate generation.
+
+  /** Prune buckets with a single member BEFORE any pair join: they can
+    * never produce a pair, and on a 100 TB corpus MOST buckets are
+    * singletons — replicating them over the salts just to join with
+    * nothing would multiply the dominant (empty) part of the shuffle by
+    * 16. The window count shuffles on the bucket key the self-join
+    * needed anyway.
     */
-  private def saltedSelfCandidates(rel: DataFrame, bucketCols: Seq[String],
-                                   salts: Int = 16): DataFrame = {
-    // Prune singleton buckets BEFORE replicating: a bucket with one
-    // member can never produce a pair, and on a 100 TB corpus MOST
-    // buckets are singletons — exploding them over 16 salts just to
-    // join with nothing would multiply the dominant (empty) part of the
-    // shuffle by 16. The window count shuffles on the bucket key the
-    // self-join needed anyway.
+  private def pruneSingletonBuckets(rel: DataFrame, bucketCols: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(bucketCols.map(col): _*)
-    val multi = rel.withColumn("__n", count(lit(1)).over(w))
+    rel.withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n") >= 2).drop("__n")
+  }
+
+  /** Salted, singleton-pruned same-bucket self-join: one (id_a < id_b)
+    * output row per shared bucket instance. Each right row meets each
+    * left row under exactly one salt, so the multiset of pairs is
+    * identical to the unsalted join — only task granularity changes.
+    */
+  private def saltedSelfJoin(rel: DataFrame, bucketCols: Seq[String],
+                             salts: Int = 16): DataFrame = {
+    val multi = pruneSingletonBuckets(rel, bucketCols)
     val aSide = multi.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
     val bSide = multi.withColumn("salt", pmod(xxhash64(col("id")), lit(salts)).cast("int"))
     aSide.as("a").join(bSide.as("b"),
@@ -218,8 +232,11 @@ object Dedup {
           .reduce(_ && _) && col("a.salt") === col("b.salt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
   }
+
+  private def saltedSelfCandidates(rel: DataFrame, bucketCols: Seq[String],
+                                   salts: Int = 16): DataFrame =
+    saltedSelfJoin(rel, bucketCols, salts).distinct()
 
   /** SimHash near-dup pairs: 64-bit signature, split into `blocks` bit
     * blocks; any pair within `maxHamming` must share at least one exact
@@ -236,15 +253,16 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, ${blocks - 1}), b -> shiftright(sig, b * $width) & ${(1L << width) - 1})"))
         .as(Seq("blk", "bv")))
-    // Salt the candidate self-join: a degenerate (block, value) bucket
-    // would otherwise expand quadratically inside ONE task. Replicating
-    // the left side over 16 salts and routing the right side by id hash
-    // splits every bucket's pair space across 16 keys — same pairs, 16x
-    // the parallelism. Verify (cheap codegen popcount) BEFORE distinct:
-    // on low-entropy corpora the losers dominate.
+    // Salt + singleton-prune the candidate self-join (see the shared
+    // machinery note above). This join keeps its own inline form rather
+    // than saltedSelfJoin because the signature rides along so the
+    // popcount verify runs IN the join, before distinct — on low-entropy
+    // corpora the losing candidates dominate and re-joining sigs to
+    // verify them would cost more than carrying 8 bytes per row.
     val salts = 16
-    val aSide = blocked.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
-    val bSide = blocked.withColumn("salt", pmod(xxhash64(col("id")), lit(salts)).cast("int"))
+    val multi = pruneSingletonBuckets(blocked, Seq("blk", "bv"))
+    val aSide = multi.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    val bSide = multi.withColumn("salt", pmod(xxhash64(col("id")), lit(salts)).cast("int"))
     aSide.as("a").join(bSide.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.salt") === col("b.salt") &&
