@@ -55,7 +55,10 @@ object ScrapeSuite {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
   private def landedStar(s: SparkSession): Map[String, DataFrame] =
     landedCache.computeIfAbsent(s, s => star(s).map { case (name, df) =>
-      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      // coalesce(1): fixture-scale verification artifact — one file per
+      // table instead of one per shuffle partition (the production
+      // landing path is Scraper's spool, which keeps partitioning)
+      df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$StarOracleDir/$name.parquet")
       name -> s.read.parquet(s"$StarOracleDir/$name.parquet")
     })
