@@ -155,21 +155,27 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).cache()
+    var pin = labels // the round's persisted handle (labels may project it)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(col("a").as("id2")).agg(min("label").as("nmin"))
-      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // carry the previous label as `old` through the round output: the
+      // convergence check is then a scan of THIS round's cached rows
+      // instead of a second labels⋈labels join job per round
+      val updated = labels.withColumnRenamed("label", "old")
+        .join(neighborMin, col("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("label"),
+          col("old"))
         .cache()
       // round 1 always changes something when edges exist (every id_a <
       // id_b edge lowers b's label), so skip its convergence-check job
       val changed =
         if (iter == 0) 1L
-        else updated.join(labels.withColumnRenamed("label", "old"), "id")
-          .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
+        else updated.filter(col("label") =!= col("old")).limit(1).count()
+      pin.unpersist()
       // Cap the logical lineage: each round's plan nests the previous
       // round's join+agg, so by round N a task failure recomputes an
       // N-deep chain (and the plan itself grows). Every 5th round,
@@ -179,12 +185,15 @@ object Dedup {
       // right trade for an iterative refinement whose rounds are cheap
       // to re-enter from the last checkpoint but expensive to replay
       // end-to-end through a deepening plan.
-      labels =
-        if ((iter + 1) % 5 == 0) {
-          val cp = updated.localCheckpoint() // eager: materializes now
-          updated.unpersist(blocking = false)
-          cp
-        } else updated
+      if ((iter + 1) % 5 == 0) {
+        val cp = updated.select("id", "label").localCheckpoint() // eager
+        updated.unpersist(blocking = false)
+        pin = cp
+        labels = cp
+      } else {
+        pin = updated
+        labels = updated.select("id", "label")
+      }
       converged = changed == 0
       iter += 1
     }
