@@ -143,12 +143,25 @@ object ScrapeSuite {
 
   private def starGlob(t: String) = s"'$StarOracleDir/$t.parquet/*.parquet'"
 
-  /** s1–s5/s8 stay rows-only (their input is HTML, which DuckDB cannot
-    * read), but s6/s7 consume the BUILT schema — relational data the
-    * query functions land at [[StarOracleDir]] — so DuckDB recomputes
-    * them from the landed parquet and hash-checks the results.
+  /** s2–s5/s8 stay rows-only (their output depends on parsing HTML
+    * bodies, which DuckDB cannot replicate), but s1 classifies on the
+    * FILENAME alone — DuckDB's `read_text` lists the same fixture tree
+    * and the same anchored regexes run under RE2 — and s6/s7 consume the
+    * BUILT schema, landed at [[StarOracleDir]], so DuckDB recomputes
+    * them from parquet and hash-checks the results.
     */
   val oracles: Map[String, String] = Map(
+    "s1_link_classify" ->
+      s"""WITH f AS (
+         |  SELECT regexp_replace(regexp_extract(filename, '([^/]+)$$', 1), '\\.s?html$$', '') AS name_id
+         |  FROM read_text('$FixtureDir/**/*.shtml'))
+         |SELECT name_id,
+         |  CASE WHEN regexp_matches(name_id, '${HtmlSource.GameIdRe}') THEN 'GamePage'
+         |       WHEN regexp_matches(name_id, '${HtmlSource.PlayerIdRe.replace("'", "''")}') THEN 'PlayerPage'
+         |       WHEN name_id LIKE '%schedule%' THEN 'SchedulePage'
+         |       ELSE 'unknown' END AS page_type
+         |FROM f ORDER BY name_id""".stripMargin,
+
     "s6_star_schema_build" ->
       Seq("game", "play", "player", "team", "venue").map(t =>
         s"SELECT '$t' AS table_name, COUNT(*)::BIGINT AS n_rows FROM read_parquet(${starGlob(t)})")
