@@ -139,6 +139,44 @@ object Relational {
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Backward as-of join: for every left row, attach the payload of the
+    * most recent right row with the same key and `tsName <= ` the left
+    * row's `tsName` (point-in-time enrichment — trades×quotes, event×last
+    * state). Spark has no built-in as-of join; the naive formulations are
+    * a range join (O(|L|·|R|) per key) or a per-key collect. This is the
+    * scalable shape instead: tag the sides, union them, and run ONE
+    * window pass per key ordered by (ts, side, tie) carrying
+    * `last(payload, ignoreNulls)` — a single hash shuffle on `keys` and a
+    * single within-partition sort, linear in |L|+|R| at any scale.
+    *
+    * Contract: `right`'s columns are `keys ++ tsName ++ payload`, where
+    * the payload names must not collide with `left`'s columns (rename
+    * before calling — the right-side timestamp is usually wanted in the
+    * output, so pass a renamed copy of it as payload too). Ties resolve
+    * deterministically: a right row at exactly the left row's timestamp
+    * IS visible (<=, not <), and among right rows sharing (key, ts) the
+    * greatest `rightTie` wins. NULL payload values are transparent to the
+    * carry (ignoreNulls) — encode "explicitly no value" sentinel-side if
+    * that distinction matters.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsName: String, rightTie: Seq[String] = Nil): DataFrame = {
+    val payload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == tsName)
+    require(payload.nonEmpty, "right side must carry at least one payload column")
+    require(payload.intersect(left.columns.toSeq).isEmpty,
+      s"right payload columns ${payload.mkString(",")} must not collide with left")
+    val unioned = left.withColumn("__side", lit(1))
+      .unionByName(right.withColumn("__side", lit(0)), allowMissingColumns = true)
+    // right rows (side 0) sort before a left row with the same ts, so the
+    // carried `last` sees them; rightTie orders right rows within a tie
+    val ord = (col(tsName).asc +: col("__side").asc +: rightTie.map(col(_).asc))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }.filter(col("__side") === 1).drop("__side")
+  }
+
   /** Two-stage (salted) aggregation: pre-aggregate on (key, salt) so a
     * skewed key spreads over `salts` reducers before the final combine.
     * Results are identical to a direct groupBy when the partial and final

@@ -134,6 +134,39 @@ object TextAnalysis {
       .drop("__cumb")
   }
 
+  /** Corpus-level TF-IDF: the top-`k` most characteristic terms per
+    * document. Terms are the `[a-z]+` runs of the lowercased text (length
+    * ≥ `minTermLen`); score = tf · ln(N/df). Ranking is deliberately on
+    * the INTEGER key (tf desc, df asc, term asc) — the same order the
+    * float score induces, minus any cross-engine ulp ambiguity — and the
+    * float score is emitted rounded for the compare.
+    *
+    * Scale shape: one explode scan, then aggregations with map-side
+    * combine — a term in every document collapses to ≤ #partitions
+    * partial rows before its shuffle, so corpus-scale stopword skew never
+    * concentrates raw rows. The vocabulary (doc-frequency) side joins
+    * back on `term`; it is Catalyst's choice to broadcast it while it
+    * fits and AQE's to split a skewed shuffle join when it doesn't —
+    * deliberately unhinted. N is a driver scalar (one pruned-scan count),
+    * the sanctioned kind of driver materialization: O(1), not O(rows).
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int, minTermLen: Int = 3): org.apache.spark.sql.DataFrame = {
+    val nDocs = docs.select(idCol).count().toDouble
+    val tf = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(nDocs) / col("df")), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Deterministic document-quality score in [0,1]:
     * 0.3·min(tokens/100, 1) + 0.4·stopword-ratio + 0.3·(1 − punct-ratio).
     * Emitted unrounded: the double arithmetic is bit-identical to the

@@ -103,6 +103,11 @@ object DocumentSuite {
         .orderBy("doc_id")
     }),
 
+    "t9_tfidf" -> ((s, d) => {
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 5)
+        .orderBy("doc_id", "rnk")
+    }),
+
     // --- dedup -------------------------------------------------------------
     "d1_dedup_exact" -> ((s, d) => {
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -403,6 +408,25 @@ object DocumentSuite {
     "d1_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // same integer ranking key (tf desc, df asc, term asc) as the Spark
+    // side — the float score is display-only, so engine ulp differences
+    // in ln() can never reorder the top-k
+    "t9_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t AS term
+        |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS u(t)
+        |  WHERE length(t) >= 3),
+        |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    ROUND(tf.tf * ln((SELECT COUNT(*)::DOUBLE FROM documents) / dfreq.df), 4) AS tfidf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS BIGINT) AS rnk
+        |  FROM tf JOIN dfreq USING (term))
+        |SELECT doc_id, rnk, term, tf, df, tfidf
+        |FROM scored WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
 
     "t6_repetition_score" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

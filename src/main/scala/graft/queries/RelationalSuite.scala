@@ -333,6 +333,24 @@ object RelationalSuite {
       custsOf(1996).except(custsOf(1997)).orderBy("o_custkey")
     }),
 
+    "q31_asof_join" -> ((s, d) => {
+      // point-in-time enrichment: each purchase sees the user's most
+      // recent view at-or-before it (backward as-of; ties: same-ts view
+      // counts, greatest view_event_id wins)
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_id").as("view_event_id"),
+          unix_millis(col("ts")).as("view_ts_ms"),
+          col("value").as("view_value"))
+      asofJoin(purchases, views, Seq("user_id"), "ts_ms", Seq("view_event_id"))
+        .withColumn("ms_since_view", col("ts_ms") - col("view_ts_ms"))
+        .orderBy("event_id")
+    }),
+
     "q27_skew_salted_agg" -> ((s, d) => {
       saltedSumCount(
         Tables.lineitem(s, d), col("l_returnflag"), dec2(col("l_quantity")),
@@ -550,6 +568,22 @@ object RelationalSuite {
       """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
         |EXCEPT
         |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    // the as-of semantics spelled out imperatively: latest view per
+    // purchase via LATERAL top-1 — same <= boundary, same
+    // (ts desc, event_id desc) tie-break as the union-window operator
+    "q31_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id AS view_event_id, value AS view_value
+        |           FROM events WHERE event_type = 'view')
+        |SELECT l.event_id, l.user_id, l.ts_ms, l.value,
+        |       v.view_event_id, v.ts_ms AS view_ts_ms, v.view_value,
+        |       l.ts_ms - v.ts_ms AS ms_since_view
+        |FROM l LEFT JOIN LATERAL (
+        |  SELECT * FROM r WHERE r.user_id = l.user_id AND r.ts_ms <= l.ts_ms
+        |  ORDER BY r.ts_ms DESC, r.view_event_id DESC LIMIT 1) v ON true
+        |ORDER BY l.event_id""".stripMargin
   )
 }

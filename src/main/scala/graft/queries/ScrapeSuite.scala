@@ -143,14 +143,26 @@ object ScrapeSuite {
 
   private def starGlob(t: String) = s"'$StarOracleDir/$t.parquet/*.parquet'"
 
-  /** s2–s5/s8 stay rows-only (their output depends on parsing HTML
-    * bodies, which DuckDB cannot replicate), but s1 classifies on the
-    * FILENAME alone — DuckDB's `read_text` lists the same fixture tree
-    * and the same anchored regexes run under RE2 — and s6/s7 consume the
-    * BUILT schema, landed at [[StarOracleDir]], so DuckDB recomputes
-    * them from parquet and hash-checks the results.
+  /** s3–s5/s8 stay rows-only (their output depends on parsing HTML
+    * bodies — nested tables, data-stat cells — which DuckDB cannot
+    * replicate), but s1 classifies on the FILENAME alone — DuckDB's
+    * `read_text` lists the same fixture tree and the same anchored
+    * regexes run under RE2 — s2's per-block first-em/first-anchor walk
+    * is recomputable as ONE non-greedy dotall regex over the raw bytes
+    * (a block with no boxscore link is skipped by both: the scan just
+    * runs into the next block's `em`), and s6/s7 consume the BUILT
+    * schema, landed at [[StarOracleDir]], so DuckDB recomputes them from
+    * parquet and hash-checks the results.
     */
   val oracles: Map[String, String] = Map(
+    "s2_schedule_links" ->
+      s"""WITH links AS (
+         |  SELECT regexp_replace(regexp_extract(filename, '([^/]+)$$', 1), '\\.s?html$$', '') AS schedule_id,
+         |         unnest(regexp_extract_all(content, '(?s)<p class="game">.*?<em>\\s*<a href="([^"]+)"', 1)) AS u
+         |  FROM read_text('$FixtureDir/SchedulePage/*.shtml'))
+         |SELECT schedule_id, '${graft.scrape.BBRefParse.BaseUrl}' || u AS game_url
+         |FROM links WHERE u NOT LIKE '%/previews/%'
+         |ORDER BY schedule_id, game_url""".stripMargin,
     "s1_link_classify" ->
       s"""WITH f AS (
          |  SELECT regexp_replace(regexp_extract(filename, '([^/]+)$$', 1), '\\.s?html$$', '') AS name_id
