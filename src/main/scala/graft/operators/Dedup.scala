@@ -170,23 +170,32 @@ object Dedup {
           least(col("old"), coalesce(col("nmin"), col("old"))).as("label"),
           col("old"))
         .cache()
-      // round 1 always changes something when edges exist (every id_a <
-      // id_b edge lowers b's label), so skip its convergence-check job
-      val changed =
-        if (iter == 0) 1L
-        else updated.filter(col("label") =!= col("old")).limit(1).count()
+      // The changed-count is a FULL scan of this round's rows — it is
+      // both the convergence check and the materialization barrier: every
+      // partition of `updated` is in the cache before the previous pin is
+      // released below. A partial action here (limit(1) touches one
+      // partition; skipping round 0 runs none) would let later rounds
+      // recompute the whole lineage chain back to the last checkpoint
+      // through an already-dropped cache.
+      val changed = updated.filter(col("label") =!= col("old")).count()
       pin.unpersist()
       // Cap the logical lineage: each round's plan nests the previous
       // round's join+agg, so by round N a task failure recomputes an
       // N-deep chain (and the plan itself grows). Every 5th round,
-      // truncate with an eager localCheckpoint — the checkpointed rows
-      // live on executors (lost with one, like any cached partition, and
-      // recomputed-from-nothing is no longer possible), which is the
-      // right trade for an iterative refinement whose rounds are cheap
-      // to re-enter from the last checkpoint but expensive to replay
-      // end-to-end through a deepening plan.
+      // truncate the plan with an eager checkpoint — RELIABLE (written to
+      // the configured checkpoint dir, survives executor loss) when the
+      // session has one, local otherwise (rows live on executors: lost
+      // with one like any cached partition, but recomputed-from-nothing
+      // is no longer possible either way). The right trade for an
+      // iterative refinement whose rounds are cheap to re-enter from the
+      // last checkpoint but expensive to replay end-to-end through a
+      // deepening plan.
       if ((iter + 1) % 5 == 0) {
-        val cp = updated.select("id", "label").localCheckpoint() // eager
+        val base = updated.select("id", "label")
+        val cp =
+          if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+            base.checkpoint() // eager, reliable
+          else base.localCheckpoint() // eager
         updated.unpersist(blocking = false)
         pin = cp
         labels = cp

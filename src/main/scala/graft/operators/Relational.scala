@@ -155,9 +155,12 @@ object Relational {
     * output, so pass a renamed copy of it as payload too). Ties resolve
     * deterministically: a right row at exactly the left row's timestamp
     * IS visible (<=, not <), and among right rows sharing (key, ts) the
-    * greatest `rightTie` wins. NULL payload values are transparent to the
-    * carry (ignoreNulls) — encode "explicitly no value" sentinel-side if
-    * that distinction matters.
+    * greatest `rightTie` wins — `rightTie` must make (keys, ts, rightTie)
+    * unique on the right side or the winner (and thus the output) is
+    * nondeterministic. The carry is ROW-atomic: the payload travels as
+    * one struct, so the output never stitches values from two different
+    * right rows — a NULL inside the chosen row's payload is emitted
+    * as-is, not skipped in favor of an older row's value.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsName: String, rightTie: Seq[String] = Nil): DataFrame = {
@@ -172,9 +175,15 @@ object Relational {
     val ord = (col(tsName).asc +: col("__side").asc +: rightTie.map(col(_).asc))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }.filter(col("__side") === 1).drop("__side")
+    // pack the payload into ONE struct carried with a single
+    // last(ignoreNulls): the struct is non-NULL exactly for right rows
+    // (left rows get a NULL struct, which ignoreNulls skips), so the
+    // whole payload of the most recent right row arrives atomically
+    val packed = when(col("__side") === 0, struct(payload.map(col): _*))
+    val carried = unioned.withColumn("__p", last(packed, ignoreNulls = true).over(w))
+    payload.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, col("__p").getField(c))
+    }.filter(col("__side") === 1).drop("__side", "__p")
   }
 
   /** Two-stage (salted) aggregation: pre-aggregate on (key, salt) so a

@@ -136,10 +136,14 @@ object TextAnalysis {
 
   /** Corpus-level TF-IDF: the top-`k` most characteristic terms per
     * document. Terms are the `[a-z]+` runs of the lowercased text (length
-    * ≥ `minTermLen`); score = tf · ln(N/df). Ranking is deliberately on
-    * the INTEGER key (tf desc, df asc, term asc) — the same order the
-    * float score induces, minus any cross-engine ulp ambiguity — and the
-    * float score is emitted rounded for the compare.
+    * ≥ `minTermLen`); score = tf · ln(N/df). Ranking is on the SCORE,
+    * rounded to 4 decimals so both engines compare the identical double
+    * (the rounded value is what the hash check already proves equal
+    * cross-engine), with a fully deterministic integer tie-break
+    * (tf desc, df asc, term asc). Ranking on raw integer keys instead
+    * would be consistent-but-wrong: tf=3, df=N scores 3·ln(1)=0 yet
+    * would outrank tf=2, df=1 scoring 2·ln(N) — score-desc ranking sinks
+    * ubiquitous (df≈N, score≈0) terms naturally, with no stopword list.
     *
     * Scale shape: one explode scan, then aggregations with map-side
     * combine — a term in every document collapses to ≤ #partitions
@@ -159,7 +163,8 @@ object TextAnalysis {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      .partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("tf").desc, col("df").asc, col("term").asc)
     tf.join(dfreq, "term")
       .withColumn("tfidf", round(col("tf") * log(lit(nDocs) / col("df")), 4))
       .withColumn("rnk", row_number().over(w).cast("long"))

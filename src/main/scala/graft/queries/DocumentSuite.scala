@@ -409,9 +409,9 @@ object DocumentSuite {
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 
-    // same integer ranking key (tf desc, df asc, term asc) as the Spark
-    // side — the float score is display-only, so engine ulp differences
-    // in ln() can never reorder the top-k
+    // rank on the ROUNDED score (the hash check proves the rounded
+    // double identical cross-engine) with the same integer tie-break
+    // (tf desc, df asc, term asc) as the Spark side
     "t9_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, t AS term
@@ -421,12 +421,14 @@ object DocumentSuite {
         |dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
         |scored AS (
         |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-        |    ROUND(tf.tf * ln((SELECT COUNT(*)::DOUBLE FROM documents) / dfreq.df), 4) AS tfidf,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-        |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS BIGINT) AS rnk
-        |  FROM tf JOIN dfreq USING (term))
+        |    ROUND(tf.tf * ln((SELECT COUNT(*)::DOUBLE FROM documents) / dfreq.df), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (term)),
+        |ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, tf DESC, df ASC, term ASC) AS BIGINT) AS rnk
+        |  FROM scored)
         |SELECT doc_id, rnk, term, tf, df, tfidf
-        |FROM scored WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+        |FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
 
     "t6_repetition_score" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

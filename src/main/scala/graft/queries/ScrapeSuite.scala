@@ -43,13 +43,18 @@ object ScrapeSuite {
     * its INPUT is HTML DuckDB can't read, so landing it as parquet turns
     * s6 (table counts) and s7 (player stats) from rows-only into
     * oracle-checked queries — the oracle SQL `read_parquet`s these files
-    * directly. A fixed driver-local path is correct here: this is a
-    * single-JVM verification artifact, not a production sink (those go
-    * through [[graft.sources.Spool]], which refuses non-cluster-visible
-    * paths on real masters).
+    * directly. A driver-local path is correct here: this is a single-JVM
+    * verification artifact, not a production sink (those go through
+    * [[graft.sources.Spool]], which refuses non-cluster-visible paths on
+    * real masters). The path is suffixed with THIS process's pid so two
+    * concurrent verification runs on one host never overwrite each
+    * other's landed tables mid-read — pid rather than the Spark
+    * application id because the oracle SQL below is a session-free
+    * static contract (the driver dumps it from the same JVM that lands
+    * the files, so the two always agree on the resolved path).
     */
   val StarOracleDir: String =
-    s"${sys.props("java.io.tmpdir")}/graft_star_oracle"
+    s"${sys.props("java.io.tmpdir")}/graft_star_oracle_${ProcessHandle.current().pid()}"
 
   private val landedCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()

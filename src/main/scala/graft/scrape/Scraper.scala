@@ -76,6 +76,30 @@ object Scraper {
   def scheduleUrl(year: Int): String =
     s"${BBRefParse.BaseUrl}/leagues/MLB/$year-schedule.shtml"
 
+  /** How many individual ledger rows get their own warn line; beyond
+    * this, one summary line carries the remainder.
+    */
+  val WarnedLedgerRows = 20
+
+  /** Warn a (name_id, err) failure ledger with BOUNDED driver memory and
+    * log volume: the first [[WarnedLedgerRows]] rows each get a line,
+    * then one "and N more" line, then the total. An upstream layout
+    * change that breaks every page of a large crawl must not turn the
+    * ledger into an O(failures) driver collect + log flood — operators
+    * retry from the returned DataFrame, not from the log.
+    */
+  private[graft] def warnLedger(ledger: DataFrame, warn: String => Unit,
+                                rowVerb: String, totalMsg: Long => String): Unit = {
+    val total = ledger.count()
+    if (total > 0) {
+      ledger.limit(WarnedLedgerRows).collect().foreach(r =>
+        warn(s"scrape: page ${r.getString(0)} $rowVerb: ${r.getString(1)}"))
+      if (total > WarnedLedgerRows)
+        warn(s"scrape: ... and ${total - WarnedLedgerRows} more")
+      warn(totalMsg(total))
+    }
+  }
+
   /** Scrape seasons end-to-end; returns the star-schema tables plus two
     * failure ledgers, each (name_id, err): `"fetch_failures"` (pages the
     * crawl could not retrieve) and `"parse_failures"` (pages retrieved
@@ -104,13 +128,12 @@ object Scraper {
                     warn: String => Unit = m => System.err.println(m)): Map[String, DataFrame] = {
     validateYears(years)
     val fcol = org.apache.spark.sql.functions.col _
+    val spool = spoolDir.getOrElse(graft.sources.Spool.dir(spark, "scrape_tables"))
     val crawled = Crawl.crawlAndFetch(spark, years.map(scheduleUrl), mk)
     val failures = crawled.filter(!fcol("ok")).select("name_id", "err")
-    val failed = failures.collect() // failures are few: the ledger is reportable
-    failed.foreach(r => warn(s"scrape: page ${r.getString(0)} failed and was " +
-      s"skipped: ${r.getString(1)}"))
-    if (failed.nonEmpty) warn(s"scrape: ${failed.length} page(s) failed; " +
-      "see the fetch_failures ledger to retry them")
+    warnLedger(failures, warn, "failed and was skipped",
+      total => s"scrape: $total page(s) failed; " +
+        "see the fetch_failures ledger to retry them")
     val pages = crawled.filter(fcol("ok"))
     // incremental contract: surrogate ids already stored in the target DB
     // are reused verbatim (get_or_create), so fact rows written by an
@@ -137,22 +160,21 @@ object Scraper {
       .unionByName(playerAtt.toDF().select("nameId", "err"))
       .filter(fcol("err").isNotNull)
       .select(fcol("nameId").as("name_id"), fcol("err"))
-    val parseFailed = parseFailDf.collect() // parse failures are few: reportable
-    parseFailed.foreach(r => warn(s"scrape: page ${r.getString(0)} fetched but " +
-      s"failed to parse and was skipped: ${r.getString(1)}"))
-    if (parseFailed.nonEmpty) warn(s"scrape: ${parseFailed.length} page(s) " +
-      "fetched but failed to parse; see the parse_failures ledger")
-    // materialized driver-side so the ledger survives the attempt-cache
-    // release below (it is small by the same argument as fetch_failures)
-    val parseFailures = spark.createDataFrame(
-      java.util.Arrays.asList(parseFailed: _*), parseFailDf.schema)
+    // landed in the spool (never collected): the ledger survives the
+    // attempt-cache release below with bounded driver memory even when a
+    // layout change breaks EVERY page of a large crawl
+    parseFailDf.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$spool/parse_failures")
+    val parseFailures = spark.read.parquet(s"$spool/parse_failures")
+    warnLedger(parseFailures, warn, "fetched but failed to parse and was skipped",
+      total => s"scrape: $total page(s) fetched but failed to parse; " +
+        "see the parse_failures ledger")
     val parsed = Entities.parsedOf(gameAtt)
     val build = Entities.starSchemaBuildWith(
       playerAtt.toDF().filter(fcol("err").isNull)
         .select(fcol("row.nameId").as("name_id"), fcol("row.name").as("name"),
           fcol("row.bats").as("bats"), fcol("row.throwsHand").as("throws")),
       parsed, existing)
-    val spool = spoolDir.getOrElse(graft.sources.Spool.dir(spark, "scrape_tables"))
     val landed = build.tables.map { case (t, df) =>
       df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$spool/$t")
       t -> spark.read.parquet(s"$spool/$t")

@@ -53,6 +53,18 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == Seq((1L, Some(12L), Some(3.0))))
   }
 
+  test("asofJoin carries the chosen right row ATOMICALLY, NULL payload fields included") {
+    // the most recent right row (ts=200) holds rv=NULL: the output must
+    // emit that row whole — rid=11 WITH rv NULL — never stitch rid=11
+    // with the older row's rv=1.0 (per-column ignoreNulls would)
+    val l = Seq((1L, "a", 250L)).toDF("lid", "k", "ts")
+    val r = Seq(("a", 90L, 10L, Some(1.0)), ("a", 200L, 11L, None))
+      .toDF("k", "ts", "rid", "rv")
+    val out = Relational.asofJoin(l, r, Seq("k"), "ts", Seq("rid"))
+      .select("lid", "rid", "rv").collect()
+    assert(out.length == 1 && out(0).getLong(1) == 11L && out(0).isNullAt(2))
+  }
+
   test("asofJoin plans one key shuffle and one sort — no range join, no cartesian") {
     val l = Seq((1L, "a", 100L)).toDF("lid", "k", "ts")
     val r = Seq(("a", 90L, 10L, 1.0)).toDF("k", "ts", "rid", "rv")

@@ -153,6 +153,23 @@ class DedupSpec extends SparkSpec {
       s"result lineage spans $depth RDDs — checkpointing is not truncating it:\n${out.rdd.toDebugString}")
   }
 
+  test("dedupClusters uses a RELIABLE checkpoint when the session has a checkpoint dir") {
+    // with a checkpoint dir configured, the every-5th-round truncation
+    // must write through it (surviving executor loss) instead of
+    // localCheckpoint — observable as RDD checkpoint files in the dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val path = (0L until 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val got = Dedup.dedupClusters(path, maxIter = 20).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (0L to 7L).map(_ -> 0L).toMap)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"no checkpoint files under $dir")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("frame sampling emits every k-th frame per decoded doc") {
     val withPayload = Multimodal.withPayloadMeta(docs, "doc_id", "text")
     val decoded = Multimodal.decodeBatch(withPayload, "doc_id", "payload")

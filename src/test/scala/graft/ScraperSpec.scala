@@ -167,6 +167,24 @@ class ScraperSpec extends SparkSpec {
     assert(tables("play").count() > 50L)
   }
 
+  test("ledger warnings are capped: first 20 rows, then a remainder summary") {
+    import spark.implicits._
+    // a 25-row ledger (a layout change that broke every page) must warn
+    // 20 rows + "and 5 more" + the total — never one line per failure
+    val ledger = (1 to 25).map(i => (f"page$i%02d", s"boom $i"))
+      .toDF("name_id", "err")
+    var warned = List.empty[String]
+    Scraper.warnLedger(ledger, m => warned ::= m, "broke", t => s"total $t")
+    val rows = warned.count(_.contains("broke"))
+    assert(rows == Scraper.WarnedLedgerRows, s"warned $rows row lines")
+    assert(warned.exists(_.contains("and 5 more")))
+    assert(warned.exists(_.contains("total 25")))
+    // an empty ledger warns nothing at all
+    warned = Nil
+    Scraper.warnLedger(ledger.limit(0), m => warned ::= m, "broke", t => s"total $t")
+    assert(warned.isEmpty)
+  }
+
   test("entry contract: years outside the reference bounds are rejected") {
     val mk = () => new PageRetriever("/nonexistent", _ => "<html></html>", 0L)
     intercept[IllegalArgumentException] {

@@ -30,33 +30,33 @@ class TextOpsSpec extends SparkSpec {
       out(3).getString(4) == "nothing sensitive here at all")
   }
 
-  test("tfidfTopTerms ranks by tf, then rarity, then term; score matches ln algebra") {
-    // 4 docs; "cat" is in all 4 (df=4, idf=ln(1)=0), "dog" in 2, "eel"
-    // in 1. Doc 1: dog(tf=2) beats eel(tf=1) on tf; doc 2's only ranked
-    // terms are cat and dog; short tokens ("a", "of") are dropped
+  test("tfidfTopTerms ranks by score; high-tf ubiquitous terms lose to rare terms") {
+    // 5 docs; "cat" is in all 5 (df=5, idf=ln(1)=0, score 0 at ANY tf),
+    // "dog" in 2, "eel"/"fox" in 1 each; short tokens ("a", "of") drop.
+    // Doc 5 is the regression case: cat tf=3 (score 0) must lose to fox
+    // tf=1 (score ln 5) — an integer (tf desc) ranking would invert it.
     val df = Seq(
       (1L, "cat dog dog eel a"),
       (2L, "cat dog of"),
       (3L, "cat cat cat"),
-      (4L, "cat")
+      (4L, "cat"),
+      (5L, "cat cat cat fox")
     ).toDF("doc_id", "text")
     val out = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", 2)
       .orderBy("doc_id", "rnk")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
-    val ln2 = BigDecimal(2.0 * math.log(4.0 / 2.0))
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val ln1 = BigDecimal(math.log(4.0 / 2.0))
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val ln4 = BigDecimal(math.log(4.0 / 1.0))
+    def sc(tf: Int, df: Int) = BigDecimal(tf * math.log(5.0 / df))
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out == Seq(
-      (1L, 1L, "dog", 2L, 2L, ln2),      // tf=2 wins
-      (1L, 2L, "eel", 1L, 1L, ln4),      // tf tie with cat -> rarer df wins
-      (2L, 1L, "dog", 1L, 2L, ln1),      // df=2 rarer than cat's df=4
-      (2L, 2L, "cat", 1L, 4L, 0.0),      // idf = ln(1) = 0
-      (3L, 1L, "cat", 3L, 4L, 0.0),
-      (4L, 1L, "cat", 1L, 4L, 0.0)))
+      (1L, 1L, "dog", 2L, 2L, sc(2, 2)), // 2·ln 2.5 = 1.8326 beats eel's ln 5
+      (1L, 2L, "eel", 1L, 1L, sc(1, 1)),
+      (2L, 1L, "dog", 1L, 2L, sc(1, 2)), // ln 2.5 beats cat's 0
+      (2L, 2L, "cat", 1L, 5L, 0.0),      // idf = ln(1) = 0
+      (3L, 1L, "cat", 3L, 5L, 0.0),
+      (4L, 1L, "cat", 1L, 5L, 0.0),
+      (5L, 1L, "fox", 1L, 1L, sc(1, 1)), // score ln 5 outranks cat tf=3 score 0
+      (5L, 2L, "cat", 3L, 5L, 0.0)))
   }
 
   test("sequencePack assigns contiguous budget-boundary packs per group") {
