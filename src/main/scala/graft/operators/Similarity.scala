@@ -87,6 +87,57 @@ object Similarity {
     rankTopK(cand, k)
   }
 
+  /** Int8 scalar quantization of an embedding column — the storage/IO
+    * half of a vector index: per vector, scale = 127/max|x| and each
+    * component maps to floor(x·scale + 0.5) ∈ [-127, 127]. A map-only
+    * projection (no shuffle, no UDF — all codegen'd collection
+    * functions), so at 100 TB it rides the scan. `floor(x+0.5)` rather
+    * than round() because round's half-case tie rule differs across
+    * engines while floor is IEEE-exact everywhere; the emitted summary
+    * stats (sum, sum-of-squares, min, max of the quantized ints) are
+    * exact integers, so the oracle comparison has no float tolerance at
+    * all. Zero vectors quantize to scale 0 and all-zero components.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val scale = when(mx > 0, lit(127.0) / mx).otherwise(lit(0.0))
+    val q = transform(v, x => floor(x * scale + lit(0.5)).cast("long"))
+    emb.select(col(idCol).as("vec_id"),
+      size(v).cast("long").as("n_dims"),
+      round(scale, 6).as("scale"),
+      aggregate(q, lit(0L), (a, b) => a + b).as("q_sum"),
+      aggregate(q, lit(0L), (a, b) => a + b * b).as("q_l2"),
+      array_min(q).as("q_min"),
+      array_max(q).as("q_max"))
+  }
+
+  /** Per-label embedding centroids with FIXED-POINT accumulation: each
+    * component is first quantized to an exact integer grid
+    * (floor(x·grid + 0.5)), the per-(label, position) sums run on
+    * BIGINTs, and the mean is divided back out at the end. Summing
+    * doubles in a distributed aggregate is order-dependent (float
+    * addition is non-associative, and Spark's partial-aggregate merge
+    * order is nondeterministic) — integer accumulation makes the
+    * centroid bit-reproducible run to run AND engine to engine, which is
+    * what lets a DuckDB oracle hash-match it. Long-form output
+    * (label, pos, n, q_sum, centroid): one posexplode scan, one
+    * partial-aggregating shuffle on (label, pos) — never a per-label
+    * collect of whole vectors. This is the "train the coarse quantizer"
+    * summarization step feeding [[ivfTopK]]-style cell layouts.
+    */
+  def labelCentroids(emb: DataFrame, labelCol: String, vecCol: String,
+                     grid: Long = 1000000L): DataFrame = {
+    val qcs = posexplode(transform(col(vecCol),
+      x => floor(x.cast("double") * grid + lit(0.5)).cast("long")))
+    emb.select(col(labelCol).as("label"), qcs.as(Seq("pos", "qc")))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("qc"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("qc").as("q_sum"))
+      .withColumn("centroid",
+        round(col("q_sum").cast("double") / grid.toDouble / col("n").cast("double"), 6))
+  }
+
   /** Hyperplane-LSH ANN: bucket corpus and queries into `tables`
     * independent sign-bit bucketings; candidates are same-bucket rows in
     * any table; rerank candidates by exact cosine and keep top-k. Recall

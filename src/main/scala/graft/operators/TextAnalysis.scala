@@ -172,6 +172,63 @@ object TextAnalysis {
       .select(col(idCol), col("rnk"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Corpus-level bigram collocations: the `k` most frequent adjacent
+    * word pairs, with instance count and document frequency. One explode
+    * scan feeds a partial-aggregating groupBy (a boilerplate bigram that
+    * appears everywhere collapses to ≤ #partitions rows before its
+    * shuffle), and the global top-k is orderBy+limit, which Spark
+    * executes as TakeOrderedAndProject — per-partition heaps of size k,
+    * never a single-partition global sort. Tie-break on the gram string
+    * makes the cut deterministic.
+    *
+    * In a training-data pipeline this is the corpus-health view that
+    * catches template boilerplate ("click here", "all rights reserved")
+    * before it reaches dedup.
+    */
+  def bigramCollocations(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val grams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    docs.select(col(idCol).as("__doc"), explode(grams).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"), countDistinct(col("__doc")).as("n_docs"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  /** Temperature-weighted domain mixture sampling — the data-mixing step
+    * of a training pipeline: draw ~`target` documents with per-group
+    * quotas proportional to sqrt(group size) (temperature 0.5 — large
+    * sources are down-weighted, small sources over-represented, every
+    * source keeps at least one row). All quota arithmetic is INTEGER:
+    * weights are floor(sqrt(n)) (IEEE sqrt of an exact integer is
+    * correctly rounded, so the floor is exact for n < 2^52) and the
+    * allocation is `target * w div sum(w)` — no floating-point
+    * accumulation whose reduction order could differ between engines or
+    * between runs. Row selection inside a group is the md5-ordered rank
+    * of [[stratifiedSample]], so the draw is reproducible anywhere with
+    * no coordinated RNG state. The group-count aggregate is tiny
+    * (one row per source) and broadcast back; the corpus shuffles once,
+    * on the group key, for the ranking window.
+    */
+  def domainMixSample(df: org.apache.spark.sql.DataFrame, group: Column,
+                      key: Column, target: Long): org.apache.spark.sql.DataFrame = {
+    val counts = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+    val weighted = counts.withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+    val quotas = weighted
+      .crossJoin(broadcast(weighted.agg(sum(col("__w")).as("__tw"))))
+      .withColumn("__quota", greatest(lit(1L), expr(s"(${target}L * __w) div __tw")))
+      .select(col("__g"), col("__quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(md5(key.cast("string")), key)
+    df.join(broadcast(quotas), group === col("__g"))
+      .withColumn("__sr", row_number().over(w))
+      .filter(col("__sr") <= col("__quota"))
+      .drop("__g", "__quota", "__sr")
+  }
+
   /** Deterministic document-quality score in [0,1]:
     * 0.3·min(tokens/100, 1) + 0.4·stopword-ratio + 0.3·(1 − punct-ratio).
     * Emitted unrounded: the double arithmetic is bit-identical to the

@@ -108,6 +108,18 @@ object DocumentSuite {
         .orderBy("doc_id", "rnk")
     }),
 
+    "t10_bigram_colloc" -> ((s, d) => {
+      TextAnalysis.bigramCollocations(Tables.documents(s, d), "doc_id", "text", 100)
+        .orderBy(col("n").desc, col("gram"))
+    }),
+
+    "t11_domain_mix" -> ((s, d) => {
+      TextAnalysis.domainMixSample(
+        Tables.documents(s, d).select("doc_id", "source"),
+        col("source"), col("doc_id"), 200L)
+        .orderBy("doc_id")
+    }),
+
     // --- dedup -------------------------------------------------------------
     "d1_dedup_exact" -> ((s, d) => {
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -177,6 +189,16 @@ object DocumentSuite {
       Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
         k = 5, nCentroids = 16, nProbe = 4)
         .orderBy("query_id", "rank")
+    }),
+
+    "a4_embed_quantize" -> ((s, d) => {
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy("vec_id")
+    }),
+
+    "a5_embed_centroid" -> ((s, d) => {
+      Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding")
+        .orderBy("label", "pos")
     }),
 
     // --- multimodal --------------------------------------------------------
@@ -405,6 +427,33 @@ object DocumentSuite {
         |  CAST(cumb % 512 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // same adjacent-pair walk; the top-100 cut is deterministic because
+    // (n desc, gram asc) is a total order after the groupBy
+    "t10_bigram_colloc" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i))
+        |SELECT gram, COUNT(*)::BIGINT AS n, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+        |FROM g GROUP BY gram
+        |ORDER BY n DESC, gram LIMIT 100""".stripMargin,
+
+    // integer quota arithmetic (floor-sqrt weights, integer division)
+    // replayed exactly; md5 rank matches the Spark window order
+    "t11_domain_mix" ->
+      """WITH c AS (SELECT source, COUNT(*)::BIGINT AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, CAST(FLOOR(SQRT(n::DOUBLE)) AS BIGINT) AS w FROM c),
+        |q AS (SELECT source, GREATEST(1, (200 * w) // (SELECT SUM(w) FROM w)) AS quota FROM w),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sr
+        |  FROM documents)
+        |SELECT doc_id, source FROM r JOIN q USING (source)
+        |WHERE sr <= quota ORDER BY doc_id""".stripMargin,
+
     "d1_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
@@ -565,6 +614,33 @@ object DocumentSuite {
          |  FROM blocked a JOIN blocked b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id)
          |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // floor(x·scale + 0.5) with scale = 127/max|x|: identical double ops
+    // in both engines, and every emitted aggregate is an exact integer
+    "a4_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |s AS (SELECT vec_id, v, CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS sc FROM m),
+        |q AS (SELECT vec_id, sc,
+        |        list_transform(v, x -> CAST(FLOOR(x * sc + 0.5) AS BIGINT)) AS qv
+        |      FROM s)
+        |SELECT vec_id, len(qv)::BIGINT AS n_dims, ROUND(sc, 6) AS scale,
+        |  list_reduce(list_prepend(0::BIGINT, qv), (a, b) -> a + b) AS q_sum,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(qv, x -> x * x)), (a, b) -> a + b) AS q_l2,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    // fixed-point accumulation: the per-(label,pos) sums are BIGINTs, so
+    // any reduction order gives the identical centroid — see
+    // Similarity.labelCentroids
+    "a5_embed_centroid" ->
+      """WITH q AS (
+        |  SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+        |    CAST(FLOOR(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT) AS qc
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i))
+        |SELECT label, pos, COUNT(*)::BIGINT AS n, SUM(qc)::BIGINT AS q_sum,
+        |  ROUND(SUM(qc)::DOUBLE / 1000000 / COUNT(*), 6) AS centroid
+        |FROM q GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "m2_multimodal_batch" ->
       s"""WITH $decodedDimsCte

@@ -60,10 +60,14 @@ object ScrapeSuite {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
   private def landedStar(s: SparkSession): Map[String, DataFrame] =
     landedCache.computeIfAbsent(s, s => star(s).map { case (name, df) =>
-      // coalesce(1): fixture-scale verification artifact — one file per
-      // table instead of one per shuffle partition (the production
-      // landing path is Scraper's spool, which keeps partitioning)
-      df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      // repartition(1), NOT coalesce(1): one file per table is a
+      // fixture-scale verification artifact (the production landing path
+      // is Scraper's spool, which keeps partitioning), but coalesce
+      // propagates the single partition back through the whole build —
+      // every upstream join/window of the table would run in ONE task.
+      // repartition inserts a shuffle boundary instead, so the build
+      // keeps its parallelism and only the final write is single-file.
+      df.repartition(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$StarOracleDir/$name.parquet")
       name -> s.read.parquet(s"$StarOracleDir/$name.parquet")
     })
@@ -148,18 +152,62 @@ object ScrapeSuite {
 
   private def starGlob(t: String) = s"'$StarOracleDir/$t.parquet/*.parquet'"
 
-  /** s3–s5/s8 stay rows-only (their output depends on parsing HTML
+  /** s4/s5/s8 stay rows-only (their output depends on parsing HTML
     * bodies — nested tables, data-stat cells — which DuckDB cannot
     * replicate), but s1 classifies on the FILENAME alone — DuckDB's
     * `read_text` lists the same fixture tree and the same anchored
     * regexes run under RE2 — s2's per-block first-em/first-anchor walk
     * is recomputable as ONE non-greedy dotall regex over the raw bytes
     * (a block with no boxscore link is skipped by both: the scan just
-    * runs into the next block's `em`), and s6/s7 consume the BUILT
-    * schema, landed at [[StarOracleDir]], so DuckDB recomputes them from
-    * parquet and hash-checks the results.
+    * runs into the next block's `em`), s3's player extraction is a
+    * tag-strip + two regexes DuckDB can replay over `read_text` (the
+    * info-block slice, the first `h1`, the first two `Bats:/Throws:`
+    * hands — a malformed page drops on both sides), and s6/s7 consume
+    * the BUILT schema, landed at [[StarOracleDir]], so DuckDB recomputes
+    * them from parquet and hash-checks the results.
     */
   val oracles: Map[String, String] = Map(
+    // the DuckDB twin of BBRefParse.parsePlayerE: seg = html from
+    // id="info"; name = text of the first h1 (tags stripped to '',
+    // exactly like Html.stripTags); hands = first two
+    // (Bats:|Throws:)\s*(\w+) matches in the tag-stripped first 12000
+    // chars of seg, first->bats second->throws, LEFT/RIGHT/BOTH ->
+    // 0/1/2; a page missing any of these parses to NULL and is dropped,
+    // mirroring the Either->flatMap skip on the Spark side. The f CTE
+    // applies the s1 page-type gate first: a file in the PlayerPage dir
+    // whose name_id does NOT classify as a player id (malformed_arod)
+    // never reaches the parser on the Spark side either.
+    "s3_player_parse" ->
+      s"""WITH f AS (
+         |  SELECT regexp_replace(regexp_extract(filename, '([^/]+)$$', 1), '\\.s?html$$', '') AS name_id,
+         |         content
+         |  FROM read_text('$FixtureDir/PlayerPage/*.shtml')
+         |  WHERE regexp_matches(regexp_replace(regexp_extract(filename, '([^/]+)$$', 1), '\\.s?html$$', ''),
+         |                       '${HtmlSource.PlayerIdRe.replace("'", "''")}')),
+         |seg AS (
+         |  SELECT name_id,
+         |         CASE WHEN strpos(content, 'id="info"') > 0
+         |              THEN substr(content, strpos(content, 'id="info"')) END AS s
+         |  FROM f),
+         |ext AS (
+         |  SELECT name_id,
+         |    regexp_replace(regexp_replace(replace(regexp_replace(
+         |      regexp_extract(s, '(?s)<h1[^>]*>(.*?)</h1>', 1), '<[^>]*>', '', 'g'),
+         |      '&nbsp;', ' '), '^[\\s\\x0b]+', ''), '[\\s\\x0b]+$$', '') AS name,
+         |    list_transform(
+         |      regexp_extract_all(
+         |        replace(regexp_replace(substr(s, 1, 12000), '<[^>]*>', '', 'g'), '&nbsp;', ' '),
+         |        '(?:Bats:|Throws:)\\s*(\\w+)', 1),
+         |      h -> upper(h)) AS hands
+         |  FROM seg WHERE s IS NOT NULL),
+         |rows_ AS (
+         |  SELECT name_id, name,
+         |    CASE hands[1] WHEN 'LEFT' THEN 0 WHEN 'RIGHT' THEN 1 WHEN 'BOTH' THEN 2 END AS bats,
+         |    CASE hands[2] WHEN 'LEFT' THEN 0 WHEN 'RIGHT' THEN 1 WHEN 'BOTH' THEN 2 END AS throws
+         |  FROM ext)
+         |SELECT name_id, name, bats, throws FROM rows_
+         |WHERE name IS NOT NULL AND name <> '' AND bats IS NOT NULL AND throws IS NOT NULL
+         |ORDER BY name_id""".stripMargin,
     "s2_schedule_links" ->
       s"""WITH links AS (
          |  SELECT regexp_replace(regexp_extract(filename, '([^/]+)$$', 1), '\\.s?html$$', '') AS schedule_id,

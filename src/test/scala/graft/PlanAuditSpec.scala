@@ -122,6 +122,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("a4: int8 quantization is a pure projection — no shuffle at all") {
+    val df = SparkEntry.queries("a4_embed_quantize")(spark, sfDir)
+    // strip the final orderBy (presentation-only in the query wrapper):
+    // the operator itself must not exchange
+    val plan = graft.operators.Similarity
+      .quantizeInt8(graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(df.count() > 0)
+  }
+
+  test("t10: bigram top-k is partial-agg + TakeOrdered, never a global sort of all grams") {
+    val plan = graft.operators.TextAnalysis
+      .bigramCollocations(graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", 100)
+      .queryExecution.executedPlan.toString
+    val hashAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -22,6 +22,37 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L))
   }
 
+  test("quantizeInt8 maps the max-magnitude component to ±127 and zero vectors to zero") {
+    val vecs = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f)),   // scale 127: q = [127, -63, 32]
+      (1L, Array(0.0f, 0.0f, 0.0f))      // zero vector: scale 0, all zeros
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    // q_sum = 127 - 63 + 32 = 96; q_l2 = 127^2 + 63^2 + 32^2 = 21122
+    assert(out(0).getLong(1) == 3L && out(0).getDouble(2) == 127.0)
+    assert(out(0).getLong(3) == 96L && out(0).getLong(4) == 21122L)
+    assert(out(0).getLong(5) == -63L && out(0).getLong(6) == 127L)
+    assert(out(1).getDouble(2) == 0.0 && out(1).getLong(3) == 0L &&
+      out(1).getLong(4) == 0L)
+    // floor(x+0.5) rounding: -0.5*127 = -63.5 -> floor(-63) = -63
+  }
+
+  test("labelCentroids computes exact fixed-point means per label and position") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(0.0f, 1.0f), 7),
+      (2L, Array(0.5f, 0.5f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(vecs, "label", "embedding")
+      .orderBy("label", "pos").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // label 7: mean of (1,0) and (0,1) = (0.5, 0.5); label 9: (0.5, 0.5)
+    assert(out.toSeq == Seq(
+      (7, 0L, 2L, 1000000L, 0.5), (7, 1L, 2L, 1000000L, 0.5),
+      (9, 0L, 1L, 500000L, 0.5), (9, 1L, 1L, 500000L, 0.5)))
+  }
+
   test("ivfTopK probes nearest cells and achieves useful recall") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter($"vec_id" < 10)

@@ -30,6 +30,41 @@ class TextOpsSpec extends SparkSpec {
       out(3).getString(4) == "nothing sensitive here at all")
   }
 
+  test("bigramCollocations counts adjacent pairs with doc frequency and a deterministic cut") {
+    val df = Seq(
+      (1L, "click here to read more"),
+      (2L, "click here now"),
+      (3L, "read more click here"),
+      (4L, "one")                       // single token: contributes no bigram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCollocations(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "click here" appears 3x in 3 docs; "read more" 2x in 2 docs;
+    // the k=3 cut then takes the tie group's alphabetical head
+    assert(out(0) == ("click here", 3L, 3L))
+    assert(out(1) == ("read more", 2L, 2L))
+    assert(out(2) == ("here now", 1L, 1L))
+    assert(out.length == 3)
+  }
+
+  test("domainMixSample allocates sqrt-weighted quotas with a floor of one") {
+    // sources: a=100 rows (w=10), b=16 (w=4), c=1 (w=1) -> sum w = 15
+    // target 15 -> quotas: a = 15*10/15 = 10, b = 4, c = 1
+    val rows = (0 until 100).map(i => (i.toLong, "a")) ++
+      (100 until 116).map(i => (i.toLong, "b")) ++ Seq((116L, "c"))
+    val df = rows.toDF("doc_id", "source")
+    val out = TextAnalysis.domainMixSample(df, col("source"), col("doc_id"), 15L)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 10L, "b" -> 4L, "c" -> 1L))
+    // deterministic: the same call returns the identical doc_id set
+    val ids1 = TextAnalysis.domainMixSample(df, col("source"), col("doc_id"), 15L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextAnalysis.domainMixSample(df, col("source"), col("doc_id"), 15L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2 && ids1.size == 15)
+  }
+
   test("tfidfTopTerms ranks by score; high-tf ubiquitous terms lose to rare terms") {
     // 5 docs; "cat" is in all 5 (df=5, idf=ln(1)=0, score 0 at ANY tf),
     // "dog" in 2, "eel"/"fox" in 1 each; short tokens ("a", "of") drop.
