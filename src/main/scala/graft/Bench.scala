@@ -22,7 +22,12 @@ object Bench {
     // events needs the nanos conf; warm through the same loader queries use
     try graft.sources.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // per-query progress on stderr (stdout stays the single JSON line):
+    // a run killed mid-way still names every completed query and its
+    // elapsed time, so a degraded-host window can't zero the signal
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val t00 = System.nanoTime()
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -31,7 +36,10 @@ object Bench {
             s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench ${i + 1}%2d/${ordered.size}] $name " +
+        f"$sec%.2fs ok=$ok (total ${(System.nanoTime() - t00) / 1e9}%.0fs)")
+      (name, sec, ok)
     }
     // a failed query records its time-to-fail but is flagged ok:false and
     // counted in "failed" — a crash must never read as a fast success

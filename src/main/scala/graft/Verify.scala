@@ -1,7 +1,15 @@
 package graft
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Resilience contract (round-8 postmortem — the driver's gate once
+  * produced an empty `{}`): the oracle contract is written FIRST and the
+  * query outputs land one directory per query as each finishes, with a
+  * per-query progress/elapsed line on stderr — so a run killed or timed
+  * out mid-way still leaves usable partial rows and names the query it
+  * died in, instead of zeroing the whole round's signal.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -11,13 +19,6 @@ object Verify {
       if (args.length > 2) args(2).split(",").toSet else (_ => true)
     val spark = graft.engine.GraftSession.local()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -30,9 +31,25 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the contract goes down BEFORE any query runs: a partial dump is
+    // then checkable for every query directory that exists
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(keep)
+    val t00 = System.nanoTime()
+    names.zipWithIndex.foreach { case (name, i) =>
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir).coalesce(1).write
+          .mode("overwrite").parquet(s"$outDir/$name")
+        System.err.println(f"[verify ${i + 1}%2d/${names.size}] $name ok " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1fs (total ${(System.nanoTime() - t00) / 1e9}%.0fs)")
+      } catch { case e: Throwable =>
+        System.err.println(f"[verify ${i + 1}%2d/${names.size}] $name FAILED " +
+          f"after ${(System.nanoTime() - t0) / 1e9}%.1fs: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

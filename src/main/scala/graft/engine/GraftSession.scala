@@ -30,12 +30,22 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
-  /** Local session as the driver harness runs it. */
+  /** Local session as the driver harness runs it. A checkpoint directory
+    * is always set (Spool-managed temp root, deleted on JVM exit) so the
+    * RELIABLE-checkpoint branches of iterative operators — e.g.
+    * `Dedup.dedupClusters`'s every-5-rounds lineage truncation — engage
+    * under the harness exactly as they would on a cluster, instead of
+    * silently falling back to `localCheckpoint` (which loses data on
+    * executor failure). On a real cluster the deployer sets a shared-FS
+    * checkpoint dir on the context and this default never applies.
+    */
   def local(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString).toInt
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(graft.sources.Spool.tempRoot("ckpt"))
     s
   }
 }

@@ -93,10 +93,13 @@ object Similarity {
     * projection (no shuffle, no UDF — all codegen'd collection
     * functions), so at 100 TB it rides the scan. `floor(x+0.5)` rather
     * than round() because round's half-case tie rule differs across
-    * engines while floor is IEEE-exact everywhere; the emitted summary
-    * stats (sum, sum-of-squares, min, max of the quantized ints) are
-    * exact integers, so the oracle comparison has no float tolerance at
-    * all. Zero vectors quantize to scale 0 and all-zero components.
+    * engines while floor is IEEE-exact everywhere; EVERY emitted summary
+    * column (scale included) is an exact integer, so the oracle
+    * comparison has no float tolerance at all — `scale_fp` is the scale
+    * at 6-decimal fixed point, floor(scale·1e6 + 0.5) as BIGINT, for the
+    * same cross-engine reason (a rounded DOUBLE near a half boundary
+    * could tie-break differently between engines). Zero vectors quantize
+    * to scale_fp 0 and all-zero components.
     */
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
@@ -105,7 +108,7 @@ object Similarity {
     val q = transform(v, x => floor(x * scale + lit(0.5)).cast("long"))
     emb.select(col(idCol).as("vec_id"),
       size(v).cast("long").as("n_dims"),
-      round(scale, 6).as("scale"),
+      floor(scale * lit(1000000.0) + lit(0.5)).cast("long").as("scale_fp"),
       aggregate(q, lit(0L), (a, b) => a + b).as("q_sum"),
       aggregate(q, lit(0L), (a, b) => a + b * b).as("q_l2"),
       array_min(q).as("q_min"),
@@ -120,8 +123,13 @@ object Similarity {
     * addition is non-associative, and Spark's partial-aggregate merge
     * order is nondeterministic) — integer accumulation makes the
     * centroid bit-reproducible run to run AND engine to engine, which is
-    * what lets a DuckDB oracle hash-match it. Long-form output
-    * (label, pos, n, q_sum, centroid): one posexplode scan, one
+    * what lets a DuckDB oracle hash-match it. The reported mean stays on
+    * that exact-integer footing too: `centroid_fp` is the mean at
+    * 6-decimal fixed point via floor(x·1e6 + 0.5), never a rounded
+    * double (round()'s half-case tie rule differs across engines; the
+    * deterministic double ops here — one division chain, +0.5, floor —
+    * are IEEE-identical everywhere). Long-form output
+    * (label, pos, n, q_sum, centroid_fp): one posexplode scan, one
     * partial-aggregating shuffle on (label, pos) — never a per-label
     * collect of whole vectors. This is the "train the coarse quantizer"
     * summarization step feeding [[ivfTopK]]-style cell layouts.
@@ -134,8 +142,11 @@ object Similarity {
       .select(col("label"), col("pos").cast("long").as("pos"), col("qc"))
       .groupBy("label", "pos")
       .agg(count(lit(1)).as("n"), sum("qc").as("q_sum"))
-      .withColumn("centroid",
-        round(col("q_sum").cast("double") / grid.toDouble / col("n").cast("double"), 6))
+      // op sequence (/grid, /n, *1e6, +0.5, floor) is mirrored verbatim
+      // in the DuckDB oracle — same IEEE double sequence, same bits
+      .withColumn("centroid_fp",
+        floor(col("q_sum").cast("double") / grid.toDouble / col("n").cast("double")
+          * lit(1000000.0) + lit(0.5)).cast("long"))
   }
 
   /** Hyperplane-LSH ANN: bucket corpus and queries into `tables`

@@ -26,6 +26,11 @@ object DocumentSuite {
 
   private val stop = TextAnalysis.stopwords.toMap
 
+  /** t11's sample-size target — interpolated into BOTH the Spark call and
+    * the DuckDB oracle so the two sides cannot silently drift.
+    */
+  private val DomainMixTarget = 200L
+
   val queries: Map[String, Q] = Map(
     // --- text analysis -----------------------------------------------------
     "t1_lang_id" -> ((s, d) => {
@@ -116,7 +121,7 @@ object DocumentSuite {
     "t11_domain_mix" -> ((s, d) => {
       TextAnalysis.domainMixSample(
         Tables.documents(s, d).select("doc_id", "source"),
-        col("source"), col("doc_id"), 200L)
+        col("source"), col("doc_id"), DomainMixTarget)
         .orderBy("doc_id")
     }),
 
@@ -443,9 +448,9 @@ object DocumentSuite {
     // integer quota arithmetic (floor-sqrt weights, integer division)
     // replayed exactly; md5 rank matches the Spark window order
     "t11_domain_mix" ->
-      """WITH c AS (SELECT source, COUNT(*)::BIGINT AS n FROM documents GROUP BY source),
+      s"""WITH c AS (SELECT source, COUNT(*)::BIGINT AS n FROM documents GROUP BY source),
         |w AS (SELECT source, CAST(FLOOR(SQRT(n::DOUBLE)) AS BIGINT) AS w FROM c),
-        |q AS (SELECT source, GREATEST(1, (200 * w) // (SELECT SUM(w) FROM w)) AS quota FROM w),
+        |q AS (SELECT source, GREATEST(1, ($DomainMixTarget * w) // (SELECT SUM(w) FROM w)) AS quota FROM w),
         |r AS (
         |  SELECT doc_id, source,
         |    ROW_NUMBER() OVER (PARTITION BY source
@@ -624,7 +629,8 @@ object DocumentSuite {
         |q AS (SELECT vec_id, sc,
         |        list_transform(v, x -> CAST(FLOOR(x * sc + 0.5) AS BIGINT)) AS qv
         |      FROM s)
-        |SELECT vec_id, len(qv)::BIGINT AS n_dims, ROUND(sc, 6) AS scale,
+        |SELECT vec_id, len(qv)::BIGINT AS n_dims,
+        |  CAST(FLOOR(sc * 1000000.0 + 0.5) AS BIGINT) AS scale_fp,
         |  list_reduce(list_prepend(0::BIGINT, qv), (a, b) -> a + b) AS q_sum,
         |  list_reduce(list_prepend(0::BIGINT, list_transform(qv, x -> x * x)), (a, b) -> a + b) AS q_l2,
         |  list_min(qv) AS q_min, list_max(qv) AS q_max
@@ -639,7 +645,7 @@ object DocumentSuite {
         |    CAST(FLOOR(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT) AS qc
         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i))
         |SELECT label, pos, COUNT(*)::BIGINT AS n, SUM(qc)::BIGINT AS q_sum,
-        |  ROUND(SUM(qc)::DOUBLE / 1000000 / COUNT(*), 6) AS centroid
+        |  CAST(FLOOR(SUM(qc)::DOUBLE / 1000000.0 / COUNT(*) * 1000000.0 + 0.5) AS BIGINT) AS centroid_fp
         |FROM q GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "m2_multimodal_batch" ->

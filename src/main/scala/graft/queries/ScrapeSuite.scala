@@ -10,11 +10,13 @@ import graft.sources.HtmlSource
   *
   * Inputs are the reference's own test fixtures (read-only); the sfDir
   * argument is unused because these operators consume HTML, not the
-  * TPC-H-ish tables. s1–s5/s8 are rows-only (HTML extraction is not
-  * expressible in DuckDB SQL) with ground truth in ScrapeSpec, checked
-  * against values read directly from the fixture pages; s6/s7 operate on
-  * the BUILT star schema, which IS relational — they land it as parquet
-  * and carry DuckDB oracles over the landed tables (see [[oracles]]).
+  * TPC-H-ish tables. s5/s8 are rows-only (nested-table HTML extraction
+  * is not expressible in DuckDB SQL) with ground truth in ScrapeSpec,
+  * checked against values read directly from the fixture pages;
+  * s1/s2/s3/s4 replay their flat-regex extractions over `read_text`, and
+  * s6/s7 operate on the BUILT star schema, which IS relational — they
+  * land it as parquet and carry DuckDB oracles over the landed tables
+  * (see [[oracles]]).
   */
 object ScrapeSuite {
   type Q = (SparkSession, String) => DataFrame
@@ -53,8 +55,27 @@ object ScrapeSuite {
     * static contract (the driver dumps it from the same JVM that lands
     * the files, so the two always agree on the resolved path).
     */
-  val StarOracleDir: String =
-    s"${sys.props("java.io.tmpdir")}/graft_star_oracle_${ProcessHandle.current().pid()}"
+  val StarOracleDir: String = {
+    val tmp = sys.props("java.io.tmpdir")
+    // Sweep stale siblings left by DEAD graft JVMs before allocating our
+    // own: the landed tables must outlive THIS process (the driver's
+    // DuckDB replay of the oracle SQL below runs after Verify's JVM has
+    // exited), so a same-JVM shutdown hook would break the s6/s7 oracle
+    // check — instead each new graft JVM garbage-collects the dirs whose
+    // owning pid is gone. Net effect: at most one such dir (the most
+    // recent JVM's) survives a full gate run. Live pids are skipped, so
+    // a concurrent verification run is never swept mid-read.
+    val stale = new java.io.File(tmp).listFiles()
+    if (stale != null) stale.foreach { f =>
+      val n = f.getName
+      if (n.startsWith("graft_star_oracle_")) {
+        val alive = n.stripPrefix("graft_star_oracle_").toLongOption
+          .exists(pid => ProcessHandle.of(pid).isPresent)
+        if (!alive) graft.sources.Spool.deleteRecursively(f.toPath)
+      }
+    }
+    s"$tmp/graft_star_oracle_${ProcessHandle.current().pid()}"
+  }
 
   private val landedCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
@@ -152,7 +173,22 @@ object ScrapeSuite {
 
   private def starGlob(t: String) = s"'$StarOracleDir/$t.parquet/*.parquet'"
 
-  /** s4/s5/s8 stay rows-only (their output depends on parsing HTML
+  // --- SQL fragment builders for the s3/s4 read_text replays --------------
+  /** DuckDB twin of Html.text + String.trim over a fragment expression:
+    * tags stripped to '', &nbsp; to space, then both ends trimmed with
+    * [\x00-\x20] (exactly java.lang.String.trim's class).
+    */
+  private def htmlTextSql(e: String): String =
+    s"regexp_replace(regexp_replace(replace(regexp_replace($e, '<[^>]*>', '', 'g'), " +
+      "'&nbsp;', ' '), '^[\\x00-\\x20]+', ''), '[\\x00-\\x20]+$', '')"
+
+  /** Html.elements(_, tag) as a non-overlapping regex: open tag must be
+    * followed by space/'>'/tab/newline, inner runs to the FIRST close tag
+    * (the Scala scanner is flat in exactly the same way).
+    */
+  private def elemRe(tag: String) = s"(?s)<$tag(?:>|[ \\t\\n][^>]*>)(.*?)</$tag>"
+
+  /** s5/s8 stay rows-only (their output depends on parsing HTML
     * bodies — nested tables, data-stat cells — which DuckDB cannot
     * replicate), but s1 classifies on the FILENAME alone — DuckDB's
     * `read_text` lists the same fixture tree and the same anchored
@@ -174,16 +210,22 @@ object ScrapeSuite {
     // chars of seg, first->bats second->throws, LEFT/RIGHT/BOTH ->
     // 0/1/2; a page missing any of these parses to NULL and is dropped,
     // mirroring the Either->flatMap skip on the Spark side. The f CTE
-    // applies the s1 page-type gate first: a file in the PlayerPage dir
-    // whose name_id does NOT classify as a player id (malformed_arod)
-    // never reaches the parser on the Spark side either.
+    // applies the FULL s1 classify precedence (GameIdRe first, then
+    // PlayerIdRe — game ids also match the player pattern): a file in
+    // the PlayerPage dir whose name_id does not classify as a player id
+    // (malformed_arod, or a game-id-named stray) never reaches the
+    // parser on the Spark side either. The name trim class is
+    // [\x00-\x20] — exactly java.lang.String.trim's "all control chars
+    // <= U+0020", a superset of RE2's \s.
     "s3_player_parse" ->
       s"""WITH f AS (
          |  SELECT regexp_replace(regexp_extract(filename, '([^/]+)$$', 1), '\\.s?html$$', '') AS name_id,
          |         content
          |  FROM read_text('$FixtureDir/PlayerPage/*.shtml')
          |  WHERE regexp_matches(regexp_replace(regexp_extract(filename, '([^/]+)$$', 1), '\\.s?html$$', ''),
-         |                       '${HtmlSource.PlayerIdRe.replace("'", "''")}')),
+         |                       '${HtmlSource.PlayerIdRe.replace("'", "''")}')
+         |    AND NOT regexp_matches(regexp_replace(regexp_extract(filename, '([^/]+)$$', 1), '\\.s?html$$', ''),
+         |                       '${HtmlSource.GameIdRe}')),
          |seg AS (
          |  SELECT name_id,
          |         CASE WHEN strpos(content, 'id="info"') > 0
@@ -193,7 +235,7 @@ object ScrapeSuite {
          |  SELECT name_id,
          |    regexp_replace(regexp_replace(replace(regexp_replace(
          |      regexp_extract(s, '(?s)<h1[^>]*>(.*?)</h1>', 1), '<[^>]*>', '', 'g'),
-         |      '&nbsp;', ' '), '^[\\s\\x0b]+', ''), '[\\s\\x0b]+$$', '') AS name,
+         |      '&nbsp;', ' '), '^[\\x00-\\x20]+', ''), '[\\x00-\\x20]+$$', '') AS name,
          |    list_transform(
          |      regexp_extract_all(
          |        replace(regexp_replace(substr(s, 1, 12000), '<[^>]*>', '', 'g'), '&nbsp;', ' '),
@@ -226,6 +268,81 @@ object ScrapeSuite {
          |       WHEN name_id LIKE '%schedule%' THEN 'SchedulePage'
          |       ELSE 'unknown' END AS page_type
          |FROM f ORDER BY name_id""".stripMargin,
+
+    // The DuckDB twin of BBRefParse.parseTeams/parseMeta + Entities
+    // venueDim/teamDim/gameStar: every scorebox field the reference
+    // extracts (bbref_pages.py:374-511) is a flat-regex target — team
+    // anchors by href prefix, meta divs by text shape — and the element
+    // walk (Html.elements) is a FLAT scan (open tag to FIRST close, then
+    // continue after it), so a non-greedy non-overlapping regex
+    // reproduces it exactly. Dims replay as dense_rank over the same
+    // distinct keys; only the roster/play tables (nested data-stat
+    // cells) stay beyond SQL (s5/s8).
+    "s4_game_meta_parse" ->
+      s"""WITH f AS (
+         |  SELECT regexp_replace(regexp_extract(filename, '([^/]+)$$', 1), '\\.s?html$$', '') AS game_name_id,
+         |         content
+         |  FROM read_text('$FixtureDir/**/*.shtml')
+         |  WHERE regexp_matches(regexp_replace(regexp_extract(filename, '([^/]+)$$', 1), '\\.s?html$$', ''),
+         |                       '${HtmlSource.GameIdRe}')),
+         |pos AS (
+         |  SELECT game_name_id, content,
+         |    strpos(content, 'class="scorebox"') AS sb,
+         |    strpos(content, 'class="scorebox_meta"') AS mi
+         |  FROM f),
+         |seg AS (
+         |  SELECT game_name_id,
+         |    CASE WHEN sb > 0 THEN substr(content, sb,
+         |      CASE WHEN mi > sb THEN mi - sb ELSE 20000 END) END AS sbseg,
+         |    CASE WHEN mi > 0 THEN substr(content, mi, 8000) END AS metaseg
+         |  FROM pos),
+         |teams AS (
+         |  SELECT game_name_id, metaseg,
+         |    list_filter(regexp_extract_all(sbseg, '(?s)<a(?:>|[ \\t\\n][^>]*>).*?</a>'),
+         |      a -> regexp_extract(a, '[ \\t\\n]href="([^"]*)"', 1) LIKE '/teams/%') AS tas
+         |  FROM seg),
+         |tx AS (
+         |  SELECT game_name_id,
+         |    ${htmlTextSql(s"regexp_extract(tas[1], '${elemRe("a")}', 1)")} AS away_name,
+         |    string_split(regexp_extract(tas[1], '[ \\t\\n]href="([^"]*)"', 1), '/')[3] AS away_abbr,
+         |    ${htmlTextSql(s"regexp_extract(tas[2], '${elemRe("a")}', 1)")} AS home_name,
+         |    string_split(regexp_extract(tas[2], '[ \\t\\n]href="([^"]*)"', 1), '/')[3] AS home_abbr,
+         |    list_transform(regexp_extract_all(metaseg, '${elemRe("div")}', 1),
+         |      d -> ${htmlTextSql("d")}) AS texts
+         |  FROM teams WHERE len(tas) >= 2),
+         |fld AS (
+         |  SELECT game_name_id, away_name, away_abbr, home_name, home_abbr,
+         |    list_filter(texts, t -> regexp_matches(t, '^[^ ]*day,( |$$)'))[1] AS date_txt,
+         |    regexp_extract(list_filter(texts, t -> contains(t, 'Time: '))[1], '(?s)^.*Time: (.*)$$', 1) AS lst,
+         |    list_filter(texts, t -> lower(t) LIKE 'day%' OR lower(t) LIKE 'night%')[1] AS tod_txt,
+         |    list_filter(texts, t -> t LIKE '%turf' OR t LIKE '%grass')[1] AS field_txt,
+         |    list_filter(texts, t -> t LIKE 'Venue: %')[1] AS venue_txt
+         |  FROM tx),
+         |g AS (
+         |  SELECT game_name_id, away_name, away_abbr, home_name, home_abbr,
+         |    strftime(strptime(date_txt, '%A, %B %-d, %Y'), '%Y-%m-%d') AS date,
+         |    CASE WHEN regexp_matches(lst, '(^|\\s)Local\\s*$$')
+         |         THEN strftime(try_strptime(upper(replace(replace(lst, ' Local', ''), '.', '')), '%-I:%M %p'), '%H:%M')
+         |    END AS local_start_time,
+         |    CASE WHEN lower(tod_txt) LIKE 'day%' THEN 0
+         |         WHEN tod_txt IS NOT NULL THEN 1 END AS time_of_day,
+         |    CASE WHEN field_txt LIKE '%turf' THEN 0
+         |         WHEN field_txt IS NOT NULL THEN 1 END AS field_type,
+         |    string_split(venue_txt, ': ')[2] AS venue
+         |  FROM fld),
+         |vd AS (
+         |  SELECT name, dense_rank() OVER (ORDER BY name) AS venue_id
+         |  FROM (SELECT DISTINCT venue AS name FROM g WHERE venue IS NOT NULL) _v),
+         |td AS (
+         |  SELECT name, abbreviation, dense_rank() OVER (ORDER BY name, abbreviation) AS team_id
+         |  FROM (SELECT DISTINCT away_name AS name, away_abbr AS abbreviation FROM g
+         |        UNION SELECT home_name, home_abbr FROM g) _t)
+         |SELECT g.game_name_id, g.date, g.local_start_time, g.time_of_day, g.field_type,
+         |  vd.venue_id, ta.team_id AS away_team_id, th.team_id AS home_team_id
+         |FROM g LEFT JOIN vd ON g.venue = vd.name
+         |JOIN td ta ON g.away_name = ta.name AND g.away_abbr = ta.abbreviation
+         |JOIN td th ON g.home_name = th.name AND g.home_abbr = th.abbreviation
+         |ORDER BY game_name_id""".stripMargin,
 
     "s6_star_schema_build" ->
       Seq("game", "play", "player", "team", "venue").map(t =>

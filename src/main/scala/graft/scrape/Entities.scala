@@ -229,17 +229,32 @@ object Entities {
     */
   def starSchemaBuildWith(playerAttrs: DataFrame, parsed: Dataset[ParsedGame],
                           existing: Map[String, DataFrame]): StarBuild = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val games = gamesMeta(parsed)
-    val venues = alignedIds(games.select(col("venue").as("name")),
-      Seq("name"), "venue_id", existing.get("venue"))
-    val teams = alignedIds(
+    // The four id assignments are independent and each is EAGER (two
+    // Spark jobs: the distinct/sort pass and the id data pass — see
+    // surrogateDimLarge). Launching them from four threads lets the
+    // scheduler overlap the jobs: at fixture scale the build is
+    // job-launch-overhead-bound (~8 sequential mini-jobs otherwise), and
+    // at cluster scale overlapping independent stages keeps executors
+    // busy while one dim's shuffle is in flight. Spark job submission is
+    // thread-safe by design (one SparkContext, many scheduler pools).
+    val venuesF = Future(alignedIds(games.select(col("venue").as("name")),
+      Seq("name"), "venue_id", existing.get("venue")))
+    val teamsF = Future(alignedIds(
       games.select(col("awayTeam.*")).union(games.select(col("homeTeam.*"))),
-      Seq("name", "abbreviation"), "team_id", existing.get("team"))
-    val playerIds = alignedIds(playerAttrs, Seq("name_id"), "player_id",
-      existing.get("player"))
+      Seq("name", "abbreviation"), "team_id", existing.get("team")))
+    val playerIdsF = Future(alignedIds(playerAttrs, Seq("name_id"), "player_id",
+      existing.get("player")))
+    val gameIdsF = Future(alignedIds(games.select(col("nameId").as("game_name_id")),
+      Seq("game_name_id"), "game_id", existing.get("game")))
+    val venues = Await.result(venuesF, Duration.Inf)
+    val teams = Await.result(teamsF, Duration.Inf)
+    val playerIds = Await.result(playerIdsF, Duration.Inf)
+    val gameIds = Await.result(gameIdsF, Duration.Inf)
     val playerDim = playerAttrs.join(broadcast(playerIds), Seq("name_id"))
-    val gameIds = alignedIds(games.select(col("nameId").as("game_name_id")),
-      Seq("game_name_id"), "game_id", existing.get("game"))
     val gameStarDf = gameStar(games, venues, teams).join(
       broadcast(gameIds), Seq("game_name_id"))
     val plays = resolvePlays(rawPlays(parsed), rosters(parsed))

@@ -30,9 +30,15 @@ object Sinks {
   def json(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
-  /** JDBC relational sink (the reference's SQLite role). Executors write
-    * batches in parallel — cap with `numPartitions` so the database isn't
-    * hammered by hundreds of connections at cluster scale.
+  /** JDBC relational sink (the reference's SQLite role — db/models.py:1-71
+    * declares the peewee/SQLite star schema this generalizes). Kept
+    * DB-agnostic on purpose: tested against embedded Derby (no SQLite
+    * driver exists in this offline build), so SQLite-dialect specifics
+    * (native ON CONFLICT upsert, type affinity, single-writer locking)
+    * are a documented deployment-time gap — see README "Known
+    * deviation". Executors write batches in parallel — cap with
+    * `numPartitions` so the database isn't hammered by hundreds of
+    * connections at cluster scale.
     */
   def jdbc(df: DataFrame, url: String, table: String,
            mode: SaveMode = SaveMode.Append, numPartitions: Int = 8,

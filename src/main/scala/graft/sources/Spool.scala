@@ -44,6 +44,21 @@ object Spool {
     }
   }
 
+  /** A driver-local temp directory registered for deletion on JVM exit.
+    * Only correct on local masters (executors share the driver's
+    * filesystem); [[graft.engine.GraftSession]] uses one as the LOCAL
+    * session's checkpoint root so iterative operators' reliable-
+    * checkpoint branches (e.g. `Dedup.dedupClusters`) engage under the
+    * harness exactly as they would against a cluster checkpoint dir.
+    */
+  def tempRoot(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(
+      s"graft_${tag}_${java.util.UUID.randomUUID().toString.take(12)}")
+    cleanupHook // register the shutdown hook once
+    tempSpools.add(p)
+    p.toString
+  }
+
   /** A fresh spool directory for `tag`, resolved per the rules above. */
   def dir(spark: SparkSession, tag: String): String = {
     val unique = s"graft_${tag}_${java.util.UUID.randomUUID().toString.take(12)}"
@@ -58,10 +73,7 @@ object Spool {
             s"'${spark.sparkContext.master}' is not local: pass an explicit " +
             "shared spoolDir (a driver-local temp spool would not be visible " +
             "to executors)")
-        val p = java.nio.file.Files.createTempDirectory(unique)
-        cleanupHook // register the shutdown hook once
-        tempSpools.add(p)
-        p.toString
+        tempRoot(tag)
     }
   }
 }

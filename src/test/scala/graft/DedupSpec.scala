@@ -170,6 +170,18 @@ class DedupSpec extends SparkSpec {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
+  test("GraftSession.local() always configures a checkpoint dir (reliable branch live under the harness)") {
+    // Verify/Bench build their session through GraftSession.local(); if
+    // that session carried no checkpoint dir, dedupClusters would
+    // silently fall back to localCheckpoint under the driver harness —
+    // the exact gap round-8's audit flagged. local() must therefore
+    // always leave one configured (a Spool temp root when none is set).
+    val s = graft.engine.GraftSession.local()
+    try assert(s.sparkContext.getCheckpointDir.isDefined,
+      "GraftSession.local() left no checkpoint dir configured")
+    finally s.sparkContext.setCheckpointDir(null)
+  }
+
   test("frame sampling emits every k-th frame per decoded doc") {
     val withPayload = Multimodal.withPayloadMeta(docs, "doc_id", "text")
     val decoded = Multimodal.decodeBatch(withPayload, "doc_id", "payload")

@@ -29,11 +29,12 @@ class SimilaritySpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
     val out = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
       .orderBy("vec_id").collect()
-    // q_sum = 127 - 63 + 32 = 96; q_l2 = 127^2 + 63^2 + 32^2 = 21122
-    assert(out(0).getLong(1) == 3L && out(0).getDouble(2) == 127.0)
+    // q_sum = 127 - 63 + 32 = 96; q_l2 = 127^2 + 63^2 + 32^2 = 21122;
+    // scale_fp = floor(127 * 1e6 + 0.5) — 6-decimal fixed point
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 127000000L)
     assert(out(0).getLong(3) == 96L && out(0).getLong(4) == 21122L)
     assert(out(0).getLong(5) == -63L && out(0).getLong(6) == 127L)
-    assert(out(1).getDouble(2) == 0.0 && out(1).getLong(3) == 0L &&
+    assert(out(1).getLong(2) == 0L && out(1).getLong(3) == 0L &&
       out(1).getLong(4) == 0L)
     // floor(x+0.5) rounding: -0.5*127 = -63.5 -> floor(-63) = -63
   }
@@ -46,11 +47,12 @@ class SimilaritySpec extends SparkSpec {
     ).toDF("vec_id", "embedding", "label")
     val out = Similarity.labelCentroids(vecs, "label", "embedding")
       .orderBy("label", "pos").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
-    // label 7: mean of (1,0) and (0,1) = (0.5, 0.5); label 9: (0.5, 0.5)
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // label 7: mean of (1,0) and (0,1) = (0.5, 0.5); label 9: (0.5, 0.5);
+    // centroid_fp is the mean at 6-decimal fixed point (0.5 -> 500000)
     assert(out.toSeq == Seq(
-      (7, 0L, 2L, 1000000L, 0.5), (7, 1L, 2L, 1000000L, 0.5),
-      (9, 0L, 1L, 500000L, 0.5), (9, 1L, 1L, 500000L, 0.5)))
+      (7, 0L, 2L, 1000000L, 500000L), (7, 1L, 2L, 1000000L, 500000L),
+      (9, 0L, 1L, 500000L, 500000L), (9, 1L, 1L, 500000L, 500000L)))
   }
 
   test("ivfTopK probes nearest cells and achieves useful recall") {
