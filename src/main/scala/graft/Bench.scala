@@ -22,12 +22,30 @@ object Bench {
     // events needs the nanos conf; warm through the same loader queries use
     try graft.sources.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => }
-    // per-query progress on stderr (stdout stays the single JSON line):
-    // a run killed mid-way still names every completed query and its
-    // elapsed time, so a degraded-host window can't zero the signal
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // per-query progress on stderr (stdout stays the single JSON line);
+    // cost-ascending order (SparkEntry.gateOrder) so a wall-clock-limited
+    // run finishes the cheap queries before the scrape/streaming tail
+    val ordered = SparkEntry.gateOrder(SparkEntry.queries.keys)
+      .map(n => n -> SparkEntry.queries(n))
     val t00 = System.nanoTime()
-    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+    var results = Vector.empty[(String, Double, Boolean)]
+    // complete machine-readable JSON of the results-so-far: a run killed
+    // mid-way (round 9's bench died rc=124 → "parsed": null) leaves this
+    // file parseable for everything that completed; "partial":true marks
+    // a snapshot, the final rewrite drops the flag
+    def resultJson(rs: Seq[(String, Double, Boolean)], partial: Boolean): String = {
+      // a failed query records its time-to-fail but is flagged ok:false —
+      // a crash must never read as a fast success
+      val qs = rs.map { case (k, v, ok) => s"""\"$k\":{"sec":$v,"ok":$ok}""" }
+        .mkString("{", ",", "}")
+      val failed = rs.filterNot(_._3).map(_._1)
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val partialField = if (partial) s""","partial":true,"completed":${rs.size},"of":${ordered.size}""" else ""
+      s"""{"metric":"total","value":${rs.map(_._2).sum},"unit":"sec","queries":$qs,"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"$partialField}"""
+    }
+    val partialPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTIAL", "BENCH_PARTIAL.json"))
+    ordered.zipWithIndex.foreach { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -37,18 +55,22 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      results :+= ((name, sec, ok))
       System.err.println(f"[bench ${i + 1}%2d/${ordered.size}] $name " +
         f"$sec%.2fs ok=$ok (total ${(System.nanoTime() - t00) / 1e9}%.0fs)")
-      (name, sec, ok)
+      // atomic-enough rewrite (tmp + move) so a kill mid-write can't
+      // leave a torn JSON file behind
+      try {
+        val tmp = partialPath.resolveSibling(partialPath.getFileName.toString + ".tmp")
+        java.nio.file.Files.writeString(tmp, resultJson(results, partial = true) + "\n")
+        java.nio.file.Files.move(tmp, partialPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case _: Throwable => () } // partial file is best-effort
     }
-    // a failed query records its time-to-fail but is flagged ok:false and
-    // counted in "failed" — a crash must never read as a fast success
-    val qs = results.map { case (k, v, ok) => s"""\"$k\":{"sec":$v,"ok":$ok}""" }
-      .mkString("{", ",", "}")
-    val failed = results.filterNot(_._3).map(_._1)
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"}""")
+    val finalJson = resultJson(results, partial = false)
+    try java.nio.file.Files.writeString(partialPath, finalJson + "\n")
+    catch { case _: Throwable => () }
+    println(finalJson)
     spark.stop()
   }
 }

@@ -36,7 +36,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val names = SparkEntry.queries.keys.toSeq.sorted.filter(keep)
+    // cost-ascending, not alphabetical: a timeout then truncates only the
+    // expensive scrape/streaming tail (see SparkEntry.gateOrder)
+    val names = SparkEntry.gateOrder(SparkEntry.queries.keys).filter(keep)
     val t00 = System.nanoTime()
     names.zipWithIndex.foreach { case (name, i) =>
       val t0 = System.nanoTime()

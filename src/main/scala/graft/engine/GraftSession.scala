@@ -29,6 +29,19 @@ object GraftSession {
       // 2 MB does not move the local benchmark, which is overhead-bound)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Local-master resilience: the executor heartbeats the in-process
+      // driver, and on `spark.executor.heartbeat.maxFailures` consecutive
+      // misses Spark SELF-KILLS the JVM (ExecutorExitCode 56) — on a
+      // contended host whose hypervisor stalls the VM for minutes (CPU
+      // steal), a long gate run can die mid-write with shutdown hooks
+      // deleting spools under in-flight jobs. Heartbeat loss carries no
+      // signal when driver and executor share a JVM, so make the
+      // self-kill effectively unreachable and widen the RPC timeout. On
+      // a real cluster the deployer's conf overrides these — there the
+      // heartbeat IS the liveness contract.
+      .config("spark.executor.heartbeatInterval", "30s")
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeat.maxFailures", "10000")
 
   /** Local session as the driver harness runs it. A checkpoint directory
     * is always set (Spool-managed temp root, deleted on JVM exit) so the

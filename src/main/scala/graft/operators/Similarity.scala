@@ -99,12 +99,18 @@ object Similarity {
     * at 6-decimal fixed point, floor(scale·1e6 + 0.5) as BIGINT, for the
     * same cross-engine reason (a rounded DOUBLE near a half boundary
     * could tie-break differently between engines). Zero vectors quantize
-    * to scale_fp 0 and all-zero components.
+    * to scale_fp 0 and all-zero components. The scale is CLAMPED at 1e12
+    * (so scale_fp ≤ 1e18, inside int64 in every engine): unclamped,
+    * a denormal-ish max|x| below ~1.3e-10 would push scale_fp past
+    * Long.MaxValue, where Spark's cast saturates but other engines
+    * (e.g. DuckDB's CAST AS BIGINT) raise — the clamp keeps the two
+    * sides bit-identical over the full double domain instead of
+    * diverging on pathological vectors.
     */
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
     val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
-    val scale = when(mx > 0, lit(127.0) / mx).otherwise(lit(0.0))
+    val scale = when(mx > 0, least(lit(127.0) / mx, lit(1.0e12))).otherwise(lit(0.0))
     val q = transform(v, x => floor(x * scale + lit(0.5)).cast("long"))
     emb.select(col(idCol).as("vec_id"),
       size(v).cast("long").as("n_dims"),

@@ -620,12 +620,14 @@ object DocumentSuite {
          |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin,
 
-    // floor(x·scale + 0.5) with scale = 127/max|x|: identical double ops
-    // in both engines, and every emitted aggregate is an exact integer
+    // floor(x·scale + 0.5) with scale = 127/max|x| clamped at 1e12 (same
+    // LEAST in Similarity.quantizeInt8 — keeps scale_fp inside int64 for
+    // pathological tiny-magnitude vectors): identical double ops in both
+    // engines, and every emitted aggregate is an exact integer
     "a4_embed_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
-        |s AS (SELECT vec_id, v, CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS sc FROM m),
+        |s AS (SELECT vec_id, v, CASE WHEN mx > 0 THEN LEAST(127.0 / mx, 1000000000000.0) ELSE 0.0 END AS sc FROM m),
         |q AS (SELECT vec_id, sc,
         |        list_transform(v, x -> CAST(FLOOR(x * sc + 0.5) AS BIGINT)) AS qv
         |      FROM s)

@@ -10,10 +10,10 @@ import graft.sources.HtmlSource
   *
   * Inputs are the reference's own test fixtures (read-only); the sfDir
   * argument is unused because these operators consume HTML, not the
-  * TPC-H-ish tables. s5/s8 are rows-only (nested-table HTML extraction
-  * is not expressible in DuckDB SQL) with ground truth in ScrapeSpec,
-  * checked against values read directly from the fixture pages;
-  * s1/s2/s3/s4 replay their flat-regex extractions over `read_text`, and
+  * TPC-H-ish tables. s8 is rows-only (the recursive multi-wave crawl is
+  * beyond one SQL statement) with ground truth in ScrapeSpec, checked
+  * against values read directly from the fixture pages;
+  * s1/s2/s3/s4/s5 replay their extractions over `read_text`, and
   * s6/s7 operate on the BUILT star schema, which IS relational — they
   * land it as parquet and carry DuckDB oracles over the landed tables
   * (see [[oracles]]).
@@ -61,19 +61,37 @@ object ScrapeSuite {
     // own: the landed tables must outlive THIS process (the driver's
     // DuckDB replay of the oracle SQL below runs after Verify's JVM has
     // exited), so a same-JVM shutdown hook would break the s6/s7 oracle
-    // check — instead each new graft JVM garbage-collects the dirs whose
-    // owning pid is gone. Net effect: at most one such dir (the most
-    // recent JVM's) survives a full gate run. Live pids are skipped, so
-    // a concurrent verification run is never swept mid-read.
-    val stale = new java.io.File(tmp).listFiles()
-    if (stale != null) stale.foreach { f =>
-      val n = f.getName
-      if (n.startsWith("graft_star_oracle_")) {
-        val alive = n.stripPrefix("graft_star_oracle_").toLongOption
-          .exists(pid => ProcessHandle.of(pid).isPresent)
-        if (!alive) graft.sources.Spool.deleteRecursively(f.toPath)
+    // check — instead each new graft JVM garbage-collects abandoned
+    // sibling dirs. Live pids are skipped, so a concurrent verification
+    // run is never swept mid-read.
+    // Deletion requires BOTH (a) the owning pid gone AND (b) the dir
+    // older than the sweep horizon. The age guard is what makes the gate
+    // ordering-safe: any graft JVM that loads this object AFTER Verify
+    // exits but BEFORE the driver's DuckDB compare (e.g. Bench in the
+    // same gate run) sees a dead owner pid, but the freshly-landed
+    // parquet is minutes old — it survives. Only genuinely abandoned
+    // dirs from a previous gate window (>6 h) are collected. The whole
+    // sweep is best-effort: an undeletable foreign dir (permissions,
+    // another user on a shared host) must never fail allocation of THIS
+    // process's own dir — a throw here would be an
+    // ExceptionInInitializerError that breaks every scrape query in the
+    // JVM.
+    try {
+      val horizonMs = 6L * 3600 * 1000
+      val now = System.currentTimeMillis()
+      val stale = new java.io.File(tmp).listFiles()
+      if (stale != null) stale.foreach { f =>
+        try {
+          val n = f.getName
+          if (n.startsWith("graft_star_oracle_")) {
+            val alive = n.stripPrefix("graft_star_oracle_").toLongOption
+              .exists(pid => ProcessHandle.of(pid).isPresent)
+            if (!alive && now - f.lastModified() > horizonMs)
+              graft.sources.Spool.deleteRecursively(f.toPath)
+          }
+        } catch { case _: Exception => () } // skip undeletable siblings
       }
-    }
+    } catch { case _: Exception => () }
     s"$tmp/graft_star_oracle_${ProcessHandle.current().pid()}"
   }
 
@@ -175,12 +193,46 @@ object ScrapeSuite {
 
   // --- SQL fragment builders for the s3/s4 read_text replays --------------
   /** DuckDB twin of Html.text + String.trim over a fragment expression:
-    * tags stripped to '', &nbsp; to space, then both ends trimmed with
-    * [\x00-\x20] (exactly java.lang.String.trim's class).
+    * tags stripped to '', the fixed entity set Html.decode handles
+    * (nbsp/lt/gt/quot/apos/amp) replaced, then both ends trimmed with
+    * [\x00-\x20] (exactly java.lang.String.trim's class). `&amp;` is
+    * replaced LAST: Html.decode is a single left-to-right scan, so
+    * `&amp;lt;` decodes to the literal text `&lt;` — with amp last the
+    * chain does the same (`&amp;lt;` matches no earlier pattern, then
+    * amp yields `&lt;`), whereas amp-first would double-decode to `<`.
+    * Numeric character references stay fixture-only (none appear in the
+    * reference fixture corpus; the Scala side handles them generally).
     */
-  private def htmlTextSql(e: String): String =
-    s"regexp_replace(regexp_replace(replace(regexp_replace($e, '<[^>]*>', '', 'g'), " +
-      "'&nbsp;', ' '), '^[\\x00-\\x20]+', ''), '[\\x00-\\x20]+$', '')"
+  private def htmlTextSql(e: String): String = jtrimSql(cellTextSql(e))
+
+  /** Html.text alone — decode(stripTags(_)), NO trim: the cell-value twin
+    * for s5's play/roster cells, where the Scala side applies `.trim`
+    * only to specific fields (outs, pitch count, roster names) and keeps
+    * e.g. play descriptions byte-exact.
+    *
+    * stripTags is a '<'/'>' state machine, so a BARE '>' outside any tag
+    * is consumed as a tag-end and never emitted (pitch sequences like
+    * "B>F>X" lose their '>'s) — hence the extra replace AFTER the tag
+    * regex and BEFORE entity decode, so a '>' born from '&gt;' still
+    * survives exactly as in decode-after-stripTags order.
+    */
+  private def cellTextSql(e: String): String =
+    "replace(replace(replace(replace(replace(replace(replace(" +
+      s"regexp_replace($e, '<[^>]*>', '', 'g'), " +
+      "'>', ''), " +
+      "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+      "'&apos;', ''''), '&amp;', '&')"
+
+  /** java.lang.String.trim twin: both ends trimmed with [\x00-\x20]
+    * (exactly trim's "all control chars <= U+0020" class, a superset of
+    * RE2's \s).
+    */
+  private def jtrimSql(e: String): String =
+    s"regexp_replace(regexp_replace($e, '^[\\x00-\\x20]+', ''), '[\\x00-\\x20]+$$', '')"
+
+  /** BBRefParse.stripName twin (Java replaceAll is global → 'g'). */
+  private def stripNameSql(e: String): String =
+    s"regexp_replace(regexp_replace($e, ' \\w\\.', '', 'g'), ' [J|S]r\\.', '', 'g')"
 
   /** Html.elements(_, tag) as a non-overlapping regex: open tag must be
     * followed by space/'>'/tab/newline, inner runs to the FIRST close tag
@@ -188,9 +240,151 @@ object ScrapeSuite {
     */
   private def elemRe(tag: String) = s"(?s)<$tag(?:>|[ \\t\\n][^>]*>)(.*?)</$tag>"
 
-  /** s5/s8 stay rows-only (their output depends on parsing HTML
-    * bodies — nested tables, data-stat cells — which DuckDB cannot
-    * replicate), but s1 classifies on the FILENAME alone — DuckDB's
+  /** The DuckDB twin of BBRefParse.parseRosters/parsePlays +
+    * Entities.resolvePlays — s5 end to end, no landed intermediate.
+    *
+    * Extraction replay (the part that was long declared rows-only):
+    *  - Html.placeholderComments ≡ one scan regex `class="placeholder"
+    *    .*?<!--(.*?)-->` (each marker's FIRST following comment; fixture
+    *    pages never interleave two markers before one comment);
+    *  - roster = first two "batting" comment tables → `th` cells carrying
+    *    data-append-csv + data-stat="player", name = first-anchor text
+    *    trimmed, with the collision rule replayed as a group count (a
+    *    stripped name shared by ≥2 rows of a side keeps both raws —
+    *    equivalent to the reference's sequential pass for every corpus
+    *    without chained cross-collisions, bbref_pages.py:169-185);
+    *  - plays = the play_by_play comment table → `tr` ids starting
+    *    "event_", play_num = ordinal among them, cells re-keyed by
+    *    data-stat with th-then-td order (Scala's toMap overwrite ≡ take
+    *    LAST), value = Html.text (entity chain, NO trim); a row missing
+    *    inning/outs-int/on-base/batter/pitcher drops on both sides.
+    * The appearance-counter resolution (windows over play_num) is plain
+    * SQL, mirroring resolvePlays clause for clause.
+    */
+  private def s5OracleSql: String = {
+    def cellOf(stat: String) = s"list_filter(cells, c -> c.stat = '$stat')[-1].txt"
+    def cellPresent(stat: String) = s"len(list_filter(cells, c -> c.stat = '$stat')) > 0"
+    val outsInt = s"TRY_CAST(${jtrimSql(cellOf("outs"))} AS INTEGER)"
+    // plain vals (no interpolation) so regex '$'s stay literal
+    val thElem = "(?s)<th(?:>|[ \\t\\n][^>]*>).*?</th>"
+    val tdElem = "(?s)<td(?:>|[ \\t\\n][^>]*>).*?</td>"
+    val trElem = "(?s)<tr(?:>|[ \\t\\n][^>]*>).*?</tr>"
+    val trInner = "(?s)^<tr(?:>|[ \\t\\n][^>]*>)(.*)</tr>$"
+    val cellInner = "(?s)^<t[hd](?:>|[ \\t\\n][^>]*>)(.*)</t[hd]>$"
+    s"""WITH f AS (
+       |  SELECT regexp_replace(regexp_extract(filename, '([^/]+)$$', 1), '\\.s?html$$', '') AS game_name_id,
+       |         content
+       |  FROM read_text('$FixtureDir/**/*.shtml')
+       |  WHERE regexp_matches(regexp_replace(regexp_extract(filename, '([^/]+)$$', 1), '\\.s?html$$', ''),
+       |                       '${HtmlSource.GameIdRe}')),
+       |pc AS (
+       |  SELECT game_name_id,
+       |    regexp_extract_all(content, '(?s)class="placeholder".*?<!--(.*?)-->', 1) AS comments
+       |  FROM f),
+       |seg AS (
+       |  SELECT game_name_id,
+       |    list_filter(comments, c -> contains(c, 'batting') AND contains(c, '<table'))[1:2] AS bts,
+       |    list_filter(comments, c -> contains(c, 'id="play_by_play"') AND contains(c, '<table'))[1] AS pbp
+       |  FROM pc),
+       |rtab AS (
+       |  SELECT game_name_id, CASE s.i WHEN 1 THEN 'away' ELSE 'home' END AS side, bts[s.i] AS tbl
+       |  FROM seg, (VALUES (1), (2)) s(i) WHERE len(bts) >= s.i),
+       |rth AS (
+       |  SELECT game_name_id, side,
+       |    list_filter(
+       |      regexp_extract_all(tbl, '$thElem'),
+       |      c -> regexp_matches(c, '^<th[^>]*[ \\t\\n]data-append-csv="') AND
+       |           regexp_matches(c, '^<th[^>]*[ \\t\\n]data-stat="player"')) AS ths
+       |  FROM rtab),
+       |rrow AS (
+       |  SELECT game_name_id, side, u.r.idx AS idx,
+       |    ${htmlTextSql(s"regexp_extract(u.r.elem, '${elemRe("a")}', 1)")} AS raw_name,
+       |    regexp_extract(u.r.elem, '[ \\t\\n]data-append-csv="([^"]*)"', 1) AS name_id
+       |  FROM rth,
+       |    (SELECT unnest(list_transform(ths, (x, i) -> struct_pack(elem := x, idx := i - 1))) ) u(r)),
+       |roster AS (
+       |  SELECT game_name_id, side, idx, name_id,
+       |    CASE WHEN count(*) OVER (PARTITION BY game_name_id, side, ${stripNameSql("raw_name")}) > 1
+       |         THEN raw_name ELSE ${stripNameSql("raw_name")} END AS name
+       |  FROM rrow),
+       |ptr AS (
+       |  SELECT game_name_id,
+       |    list_filter(
+       |      regexp_extract_all(pbp, '$trElem'),
+       |      t -> regexp_matches(t, '^<tr[^>]*[ \\t\\n]id="event_')) AS trs
+       |  FROM seg WHERE pbp IS NOT NULL),
+       |prow AS (
+       |  SELECT game_name_id, u.r.play_num AS play_num,
+       |    list_transform(
+       |      list_concat(
+       |        regexp_extract_all(regexp_extract(u.r.elem, '$trInner', 1), '$thElem'),
+       |        regexp_extract_all(regexp_extract(u.r.elem, '$trInner', 1), '$tdElem')),
+       |      c -> struct_pack(
+       |        stat := regexp_extract(c, '[ \\t\\n]data-stat="([^"]*)"', 1),
+       |        txt := ${cellTextSql(s"regexp_extract(c, '$cellInner', 1)")})) AS cells
+       |  FROM ptr,
+       |    (SELECT unnest(list_transform(trs, (x, i) -> struct_pack(elem := x, play_num := i - 1))) ) u(r)),
+       |rawplays AS (
+       |  SELECT game_name_id, play_num,
+       |    ${cellOf("inning")} AS inning,
+       |    $outsInt AS outs,
+       |    ${cellOf("runners_on_bases_pbp")} AS on_base,
+       |    COALESCE(${jtrimSql(cellOf("pitches_pbp"))}, '') AS pitch_ct,
+       |    COALESCE(${cellOf("play_desc")}, '') AS play_desc,
+       |    ${cellOf("batter")} AS batter,
+       |    ${cellOf("pitcher")} AS pitcher
+       |  FROM prow
+       |  WHERE ${cellPresent("inning")} AND $outsInt IS NOT NULL
+       |    AND ${cellPresent("runners_on_bases_pbp")} AND ${cellPresent("batter")} AND ${cellPresent("pitcher")}),
+       |ids AS (
+       |  SELECT game_name_id, side, name, list(name_id ORDER BY idx) AS ids
+       |  FROM roster GROUP BY 1, 2, 3),
+       |rnames AS (SELECT DISTINCT game_name_id AS rg, side AS rs, name AS rn FROM roster),
+       |sided AS (
+       |  SELECT *,
+       |    CASE WHEN substr(inning, 1, 1) = 't' THEN 'away' ELSE 'home' END AS batter_side,
+       |    CASE WHEN substr(inning, 1, 1) = 't' THEN 'home' ELSE 'away' END AS pitcher_side
+       |  FROM rawplays),
+       |named AS (
+       |  SELECT s.*,
+       |    COALESCE(rb.rn, ${stripNameSql("s.batter")}) AS batter_res,
+       |    COALESCE(rp.rn, ${stripNameSql("s.pitcher")}) AS pitcher_res
+       |  FROM sided s
+       |  LEFT JOIN rnames rb ON s.game_name_id = rb.rg AND s.batter_side = rb.rs AND s.batter = rb.rn
+       |  LEFT JOIN rnames rp ON s.game_name_id = rp.rg AND s.pitcher_side = rp.rs AND s.pitcher = rp.rn),
+       |appear AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY game_name_id, batter_side, batter_res ORDER BY play_num) - 1 AS batter_appear,
+       |    CASE WHEN lead(pitcher) OVER (PARTITION BY game_name_id ORDER BY play_num) IS NOT NULL
+       |           AND lead(pitcher) OVER (PARTITION BY game_name_id ORDER BY play_num) <> pitcher
+       |         THEN 1 ELSE 0 END AS pchange
+       |  FROM named),
+       |appear2 AS (
+       |  SELECT *,
+       |    COALESCE(sum(pchange) OVER (PARTITION BY game_name_id, pitcher_side, pitcher_res ORDER BY play_num
+       |                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pitcher_appear
+       |  FROM appear),
+       |resolved AS (
+       |  SELECT a.*,
+       |    ib.ids[CAST(a.batter_appear % len(ib.ids) AS INTEGER) + 1] AS batter_name_id,
+       |    ip.ids[CAST(a.pitcher_appear % len(ip.ids) AS INTEGER) + 1] AS pitcher_name_id
+       |  FROM appear2 a
+       |  LEFT JOIN ids ib ON a.game_name_id = ib.game_name_id AND a.batter_side = ib.side AND a.batter_res = ib.name
+       |  LEFT JOIN ids ip ON a.game_name_id = ip.game_name_id AND a.pitcher_side = ip.side AND a.pitcher_res = ip.name)
+       |SELECT game_name_id, play_num,
+       |  2 * (CAST(substr(inning, 2) AS INTEGER) - 1)
+       |    + CASE WHEN substr(inning, 1, 1) = 't' THEN 0 ELSE 1 END AS inning_half,
+       |  outs AS start_outs,
+       |  CASE WHEN substr(on_base, 1, 1) <> '-' THEN 1 ELSE 0 END
+       |    + CASE WHEN substr(on_base, 2, 1) <> '-' THEN 2 ELSE 0 END
+       |    + CASE WHEN substr(on_base, 3, 1) <> '-' THEN 4 ELSE 0 END AS start_on_base,
+       |  play_desc AS "desc", pitch_ct, batter_name_id, pitcher_name_id
+       |FROM resolved
+       |ORDER BY game_name_id, play_num""".stripMargin
+  }
+
+  /** s8 stays rows-only (the recursive multi-wave crawl is genuinely
+    * beyond one SQL statement), but s1 classifies on the FILENAME alone — DuckDB's
     * `read_text` lists the same fixture tree and the same anchored
     * regexes run under RE2 — s2's per-block first-em/first-anchor walk
     * is recomputable as ONE non-greedy dotall regex over the raw bytes
@@ -200,9 +394,11 @@ object ScrapeSuite {
     * info-block slice, the first `h1`, the first two `Bats:/Throws:`
     * hands — a malformed page drops on both sides), and s6/s7 consume
     * the BUILT schema, landed at [[StarOracleDir]], so DuckDB recomputes
-    * them from parquet and hash-checks the results.
+    * them from parquet and hash-checks the results. s5 — the round-9
+    * stretch goal — replays the full play pipeline in [[s5OracleSql]].
     */
   val oracles: Map[String, String] = Map(
+    "s5_play_parse" -> s5OracleSql,
     // the DuckDB twin of BBRefParse.parsePlayerE: seg = html from
     // id="info"; name = text of the first h1 (tags stripped to '',
     // exactly like Html.stripTags); hands = first two

@@ -250,10 +250,21 @@ object Entities {
       existing.get("player")))
     val gameIdsF = Future(alignedIds(games.select(col("nameId").as("game_name_id")),
       Seq("game_name_id"), "game_id", existing.get("game")))
-    val venues = Await.result(venuesF, Duration.Inf)
-    val teams = Await.result(teamsF, Duration.Inf)
-    val playerIds = Await.result(playerIdsF, Duration.Inf)
-    val gameIds = Await.result(gameIdsF, Duration.Inf)
+    // Await ALL FOUR before extracting any result: awaiting them one by
+    // one would let the first failure propagate while the remaining
+    // futures keep submitting Spark jobs whose errors are silently
+    // dropped and whose jobs could interleave with caller cleanup (e.g.
+    // spark.stop()). Future.sequence still fails fast on the FIRST
+    // error, so wait for the stragglers explicitly before rethrowing —
+    // no orphan job outlives this call.
+    val all = Future.sequence(Seq(venuesF, teamsF, playerIdsF, gameIdsF))
+    val Seq(venues, teams, playerIds, gameIds) =
+      try Await.result(all, Duration.Inf)
+      catch { case e: Throwable =>
+        Seq(venuesF, teamsF, playerIdsF, gameIdsF)
+          .foreach(f => scala.util.Try(Await.result(f, Duration.Inf)))
+        throw e
+      }
     val playerDim = playerAttrs.join(broadcast(playerIds), Seq("name_id"))
     val gameStarDf = gameStar(games, venues, teams).join(
       broadcast(gameIds), Seq("game_name_id"))

@@ -59,6 +59,27 @@ object Spool {
     p.toString
   }
 
+  /** A driver-local temp root on the fastest available filesystem —
+    * tmpfs (`/dev/shm`) when present and writable, else the regular temp
+    * dir. For transient per-run metadata whose durability is worthless
+    * past the JVM (e.g. finite streaming drains' checkpoint WAL: offsets,
+    * commits, state-store deltas, rewritten every micro-batch): on tmpfs
+    * those writes cost memory bandwidth instead of disk fsyncs, which is
+    * the difference between a micro-batch costing milliseconds and
+    * hundreds under IO contention. NEVER use for data that must survive
+    * the process — same deletion-on-exit contract as [[tempRoot]].
+    */
+  def fastTempRoot(tag: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
+      val p = java.nio.file.Files.createTempDirectory(
+        shm, s"graft_${tag}_${java.util.UUID.randomUUID().toString.take(12)}")
+      cleanupHook
+      tempSpools.add(p)
+      p.toString
+    } else tempRoot(tag)
+  }
+
   /** A fresh spool directory for `tag`, resolved per the rules above. */
   def dir(spark: SparkSession, tag: String): String = {
     val unique = s"graft_${tag}_${java.util.UUID.randomUUID().toString.take(12)}"

@@ -273,31 +273,55 @@ object EventStreams {
     result
   }
 
+  /** Shared checkpoint root for all finite drains in this JVM, on tmpfs
+    * when available (Spool.fastTempRoot): a drain's checkpoint WAL —
+    * offsets, commits, per-partition state-store deltas, each rewritten
+    * every micro-batch — is worthless past the JVM, so paying disk
+    * fsyncs for it is pure fixed overhead (round 9 measured 25-40×
+    * micro-batch amplification under host IO contention; batch queries
+    * on the same host barely moved). Each query checkpoints under its
+    * own subdirectory (unique queryName, or a UUID for unnamed queries).
+    * An unbounded deployment overrides this with a durable shared-FS
+    * location per query — THAT checkpoint is the recovery contract;
+    * this one is scoped to drains only.
+    */
+  private lazy val drainCheckpointRoot: String =
+    graft.sources.Spool.fastTempRoot("stream_ckpt")
+
   /** Start a streaming query with the finite-drain tuning: 8 shuffle
-    * partitions instead of the session's 32. State-store instances (and
-    * per-micro-batch tasks) equal the shuffle-partition count captured at
+    * partitions instead of the session's 32 (state-store instances and
+    * per-micro-batch tasks equal the shuffle-partition count captured at
     * query start, and a finite drain's state holds a few thousand rows —
-    * 32 stores are pure fixed overhead. Results are partition-count
-    * independent; an unbounded deployment sizes this to key cardinality
-    * via its own conf. The session conf is restored after start returns
-    * a running query (the captured value is read during query startup,
-    * which `start()` completes synchronously for planning).
+    * 32 stores are pure fixed overhead); checkpoints on the tmpfs drain
+    * root; checkpoint file checksums off (a crash-recovery integrity
+    * feature — for a drain whose checkpoint dies with the JVM it only
+    * doubles the WAL file count). Results are partition-count
+    * independent; an unbounded deployment sizes/overrides these via its
+    * own conf. The session confs are restored after the drain finishes
+    * (each value is captured at query start, which `start()` completes
+    * synchronously for planning).
     */
   private def withDrainConf(spark: SparkSession)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): org.apache.spark.sql.streaming.StreamingQuery = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    val tuned = Seq(
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.streaming.checkpointLocation" -> drainCheckpointRoot,
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val q = start
-      // finish the drain before restoring the conf; if the drain itself
+      // finish the drain before restoring the confs; if the drain itself
       // fails, stop the query before rethrowing — otherwise the caller's
       // try/finally q.stop() (installed only after we return) never runs
       // and the query + its state stores leak for the session's lifetime
       try q.processAllAvailable()
       catch { case e: Throwable => scala.util.Try(q.stop()); throw e }
       q
-    } finally spark.conf.set(key, prev)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   /** Run a finite streaming query into a memory sink and return the

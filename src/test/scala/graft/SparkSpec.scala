@@ -11,6 +11,12 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // same local-mode hardening as GraftSession.builder: without it a
+    // hypervisor-stall burst makes the in-process executor miss enough
+    // heartbeats that Spark System.exit(56)s the whole test JVM
+    .config("spark.executor.heartbeatInterval", "30s")
+    .config("spark.network.timeout", "600s")
+    .config("spark.executor.heartbeat.maxFailures", "10000")
     .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"
