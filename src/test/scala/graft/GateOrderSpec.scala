@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the driver-gate contracts added in round 10 — no Spark session,
+  * so the suite is effectively free.
+  *
+  * The gate order is load-bearing: the driver's Verify/Bench window is
+  * wall-clock-bounded, and round 9 lost 12 green CORRECTNESS rows
+  * because the alphabetical order ran the expensive scrape/streaming
+  * tail before the sub-10-second text queries. A future operator whose
+  * key slips into the wrong family would silently re-create that
+  * failure mode.
+  */
+class GateOrderSpec extends AnyFunSuite {
+
+  test("gateOrder is a permutation of its input") {
+    val names = SparkEntry.queries.keys.toSeq
+    assert(SparkEntry.gateOrder(names).sorted == names.sorted)
+  }
+
+  test("every cheap-family query precedes the heavy scrape + streaming tail") {
+    val ordered = SparkEntry.gateOrder(SparkEntry.queries.keys)
+    val pos = ordered.zipWithIndex.toMap
+    val heavy = Set("s4_game_meta_parse", "s5_play_parse", "s6_star_schema_build") ++
+      ordered.filter(_.startsWith("st"))
+    val cheap = ordered.filterNot(heavy)
+    assert(cheap.nonEmpty && heavy.nonEmpty)
+    assert(cheap.map(pos).max < heavy.map(pos).min,
+      s"a heavy query runs before a cheap one: ${ordered.mkString(", ")}")
+    assert(ordered.takeRight(7).forall(_.startsWith("st")),
+      "the streaming drains must run last (most micro-batch overhead under contention)")
+  }
+
+  test("every query is oracle-checked except the declared rows-only s8") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("s8_crawl_frontier"),
+      s"undeclared rows-only queries: ${noOracle - "s8_crawl_frontier"}")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracle SQL without a query: $orphaned")
+  }
+
+  test("fastTempRoot allocates a writable dir, on tmpfs when available") {
+    val dir = graft.sources.Spool.fastTempRoot("gatespec")
+    val p = java.nio.file.Paths.get(dir)
+    assert(java.nio.file.Files.isDirectory(p) && java.nio.file.Files.isWritable(p))
+    if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+      assert(dir.startsWith("/dev/shm/"),
+        s"tmpfs available but fastTempRoot chose $dir")
+  }
+}
