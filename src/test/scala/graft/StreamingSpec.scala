@@ -106,6 +106,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming operators run unchanged on the RocksDB state store (large-state scale path)") {
+    // The finite drains run on the default HDFS-backed provider (state
+    // fits in memory at gate scale); a 100 TB deployment with large
+    // keyed state flips ONE conf to RocksDB. Prove the operators are
+    // provider-agnostic: same rows from the built-in windowed agg and a
+    // non-empty custom-state (flatMapGroupsWithState) drain under
+    // org.apache.spark...RocksDBStateStoreProvider (rocksdbjni ships
+    // with Spark). The conf is read per query start, so setting it on
+    // the session scopes it to these drains; restored after.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val default = EventStreams.windowedAgg(spark, sfDir)
+      .orderBy("bucket_s", "event_type").collect()
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = EventStreams.windowedAgg(spark, sfDir)
+        .orderBy("bucket_s", "event_type").collect()
+      assert(rocks.toSeq == default.toSeq,
+        s"RocksDB result diverged: ${rocks.length} vs ${default.length} rows")
+      assert(EventStreams.sessionize(spark, sfDir).count() > 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("st5: streamed interval join equals the batch self-join") {
     val streamed = EventStreams.streamStreamJoin(spark, sfDir)
       .orderBy("user_id").collect()
