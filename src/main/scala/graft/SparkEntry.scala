@@ -32,14 +32,20 @@ object SparkEntry {
     * family plus st7 - because the alphabetical order ran the
     * scrape+streaming tail first). Family ranks from measured per-query
     * cost (r07-r09 bench logs): text t (0.1-10 s), then relational q,
-    * dedup d, ANN a, multimodal m, cheap scrape s1/s2/s3/s7/s8, heavy
-    * scrape s4/s5/s6 (the full-corpus parse + star build), and last the
-    * streaming st drains (micro-batch scheduling, the part most
+    * dedup d, ANN a, multimodal m, cheap scrape s1/s2/s3/s8, heavy
+    * scrape s4/s5/s6/s7 (the full-corpus parse + star build), and last
+    * the streaming st drains (micro-batch scheduling, the part most
     * amplified by a contended host). Within a family, numeric order
-    * keeps the sequence deterministic.
+    * keeps the sequence deterministic. s7 belongs to the HEAVY family
+    * despite being a cheap aggregation: it consumes the memoized star
+    * build, so running it after s6 reuses the landed tables (~1 s),
+    * while running it in the cheap group forces it to pay the whole
+    * parse + build + land cost itself (measured 90 s at sf-independent
+    * fixture scale in the first r10 bench).
     */
   def gateOrder(names: Iterable[String]): Seq[String] = {
-    val heavyScrape = Set("s4_game_meta_parse", "s5_play_parse", "s6_star_schema_build")
+    val heavyScrape = Set("s4_game_meta_parse", "s5_play_parse",
+      "s6_star_schema_build", "s7_player_stats")
     def rank(n: String): (Int, Int) = {
       val fam =
         if (n.startsWith("st")) 7

@@ -13,19 +13,36 @@ object Tables {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as a nanos LONG (legacy conf) and
-    * surface it as a micros-precision timestamp — truncation, not
-    * rounding, matching how every ms/sec-level comparison floors.
+  /** `events.ts` has shipped in two physical shapes across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects outright — read as a nanos LONG via the legacy conf)
+    * and plain TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark
+    * reads as TIMESTAMP_NTZ). [[normalizeEventTs]] maps either to the
+    * engine-wide convention: a micros-precision TIMESTAMP in the
+    * session's UTC zone. Truncation, not rounding, on the nanos path,
+    * matching how every ms/sec-level comparison floors.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = t(spark, dir, "events")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    // integer division: `/` would promote the ~1e18 ns long to double
-    // (53-bit mantissa) and floor to the wrong microsecond for ~12% of
-    // ms-aligned values
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(t(spark, dir, "events"))
+  }
+
+  /** Surface `ts` as a micros TIMESTAMP regardless of physical type.
+    * The NTZ→LTZ cast reinterprets the naive value in the session time
+    * zone, which [[graft.engine.GraftSession]] pins to UTC — the same
+    * instant DuckDB's oracle sees reading the file natively.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      // integer division: `/` would promote the ~1e18 ns long to double
+      // (53-bit mantissa) and floor to the wrong microsecond for ~12% of
+      // ms-aligned values
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")

@@ -21,23 +21,23 @@ object EventStreams {
 
   private val qid = new AtomicInteger(0)
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType), // ns since epoch
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** Streaming scan of events.parquet (ts surfaced as micros timestamp,
     * same convention as Tables.events).
+    *
+    * A streaming source needs an explicit schema, and the physical type
+    * of `ts` varies across testdata generations (nanos LONG vs micros
+    * TIMESTAMP_NTZ — see [[graft.sources.Tables.normalizeEventTs]]), so
+    * the schema is taken from a one-footer batch peek at the same file
+    * and the ts normalization is shared with the batch loader.
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet") // the stream root is the sf dir
       .parquet(dir)
-      // integer division, matching Tables.events (double division would
-      // mis-floor ~12% of ms-aligned nanosecond values)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.normalizeEventTs(raw)
   }
 
   /** Tumbling-window streaming aggregation with an event-time watermark.

@@ -22,7 +22,8 @@ class GateOrderSpec extends AnyFunSuite {
   test("every cheap-family query precedes the heavy scrape + streaming tail") {
     val ordered = SparkEntry.gateOrder(SparkEntry.queries.keys)
     val pos = ordered.zipWithIndex.toMap
-    val heavy = Set("s4_game_meta_parse", "s5_play_parse", "s6_star_schema_build") ++
+    val heavy = Set("s4_game_meta_parse", "s5_play_parse",
+      "s6_star_schema_build", "s7_player_stats") ++
       ordered.filter(_.startsWith("st"))
     val cheap = ordered.filterNot(heavy)
     assert(cheap.nonEmpty && heavy.nonEmpty)
@@ -30,6 +31,10 @@ class GateOrderSpec extends AnyFunSuite {
       s"a heavy query runs before a cheap one: ${ordered.mkString(", ")}")
     assert(ordered.takeRight(7).forall(_.startsWith("st")),
       "the streaming drains must run last (most micro-batch overhead under contention)")
+    // s7 aggregates over the memoized star build: after s6 it reuses the
+    // landed tables; before s6 it pays the full parse+build cost itself
+    assert(pos("s6_star_schema_build") < pos("s7_player_stats"),
+      "s7 must follow s6 to reuse the shared star build")
   }
 
   test("every query is oracle-checked except the declared rows-only s8") {
