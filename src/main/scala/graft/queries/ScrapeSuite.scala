@@ -10,9 +10,9 @@ import graft.sources.HtmlSource
   *
   * Inputs are the reference's own test fixtures (read-only); the sfDir
   * argument is unused because these operators consume HTML, not the
-  * TPC-H-ish tables. s8 is rows-only (the recursive multi-wave crawl is
-  * beyond one SQL statement) with ground truth in ScrapeSpec, checked
-  * against values read directly from the fixture pages;
+  * TPC-H-ish tables. Every key is oracle-checked: s8's multi-wave crawl
+  * replays as a maxWaves-bounded unrolled BFS union (see [[s8OracleSql]],
+  * with ScalaTest ground truth in CrawlSpec/ScrapeSpec besides);
   * s1/s2/s3/s4/s5 replay their extractions over `read_text`, and
   * s6/s7 operate on the BUILT star schema, which IS relational — they
   * land it as parquet and carry DuckDB oracles over the landed tables
@@ -383,8 +383,94 @@ object ScrapeSuite {
        |ORDER BY game_name_id, play_num""".stripMargin
   }
 
-  /** s8 stays rows-only (the recursive multi-wave crawl is genuinely
-    * beyond one SQL statement), but s1 classifies on the FILENAME alone — DuckDB's
+  /** The DuckDB twin of [[graft.scrape.Crawl.frontier]] — the last query
+    * to gain an oracle (declared rows-only through round 10). The BFS is
+    * replayed as a maxWaves-bounded unrolled union rather than a
+    * recursive CTE: recursive-CTE UNION dedups whole rows, but a page
+    * rediscovered at a later depth differs in its `depth` column, so the
+    * "first discovery wave wins" semantics need an anti-join against ALL
+    * prior waves — exactly what the unrolled `seen` accumulators express,
+    * and exactly the `left_anti` in Crawl.frontier.
+    *
+    * The link edges are extracted ONCE from every cached page: schedule →
+    * boxscore ids via the s2 regex + the nameIdOf twin (last path
+    * component minus .s?html), game → roster ids via the s5 roster cells
+    * (placeholder "batting" comment tables, th cells with data-append-csv
+    * + data-stat="player"), gated on the same scorebox-teams
+    * precondition as parseGameE (≥2 /teams/ anchors in the scorebox
+    * slice — a game page failing that parses to Left and contributes no
+    * roster on the Spark side either). Player pages are leaves. Wave d =
+    * DISTINCT dst of edges from (wave d-1 ∩ in-cache), minus everything
+    * already discovered; edges exist only for cached pages, so joining on
+    * src reproduces the cache semi-join, and an empty wave leaves all
+    * later waves empty, matching the loop's early exit. Reference
+    * semantics under test: nodes.py:9-58 (ScrapeNode DFS with
+    * skip-existing).
+    */
+  private def s8OracleSql: String = {
+    val maxWaves = 8 // Crawl.frontier's default bound
+    val thElem = "(?s)<th(?:>|[ \\t\\n][^>]*>).*?</th>"
+    val base =
+      s"""WITH cache AS MATERIALIZED (
+         |  SELECT regexp_replace(regexp_extract(filename, '([^/]+)$$', 1), '\\.s?html$$', '') AS name_id,
+         |         content
+         |  FROM read_text('$FixtureDir/**/*.shtml')),
+         |typed AS MATERIALIZED (
+         |  SELECT name_id, content,
+         |    CASE WHEN regexp_matches(name_id, '${HtmlSource.GameIdRe}') THEN 'GamePage'
+         |         WHEN regexp_matches(name_id, '${HtmlSource.PlayerIdRe.replace("'", "''")}') THEN 'PlayerPage'
+         |         WHEN name_id LIKE '%schedule%' THEN 'SchedulePage'
+         |         ELSE 'unknown' END AS page_type
+         |  FROM cache),
+         |cids AS MATERIALIZED (SELECT DISTINCT name_id FROM typed),
+         |sedges AS MATERIALIZED (
+         |  SELECT src, regexp_replace(regexp_extract(u, '([^/]+)$$', 1), '\\.s?html$$', '') AS dst
+         |  FROM (SELECT name_id AS src,
+         |               unnest(regexp_extract_all(content, '(?s)<p class="game">.*?<em>\\s*<a href="([^"]+)"', 1)) AS u
+         |        FROM typed WHERE page_type = 'SchedulePage')
+         |  WHERE u NOT LIKE '%/previews/%'),
+         |gpages AS MATERIALIZED (
+         |  SELECT name_id, content,
+         |    strpos(content, 'class="scorebox"') AS sb,
+         |    strpos(content, 'class="scorebox_meta"') AS mi
+         |  FROM typed WHERE page_type = 'GamePage'),
+         |ggated AS MATERIALIZED (
+         |  SELECT name_id, content FROM gpages
+         |  WHERE sb > 0 AND len(list_filter(
+         |    regexp_extract_all(substr(content, sb, CASE WHEN mi > sb THEN mi - sb ELSE 20000 END),
+         |      '(?s)<a(?:>|[ \\t\\n][^>]*>).*?</a>'),
+         |    a -> regexp_extract(a, '[ \\t\\n]href="([^"]*)"', 1) LIKE '/teams/%')) >= 2),
+         |gedges AS MATERIALIZED (
+         |  SELECT name_id AS src,
+         |         regexp_extract(th, '[ \\t\\n]data-append-csv="([^"]*)"', 1) AS dst
+         |  FROM (
+         |    SELECT name_id,
+         |      unnest(flatten(list_transform(
+         |        list_filter(regexp_extract_all(content, '(?s)class="placeholder".*?<!--(.*?)-->', 1),
+         |          c -> contains(c, 'batting') AND contains(c, '<table'))[1:2],
+         |        t -> list_filter(regexp_extract_all(t, '$thElem'),
+         |          c -> regexp_matches(c, '^<th[^>]*[ \\t\\n]data-append-csv="') AND
+         |               regexp_matches(c, '^<th[^>]*[ \\t\\n]data-stat="player"'))))) AS th
+         |    FROM ggated)),
+         |edges AS MATERIALIZED (SELECT src, dst FROM sedges UNION ALL SELECT src, dst FROM gedges),
+         |l0 AS MATERIALIZED (SELECT name_id, 0 AS depth, TRUE AS in_cache FROM typed WHERE page_type = 'SchedulePage'),
+         |seen0 AS MATERIALIZED (SELECT name_id FROM l0)""".stripMargin
+    val waves = (1 to maxWaves).map { d =>
+      s"""w$d AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS name_id
+         |  FROM edges e JOIN l${d - 1} p ON e.src = p.name_id AND p.in_cache
+         |  WHERE e.dst NOT IN (SELECT name_id FROM seen${d - 1})),
+         |l$d AS MATERIALIZED (
+         |  SELECT w.name_id, $d AS depth, (c.name_id IS NOT NULL) AS in_cache
+         |  FROM w$d w LEFT JOIN cids c ON w.name_id = c.name_id),
+         |seen$d AS MATERIALIZED (SELECT name_id FROM seen${d - 1} UNION ALL SELECT name_id FROM w$d)""".stripMargin
+    }
+    val union = (0 to maxWaves)
+      .map(d => s"SELECT name_id, depth, in_cache FROM l$d").mkString("\nUNION ALL ")
+    (base +: waves).mkString(",\n") + "\n" + union + "\nORDER BY depth, name_id"
+  }
+
+  /** s1 classifies on the FILENAME alone — DuckDB's
     * `read_text` lists the same fixture tree and the same anchored
     * regexes run under RE2 — s2's per-block first-em/first-anchor walk
     * is recomputable as ONE non-greedy dotall regex over the raw bytes
@@ -398,6 +484,7 @@ object ScrapeSuite {
     * stretch goal — replays the full play pipeline in [[s5OracleSql]].
     */
   val oracles: Map[String, String] = Map(
+    "s8_crawl_frontier" -> s8OracleSql,
     "s5_play_parse" -> s5OracleSql,
     // the DuckDB twin of BBRefParse.parsePlayerE: seg = html from
     // id="info"; name = text of the first h1 (tags stripped to '',

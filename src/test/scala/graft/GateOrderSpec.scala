@@ -37,10 +37,13 @@ class GateOrderSpec extends AnyFunSuite {
       "s7 must follow s6 to reuse the shared star build")
   }
 
-  test("every query is oracle-checked except the declared rows-only s8") {
+  test("every query is oracle-checked — full DuckDB coverage, no rows-only keys") {
+    // r11 closed the last gap: s8's multi-wave crawl replays as a
+    // maxWaves-bounded unrolled BFS union (ScrapeSuite.s8OracleSql), so
+    // a new operator shipping without an oracle is a regression, not a
+    // declaration.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("s8_crawl_frontier"),
-      s"undeclared rows-only queries: ${noOracle - "s8_crawl_frontier"}")
+    assert(noOracle.isEmpty, s"undeclared rows-only queries: $noOracle")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracle SQL without a query: $orphaned")
   }
