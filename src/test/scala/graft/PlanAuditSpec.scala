@@ -142,6 +142,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("a1/a3/q9: rank<=k windows get a partial WindowGroupLimit before the shuffle") {
+    // The 100 TB safety of every "rank <= k" window rests on Spark 4.1's
+    // InferWindowGroupLimit inserting a group limit BEFORE the window
+    // shuffle: without it a1 materializes the whole corpus per query
+    // partition and a3 shuffles corpus x nProbe rows before dropping all
+    // but k. That plan shape is load-bearing, so a conf or version change
+    // that loses it must fail here, not melt a cluster.
+    Seq("a1_ann_brute_topk", "a3_ann_ivf", "q9_window_rank_topk",
+        "t9_tfidf").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name: no WindowGroupLimit in the physical plan\n$plan")
+      assert(plan.linesIterator.exists(l =>
+          l.contains("WindowGroupLimit") && l.contains("Partial")),
+        s"$name: WindowGroupLimit is not partial (map-side) before the exchange\n$plan")
+    }
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

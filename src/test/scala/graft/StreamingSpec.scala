@@ -115,18 +115,29 @@ class StreamingSpec extends SparkSpec {
     // org.apache.spark...RocksDBStateStoreProvider (rocksdbjni ships
     // with Spark). The conf is read per query start, so setting it on
     // the session scopes it to these drains; restored after.
+    // One (sortCols, query) pair per distinct STATE SHAPE a large
+    // deployment puts on RocksDB: windowed agg (st1), custom
+    // flatMapGroupsWithState (st2), watermarked dedup (st4), the
+    // interval stream-stream join's two-sided buffers (st5), and the
+    // built-in session_window's merging state (st7).
+    val shapes: Seq[(String, Seq[String], (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      ("st1 windowed agg", Seq("bucket_s", "event_type"), EventStreams.windowedAgg),
+      ("st2 sessionize", Seq("user_id", "session_id"), EventStreams.sessionize),
+      ("st4 dedup", Seq("event_type"), EventStreams.streamDedupCount),
+      ("st5 interval join", Seq("user_id"), EventStreams.streamStreamJoin),
+      ("st7 session window", Seq("user_id", "start_ms"), EventStreams.sessionWindowAgg))
     val key = "spark.sql.streaming.stateStore.providerClass"
-    val default = EventStreams.windowedAgg(spark, sfDir)
-      .orderBy("bucket_s", "event_type").collect()
+    val defaults = shapes.map { case (label, sort, q) =>
+      label -> q(spark, sfDir).orderBy(sort.map(col): _*).collect().toSeq
+    }
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val rocks = EventStreams.windowedAgg(spark, sfDir)
-        .orderBy("bucket_s", "event_type").collect()
-      assert(rocks.toSeq == default.toSeq,
-        s"RocksDB result diverged: ${rocks.length} vs ${default.length} rows")
-      assert(EventStreams.sessionize(spark, sfDir).count() > 0)
+    try shapes.zip(defaults).foreach { case ((label, sort, q), (_, default)) =>
+      assert(default.nonEmpty, s"$label: empty default-provider result")
+      val rocks = q(spark, sfDir).orderBy(sort.map(col): _*).collect().toSeq
+      assert(rocks == default,
+        s"$label diverged on RocksDB: ${rocks.length} vs ${default.length} rows")
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
