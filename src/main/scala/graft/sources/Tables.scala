@@ -33,13 +33,25 @@ object Tables {
     * instant DuckDB's oracle sees reading the file natively.
     */
   def normalizeEventTs(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, concat, expr, lit, raise_error, timestamp_micros, when}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Nanos-only LONG contract guard: a future testdata generation
+    // shipping millis or micros as INT64 would otherwise be silently
+    // scaled 1000x wrong. Any nanos-since-epoch value after 1990 exceeds
+    // 6.3e17 while micros/millis stay below ~4e15, so a lower bound
+    // separates the encodings; the check is one codegen'd comparison per
+    // row (no driver-side sampling job) and raises on the first bad row.
+    val NanosFloor = 631152000000000000L // 1990-01-01T00:00Z in nanos
     df.schema("ts").dataType match {
       // integer division: `/` would promote the ~1e18 ns long to double
       // (53-bit mantissa) and floor to the wrong microsecond for ~12% of
       // ms-aligned values
-      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(
+          when(col("ts") >= NanosFloor, expr("ts div 1000"))
+            .otherwise(raise_error(concat(
+              lit("events.ts LONG is not nanos-since-epoch (got "),
+              col("ts").cast("string"), lit(")"))))))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _                => df
     }

@@ -30,9 +30,18 @@ object EventStreams {
     * the schema is taken from a one-footer batch peek at the same file
     * and the ts normalization is shared with the batch loader.
     */
+  // One footer peek per (session, dir): streamStreamJoin builds two
+  // stream sides and a 7-query gate builds many, so an uncached peek
+  // would re-read the events footer (and register a throwaway batch
+  // relation) once per call. The schema of a given file is immutable
+  // for the life of a session, so a plain memo is safe.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StructType]()
+
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = schemaCache.computeIfAbsent((spark, dir),
+      { case (s, d) => s.read.parquet(s"$d/events.parquet").schema })
     val raw = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet") // the stream root is the sf dir
