@@ -42,9 +42,16 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = schemaCache.computeIfAbsent((spark, dir),
       { case (s, d) => s.read.parquet(s"$d/events.parquet").schema })
+    // events*.parquet, not events.parquet: the stream root is the sf dir
+    // (so the glob must exclude the OTHER tables), but a real deployment
+    // lands events as a SEQUENCE of files — a single-file glob would
+    // silently ignore every arrival after the first. The wildcard keeps
+    // the sf-dir layout working (no other table name starts with
+    // "events") while letting incrementally-arriving files feed new
+    // micro-batches (proven in StreamingSpec's two-phase arrival test).
     val raw = spark.readStream
       .schema(schema)
-      .option("pathGlobFilter", "events.parquet") // the stream root is the sf dir
+      .option("pathGlobFilter", "events*.parquet")
       .parquet(dir)
     graft.sources.Tables.normalizeEventTs(raw)
   }
@@ -98,7 +105,18 @@ object EventStreams {
     *    watermark lands EXACTLY on lastTs + gap (timeout is re-armed 1 ms
     *    late) — unreachable in a single-drain and a 1 ms window beyond it.
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    drain(sessionizePlan(spark, dir), OutputMode.Append())
+
+  /** The UN-DRAINED streaming plan behind [[sessionize]] — what a
+    * production deployment passes to its own `writeStream` (checkpoint,
+    * trigger, sink of choice) instead of the finite memory-sink drain.
+    * Exposed separately so the multi-batch state continuity can be
+    * driven and asserted directly (StreamingSpec's two-phase arrival
+    * test): the gate's one-shot drain exercises a single data
+    * micro-batch, but the operator's contract is incremental.
+    */
+  def sessionizePlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val gapMs = 1800000L
     // keep the watermarked `ts` attribute in the projection:
@@ -149,7 +167,7 @@ object EventStreams {
           closed.result().iterator
         }
     }
-    drain(out.toDF(), OutputMode.Append())
+    out.toDF()
   }
 
   /** Sessionization with the BUILT-IN session window — the declarative

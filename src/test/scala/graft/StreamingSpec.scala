@@ -144,6 +144,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st2 state survives micro-batch boundaries: two-phase file arrival equals one drain") {
+    // The gate's one-shot drain feeds sessionize a SINGLE data
+    // micro-batch, so it never proves what the operator claims: that
+    // per-user session state carries across batches, the watermark
+    // advances between them, and a session spanning an arrival boundary
+    // still comes out whole. Split the events by time at the median,
+    // land the first half, process it, land the second half into the
+    // LIVE query, process again — the final emitted set must equal the
+    // single-drain result row for row.
+    val root = java.nio.file.Files.createTempDirectory("graft_incr").toFile
+    def landAs(df: org.apache.spark.sql.DataFrame, fileName: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_half").toFile
+      df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/p")
+      val part = new java.io.File(s"$tmp/p").listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(root, fileName).toPath)
+      graft.sources.Spool.deleteRecursively(tmp.toPath)
+    }
+    val ev = Tables.events(spark, sfDir)
+    val medianUs = ev.select(unix_micros(col("ts")).as("tsm"))
+      .stat.approxQuantile("tsm", Array(0.5), 0.001)(0).toLong
+    landAs(ev.filter(unix_micros(col("ts")) <= medianUs), "events.parquet")
+    val cp = java.nio.file.Files.createTempDirectory("graft_incr_cp").toString
+    val q = EventStreams.sessionizePlan(spark, root.toString)
+      .writeStream.format("memory").queryName("graft_incr_sessions")
+      .outputMode("append").option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      val afterFirst = spark.table("graft_incr_sessions").count()
+      landAs(ev.filter(unix_micros(col("ts")) > medianUs), "events_2.parquet")
+      q.processAllAvailable()
+      // Compare on the DURABLE key (user_id, first_ts_ms) + the session
+      // content, NOT on session_id: the mid-stream watermark evicts
+      // timed-out state, so a returning user restarts at session_id = 1
+      // — the documented reason session_id is only unique within a state
+      // lifetime and the upsert key is (user_id, first_ts_ms). Session
+      // BOUNDARIES and counts must be identical to the single drain.
+      def keyed(rows: Seq[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getAs[Long]("user_id"), r.getAs[Long]("first_ts_ms"),
+         r.getAs[Long]("last_ts_ms"), r.getAs[Long]("n_events"))).toSet
+      val twoPhase = spark.table("graft_incr_sessions").collect().toSeq
+      val oneDrain = EventStreams.sessionize(spark, sfDir).collect().toSeq
+      assert(keyed(twoPhase) == keyed(oneDrain),
+        s"incremental run diverged: ${twoPhase.length} vs ${oneDrain.length} rows; " +
+          s"only-incremental=${(keyed(twoPhase) -- keyed(oneDrain)).take(3)} " +
+          s"only-single=${(keyed(oneDrain) -- keyed(twoPhase)).take(3)}")
+      assert(twoPhase.size == keyed(twoPhase).size,
+        "duplicate (user, first_ts) sessions emitted across batches")
+      assert(afterFirst < twoPhase.size,
+        "second arrival produced no new sessions — the test did not exercise a second batch")
+    } finally {
+      q.stop()
+      graft.sources.Spool.deleteRecursively(root.toPath)
+      graft.sources.Spool.deleteRecursively(java.nio.file.Paths.get(cp))
+    }
+  }
+
   test("st5: streamed interval join equals the batch self-join") {
     val streamed = EventStreams.streamStreamJoin(spark, sfDir)
       .orderBy("user_id").collect()
