@@ -8,6 +8,29 @@ import graft.streaming.EventStreams
 
 class StreamingSpec extends SparkSpec {
 
+  /** Land `df` as a SINGLE parquet file `root/fileName` — the shape the
+    * event stream's file source picks up as one arrival.
+    */
+  private def landSingleParquet(df: org.apache.spark.sql.DataFrame,
+                                root: java.io.File, fileName: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_half").toFile
+    df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/p")
+    val part = new java.io.File(s"$tmp/p").listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, new java.io.File(root, fileName).toPath)
+    graft.sources.Spool.deleteRecursively(tmp.toPath)
+  }
+
+  /** The durable session identity: (user, first_ts, last_ts, n_events).
+    * session_id is deliberately excluded — it restarts at 1 after state
+    * eviction (the documented reason the upsert key is (user_id,
+    * first_ts_ms)), so only boundaries and counts are stable across
+    * different micro-batch placements of the same data.
+    */
+  private def sessionKeys(rows: Seq[org.apache.spark.sql.Row]) = rows.map(r =>
+    (r.getAs[Long]("user_id"), r.getAs[Long]("first_ts_ms"),
+     r.getAs[Long]("last_ts_ms"), r.getAs[Long]("n_events"))).toSet
+
   test("st1: streaming windowed agg equals the batch aggregation") {
     val streamed = EventStreams.windowedAgg(spark, sfDir)
       .orderBy("bucket_s", "event_type").collect()
@@ -154,15 +177,8 @@ class StreamingSpec extends SparkSpec {
     // LIVE query, process again — the final emitted set must equal the
     // single-drain result row for row.
     val root = java.nio.file.Files.createTempDirectory("graft_incr").toFile
-    def landAs(df: org.apache.spark.sql.DataFrame, fileName: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_half").toFile
-      df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/p")
-      val part = new java.io.File(s"$tmp/p").listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        new java.io.File(root, fileName).toPath)
-      graft.sources.Spool.deleteRecursively(tmp.toPath)
-    }
+    def landAs(df: org.apache.spark.sql.DataFrame, fileName: String): Unit =
+      landSingleParquet(df, root, fileName)
     val ev = Tables.events(spark, sfDir)
     val medianUs = ev.select(unix_micros(col("ts")).as("tsm"))
       .stat.approxQuantile("tsm", Array(0.5), 0.001)(0).toLong
@@ -176,27 +192,71 @@ class StreamingSpec extends SparkSpec {
       val afterFirst = spark.table("graft_incr_sessions").count()
       landAs(ev.filter(unix_micros(col("ts")) > medianUs), "events_2.parquet")
       q.processAllAvailable()
-      // Compare on the DURABLE key (user_id, first_ts_ms) + the session
-      // content, NOT on session_id: the mid-stream watermark evicts
-      // timed-out state, so a returning user restarts at session_id = 1
-      // — the documented reason session_id is only unique within a state
-      // lifetime and the upsert key is (user_id, first_ts_ms). Session
-      // BOUNDARIES and counts must be identical to the single drain.
-      def keyed(rows: Seq[org.apache.spark.sql.Row]) = rows.map(r =>
-        (r.getAs[Long]("user_id"), r.getAs[Long]("first_ts_ms"),
-         r.getAs[Long]("last_ts_ms"), r.getAs[Long]("n_events"))).toSet
+      // Compare on the durable session identity (see [[sessionKeys]]):
+      // session boundaries and counts must be identical to the single
+      // drain even though session_id counters restart after eviction.
       val twoPhase = spark.table("graft_incr_sessions").collect().toSeq
       val oneDrain = EventStreams.sessionize(spark, sfDir).collect().toSeq
-      assert(keyed(twoPhase) == keyed(oneDrain),
+      assert(sessionKeys(twoPhase) == sessionKeys(oneDrain),
         s"incremental run diverged: ${twoPhase.length} vs ${oneDrain.length} rows; " +
-          s"only-incremental=${(keyed(twoPhase) -- keyed(oneDrain)).take(3)} " +
-          s"only-single=${(keyed(oneDrain) -- keyed(twoPhase)).take(3)}")
-      assert(twoPhase.size == keyed(twoPhase).size,
+          s"only-incremental=${(sessionKeys(twoPhase) -- sessionKeys(oneDrain)).take(3)} " +
+          s"only-single=${(sessionKeys(oneDrain) -- sessionKeys(twoPhase)).take(3)}")
+      assert(twoPhase.size == sessionKeys(twoPhase).size,
         "duplicate (user, first_ts) sessions emitted across batches")
       assert(afterFirst < twoPhase.size,
         "second arrival produced no new sessions — the test did not exercise a second batch")
     } finally {
       q.stop()
+      graft.sources.Spool.deleteRecursively(root.toPath)
+      graft.sources.Spool.deleteRecursively(java.nio.file.Paths.get(cp))
+    }
+  }
+
+  test("st2 recovers from a checkpoint restart: stop, new query, no lost sessions") {
+    // The failure mode a 1000-executor deployment actually hits: the
+    // query DIES between arrivals (redeploy, preemption) and a NEW query
+    // starts from the same checkpoint. Offsets and per-user session
+    // state must restore, and the union of what the two incarnations
+    // emitted — deduped on the durable key, which is how the st6 upsert
+    // sink absorbs the replayed tail batch — must equal the single-drain
+    // result. Loss here would be silent at scale; this pins it.
+    val root = java.nio.file.Files.createTempDirectory("graft_rst").toFile
+    val ev = Tables.events(spark, sfDir)
+    val medianUs = ev.select(unix_micros(col("ts")).as("tsm"))
+      .stat.approxQuantile("tsm", Array(0.5), 0.001)(0).toLong
+    landSingleParquet(ev.filter(unix_micros(col("ts")) <= medianUs), root, "events.parquet")
+    val cp = java.nio.file.Files.createTempDirectory("graft_rst_cp").toString
+    // foreachBatch, not the memory sink: Spark refuses to recover a
+    // memory-sink query from an existing checkpoint (not fault-tolerant),
+    // and foreachBatch-to-an-idempotent-store is the real deployment
+    // sink shape here anyway (st6). Replayed batches after the restart
+    // re-emit rows; the durable-key set absorbs them, which IS the
+    // at-least-once + idempotent-upsert contract under test.
+    val landed = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    def run(): Int = {
+      val before = landed.size()
+      val q = EventStreams.sessionizePlan(spark, root.toString)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => landed.add((r.getAs[Long]("user_id"),
+            r.getAs[Long]("first_ts_ms"), r.getAs[Long]("last_ts_ms"),
+            r.getAs[Long]("n_events"))))
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      landed.size() - before
+    }
+    try {
+      run() // first incarnation, then it "dies"
+      landSingleParquet(ev.filter(unix_micros(col("ts")) > medianUs), root, "events_2.parquet")
+      val emitted2 = run() // restarted from the same checkpoint
+      assert(emitted2 > 0, "restarted query emitted nothing — recovery did not resume")
+      val recovered = landed.toArray(Array.empty[(Long, Long, Long, Long)]).toSet
+      val oneDrain = sessionKeys(EventStreams.sessionize(spark, sfDir).collect().toSeq)
+      assert(recovered == oneDrain,
+        s"restart lost or invented sessions: only-recovered=${(recovered -- oneDrain).take(3)} " +
+          s"only-single=${(oneDrain -- recovered).take(3)}")
+    } finally {
       graft.sources.Spool.deleteRecursively(root.toPath)
       graft.sources.Spool.deleteRecursively(java.nio.file.Paths.get(cp))
     }
