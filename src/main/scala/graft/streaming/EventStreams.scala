@@ -62,16 +62,23 @@ object EventStreams {
     * with an unbounded source the same plan runs in append mode and the
     * watermark bounds state.
     */
-  def windowedAgg(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventStream(spark, dir)
+  def windowedAgg(spark: SparkSession, dir: String): DataFrame =
+    drain(windowedAggPlan(spark, dir), OutputMode.Complete())
+
+  /** The un-drained windowed-agg plan. The gate drains it in Complete
+    * mode (a finite source must emit every window for the batch-equal
+    * oracle); an unbounded deployment runs the SAME plan in Append mode,
+    * where only watermark-closed windows emit and state stays bounded —
+    * that mode's emission set is pinned in StreamingSpec.
+    */
+  def windowedAggPlan(spark: SparkSession, dir: String): DataFrame =
+    eventStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("bucket_s"), col("event_type"),
         col("n"), col("sum_value"))
-    drain(agg, OutputMode.Complete())
-  }
 
   /** Stateful sessionization via flatMapGroupsWithState: per-user state
     * holds the open session; a gap > 30 min closes it and emits the
@@ -352,9 +359,11 @@ object EventStreams {
   }
 
   /** Run a finite streaming query into a memory sink and return the
-    * materialized table.
+    * materialized table. Package-visible so specs can drain an exposed
+    * plan in a DIFFERENT output mode than the gate query uses (the st1
+    * append-mode emission test).
     */
-  private def drain(df: DataFrame, mode: OutputMode): DataFrame = {
+  private[graft] def drain(df: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"graft_stream_${qid.incrementAndGet()}"
     val q = withDrainConf(df.sparkSession) {
       df.writeStream.format("memory").queryName(name).outputMode(mode).start()

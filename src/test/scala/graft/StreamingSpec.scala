@@ -45,6 +45,32 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("st1 in append mode emits exactly the watermark-closed windows (the unbounded-scale mode)") {
+    // Complete mode re-emits ALL state every trigger — fine for the
+    // finite gate drain, unbounded at 100 TB. The production mode is
+    // Append: a window emits once, when the watermark passes its end,
+    // and its state is dropped. Pin that emission set: batch windows
+    // whose end <= max(ts) - 1h (the final watermark), i.e. every
+    // window except the trailing open ones.
+    val appended = EventStreams.drain(
+      EventStreams.windowedAggPlan(spark, sfDir),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("bucket_s", "event_type").collect().toSeq
+    assert(appended.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+    val wmS = ev.agg(max(unix_timestamp(col("ts")))).head.getLong(0) - 3600L
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("bucket_s"), col("event_type"),
+        col("n"), col("sum_value"))
+      .filter(col("bucket_s") + 3600L <= wmS)
+      .orderBy("bucket_s", "event_type").collect().toSeq
+    assert(appended == batch,
+      s"append-mode emission diverged: ${appended.length} vs ${batch.length} windows")
+  }
+
   test("st2: streamed sessions match batch sessionize (closed + timed-out)") {
     val streamed = EventStreams.sessionize(spark, sfDir)
       .orderBy("user_id", "session_id").collect()
