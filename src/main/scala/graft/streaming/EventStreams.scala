@@ -38,7 +38,14 @@ object EventStreams {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StructType]()
 
-  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+  /** @param maxFilesPerTrigger bound each micro-batch to this many
+    *   files — the backfill throttle: pointing a fresh query at a year
+    *   of landed files with no bound makes batch 1 process the whole
+    *   backlog in one enormous batch (state explosion, no incremental
+    *   checkpoints). None = Spark's default (all available).
+    */
+  def eventStream(spark: SparkSession, dir: String,
+                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = schemaCache.computeIfAbsent((spark, dir),
       { case (s, d) => s.read.parquet(s"$d/events.parquet").schema })
@@ -49,11 +56,11 @@ object EventStreams {
     // the sf-dir layout working (no other table name starts with
     // "events") while letting incrementally-arriving files feed new
     // micro-batches (proven in StreamingSpec's two-phase arrival test).
-    val raw = spark.readStream
+    val reader = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events*.parquet")
-      .parquet(dir)
-    graft.sources.Tables.normalizeEventTs(raw)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    graft.sources.Tables.normalizeEventTs(reader.parquet(dir))
   }
 
   /** Tumbling-window streaming aggregation with an event-time watermark.
@@ -123,14 +130,15 @@ object EventStreams {
     * test): the gate's one-shot drain exercises a single data
     * micro-batch, but the operator's contract is incremental.
     */
-  def sessionizePlan(spark: SparkSession, dir: String): DataFrame = {
+  def sessionizePlan(spark: SparkSession, dir: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val gapMs = 1800000L
     // keep the watermarked `ts` attribute in the projection:
     // EventTimeTimeout requires the event-time column to survive into
     // flatMapGroupsWithState's child output (dropping it is an
     // AnalysisException at plan time); the pre-computed ts_ms rides along
-    val events = eventStream(spark, dir)
+    val events = eventStream(spark, dir, maxFilesPerTrigger)
       .withWatermark("ts", "2 hours")
       .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ts_ms"))
       .as[(Long, java.sql.Timestamp, Long)]

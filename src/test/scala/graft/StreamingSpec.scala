@@ -238,6 +238,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("backfill throttle: maxFilesPerTrigger=1 forces multi-batch, same sessions") {
+    // The backfill scenario: a fresh query pointed at an ALREADY-landed
+    // sequence of files. Unthrottled, batch 1 swallows the whole backlog
+    // (one enormous batch, no incremental checkpoints); with the
+    // maxFilesPerTrigger bound each file is its own micro-batch and the
+    // watermark advances BETWEEN them — the throttled run must still
+    // produce exactly the single-drain session set on the durable key.
+    val root = java.nio.file.Files.createTempDirectory("graft_thr").toFile
+    val ev = Tables.events(spark, sfDir)
+    val medianUs = ev.select(unix_micros(col("ts")).as("tsm"))
+      .stat.approxQuantile("tsm", Array(0.5), 0.001)(0).toLong
+    landSingleParquet(ev.filter(unix_micros(col("ts")) <= medianUs), root, "events.parquet")
+    landSingleParquet(ev.filter(unix_micros(col("ts")) > medianUs), root, "events_2.parquet")
+    val cp = java.nio.file.Files.createTempDirectory("graft_thr_cp").toString
+    val q = EventStreams.sessionizePlan(spark, root.toString, maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("graft_thr_sessions")
+      .outputMode("append").option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 2,
+        s"throttle did not split the backlog: $dataBatches data micro-batches")
+      val throttled = sessionKeys(spark.table("graft_thr_sessions").collect().toSeq)
+      val oneDrain = sessionKeys(EventStreams.sessionize(spark, sfDir).collect().toSeq)
+      assert(throttled == oneDrain,
+        s"throttled backfill diverged: only-throttled=${(throttled -- oneDrain).take(3)} " +
+          s"only-single=${(oneDrain -- throttled).take(3)}")
+    } finally {
+      q.stop()
+      graft.sources.Spool.deleteRecursively(root.toPath)
+      graft.sources.Spool.deleteRecursively(java.nio.file.Paths.get(cp))
+    }
+  }
+
   test("st2 recovers from a checkpoint restart: stop, new query, no lost sessions") {
     // The failure mode a 1000-executor deployment actually hits: the
     // query DIES between arrivals (redeploy, preemption) and a NEW query
