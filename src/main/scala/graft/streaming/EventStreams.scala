@@ -34,9 +34,21 @@ object EventStreams {
   // stream sides and a 7-query gate builds many, so an uncached peek
   // would re-read the events footer (and register a throwaway batch
   // relation) once per call. The schema of a given file is immutable
-  // for the life of a session, so a plain memo is safe.
+  // for the life of a session, so a memo is safe. WEAKLY keyed by the
+  // session: a strong session key would pin every stopped session (and
+  // its whole state) for the JVM's lifetime in long-lived multi-session
+  // processes; with weak keys the entry dies with the session.
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StructType]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, StructType]]()
+  private def cachedSchema(spark: SparkSession, dir: String)
+                          (peek: => StructType): StructType = {
+    val perSession = schemaCache.synchronized {
+      schemaCache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, StructType]())
+    }
+    perSession.computeIfAbsent(dir, _ => peek)
+  }
 
   /** @param maxFilesPerTrigger bound each micro-batch to this many
     *   files — the backfill throttle: pointing a fresh query at a year
@@ -47,8 +59,8 @@ object EventStreams {
   def eventStream(spark: SparkSession, dir: String,
                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = schemaCache.computeIfAbsent((spark, dir),
-      { case (s, d) => s.read.parquet(s"$d/events.parquet").schema })
+    val schema = cachedSchema(spark, dir)(
+      spark.read.parquet(s"$dir/events.parquet").schema)
     // events*.parquet, not events.parquet: the stream root is the sf dir
     // (so the glob must exclude the OTHER tables), but a real deployment
     // lands events as a SEQUENCE of files — a single-file glob would
