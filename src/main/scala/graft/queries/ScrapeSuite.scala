@@ -98,7 +98,14 @@ object ScrapeSuite {
   private val landedCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
   private def landedStar(s: SparkSession): Map[String, DataFrame] =
-    landedCache.computeIfAbsent(s, s => star(s).map { case (name, df) =>
+    landedCache.computeIfAbsent(s, s => {
+      // Land the five tables CONCURRENTLY (scala Futures submitting
+      // independent Spark jobs, the same pattern as the r9 dim-build
+      // parallelization): the writes share no lineage below the cached
+      // parse, so sequential landing just serializes five scheduler
+      // round-trips — wall time of the sum instead of the slowest.
+      // Future.sequence fails fast on the first landing error.
+      //
       // repartition(1), NOT coalesce(1): one file per table is a
       // fixture-scale verification artifact (the production landing path
       // is Scraper's spool, which keeps partitioning), but coalesce
@@ -106,9 +113,17 @@ object ScrapeSuite {
       // every upstream join/window of the table would run in ONE task.
       // repartition inserts a shuffle boundary instead, so the build
       // keeps its parallelism and only the final write is single-file.
-      df.repartition(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$StarOracleDir/$name.parquet")
-      name -> s.read.parquet(s"$StarOracleDir/$name.parquet")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val landed = star(s).toSeq.map { case (name, df) =>
+        Future {
+          df.repartition(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$StarOracleDir/$name.parquet")
+          name -> s.read.parquet(s"$StarOracleDir/$name.parquet")
+        }
+      }
+      Await.result(Future.sequence(landed), Duration.Inf).toMap
     })
 
   /** Drop this session's memoized parse + star schema (test teardown),
