@@ -92,6 +92,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("d2/d4: bucketed candidate joins stay hash-joinable (no nested-loop degeneration)") {
+    // same failure mode the d3/d5 audit pins, for the other two bucketed
+    // dedup families: d2's shingle inverted-index self-join and d4's
+    // simhash pigeonhole-block join must remain equi-joins — a
+    // degeneration to nested-loop scans every bucket pair quadratically
+    Seq("d2_dedup_ngram_jaccard", "d4_dedup_simhash").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name: bucket join degenerated\n$plan")
+    }
+  }
+
   test("d3/d5: salted candidate joins stay equi-joins and prune singleton buckets") {
     Seq("d3_dedup_minhash_lsh", "d5_dedup_embedding").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
