@@ -28,13 +28,29 @@ object Entities {
   final case class PlayerAttempt(nameId: String, err: Option[String],
                                  row: Option[PlayerRow])
 
+  /** A parse call with FULL per-page failure isolation: the Either
+    * channel carries the parser's EXPECTED malformations, but a page the
+    * parser never anticipated (a date div that matches the shape probe
+    * yet fails java.time parsing, a truncated href the splitter indexes
+    * past, any scanner edge) throws — and an uncaught throw in a
+    * mapPartitions task kills the WHOLE season job, where the reference
+    * catches broadly per link and skips (nodes.py:41-47 `except
+    * Exception`). NonFatal only: an OOM must still fail the task.
+    */
+  private def attempt[A](what: String, p: => Either[String, A]): Either[String, A] =
+    try p catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(s"$what: unexpected parse error: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
   /** Parse every game page once, keeping failures as first-class rows. */
   def gameAttempts(pages: DataFrame): Dataset[GameAttempt] = {
     val spark = pages.sparkSession
     import spark.implicits._
     pages.filter(col("page_type") === "GamePage")
       .select("name_id", "html").as[(String, String)]
-      .map { case (nid, html) => parseGameE(nid, html) match {
+      .map { case (nid, html) => attempt("game page", parseGameE(nid, html)) match {
         case Right(g) => GameAttempt(nid, None, Some(g))
         case Left(e)  => GameAttempt(nid, Some(e), None)
       } }
@@ -45,7 +61,7 @@ object Entities {
     import spark.implicits._
     pages.filter(col("page_type") === "PlayerPage")
       .select("name_id", "html").as[(String, String)]
-      .map { case (nid, html) => parsePlayerE(nid, html) match {
+      .map { case (nid, html) => attempt("player page", parsePlayerE(nid, html)) match {
         case Right(r) => PlayerAttempt(nid, None, Some(r))
         case Left(e)  => PlayerAttempt(nid, Some(e), None)
       } }

@@ -193,4 +193,24 @@ class ScrapeSpec extends SparkSpec {
     // appearance cycles the counter)
     assert(cle.map(_._2).distinct.size >= 2)
   }
+
+  test("an unexpected parser exception becomes a ledger row, not a job abort") {
+    // The Either channel carries EXPECTED malformations; this page
+    // instead passes every shape probe and then blows up inside
+    // java.time (a date div whose first word ends in "day," but is not a
+    // date) — before r11 that uncaught throw killed the whole parse job,
+    // where the reference skips the one link (nodes.py:41-47).
+    import spark.implicits._
+    val html =
+      """<div class="scorebox">
+        |<a href="/teams/AAA/2024.shtml">Alpha</a>
+        |<a href="/teams/BBB/2024.shtml">Beta</a>
+        |<div class="scorebox_meta"><div>Funday, Garbage 99, 20XX</div></div>
+        |</div>""".stripMargin
+    val crash = Seq(("AAA202400001", "GamePage", html)).toDF("name_id", "page_type", "html")
+    val att = Entities.gameAttempts(crash).collect()
+    assert(att.length == 1 && att(0).game.isEmpty)
+    assert(att(0).err.exists(_.contains("unexpected parse error")),
+      s"expected an unexpected-error ledger row, got: ${att(0).err}")
+  }
 }
