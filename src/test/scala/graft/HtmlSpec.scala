@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.scrape.Html
+import graft.scrape.{BBRefParse, Html}
 
 class HtmlSpec extends AnyFunSuite {
 
@@ -44,5 +44,36 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.firstAnchor("""pre <a href="/x/y.shtml">Some&nbsp;Name</a> post""")
       .contains(("/x/y.shtml", "Some Name")))
     assert(Html.firstAnchor("no anchors").isEmpty)
+  }
+
+  test("scanner surface is crash-free on adversarial input (seeded fuzz)") {
+    // The scrape path runs these scanners over arbitrary fetched web
+    // content; an uncaught throw in a task is a job abort (the parse
+    // attempt layer isolates parseGameE/parsePlayerE, but the link
+    // extractors run outside it). Deterministic seed - this either
+    // always passes or exposes a real scanner bug with its input.
+    val rnd = new scala.util.Random(42)
+    val alphabet = "<>ab/ \"=!-pemdivtable&;#x09"
+    def randStr(n: Int) = (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val snippets = Seq(
+      "<p class=\"game\"><em><a href=", "<a href=\"", "<!--", "-->", "<div", "</div>",
+      "<table", "<th data-append-csv=\"x\" data-stat=\"player\">", "class=\"placeholder\"",
+      "&amp;&#x41;&#65;&bogus;", "<h1>", "</h1>", "Bats: Left Throws:")
+    def randDoc(): String = (1 to 30).map(_ =>
+      if (rnd.nextBoolean()) snippets(rnd.nextInt(snippets.length)) else randStr(rnd.nextInt(20))).mkString
+    (1 to 20000).foreach { _ =>
+      val doc = randDoc()
+      try {
+        Html.elements(doc, "p").toSeq
+        Html.elements(doc, "th").foreach { case (t, inner) =>
+          Html.attr(t, "data-stat"); Html.text(inner) }
+        Html.placeholderComments(doc).toSeq
+        Html.firstAnchor(doc)
+        Html.text(doc)
+        BBRefParse.scheduleLinks(doc)
+      } catch { case e: Throwable =>
+        fail(s"scanner crashed: ${e.getClass.getName}: ${e.getMessage}\non input: ${doc.take(400)}")
+      }
+    }
   }
 }
