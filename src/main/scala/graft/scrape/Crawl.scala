@@ -10,14 +10,16 @@ import org.apache.spark.sql.functions._
   * are skipped).
   *
   * Spark re-expression: breadth-first waves instead of a driver DFS.
-  * Each wave extracts links from the pages fetched in the previous wave
-  * (distributed flatMap), anti-joins out every id already requested (the
-  * skip-existing semantics — the same operator as q7 / Sinks.
-  * notYetIngested), and serves the remainder from the cache. The driver
-  * loop only tests the per-wave emptiness, so the number of Spark jobs
-  * is bounded by the link-graph depth (2 for schedule→game→player), not
-  * by data volume — at 100 TB of cached pages each wave is one anti-join
-  * plus one semi-join on `name_id`.
+  * The link graph — (src, dst) name_id edges plus per-page presence
+  * rows — is extracted from the HTML corpus in ONE distributed pass
+  * ([[linkGraph]]) and spooled as parquet; each wave then anti-joins out
+  * every id already requested (the skip-existing semantics — the same
+  * operator as q7 / Sinks.notYetIngested) over the id-only spool. The
+  * driver loop only tests the per-wave emptiness, so the number of
+  * Spark jobs is bounded by the link-graph depth (2 for
+  * schedule→game→player), not by data volume — at 100 TB of cached
+  * pages the wholetext scan happens once and each wave is one anti-join
+  * plus one semi-join on `name_id`-size rows.
   *
   * Wave materialization: each wave is appended to a parquet SPOOL
   * directory as soon as it lands and every later reference (the visited
@@ -30,21 +32,52 @@ import org.apache.spark.sql.functions._
   */
 object Crawl {
 
-  /** name_ids linked FROM the given pages: schedule → game boxscores
-    * (bbref_pages.py:90-104 SchedulePage.get_links), game → roster
-    * player pages (bbref_pages.py:228-232 get_page_suffixes). Player
-    * pages are leaves (nodes.py: no children).
+  /** One-pass link-graph extraction: every page contributes a PRESENCE
+    * row (`linked_id` NULL, carrying its `page_type`) plus one row per
+    * outgoing link edge. Link semantics are the reference's page graph:
+    * schedule → game boxscores (bbref_pages.py:90-104
+    * SchedulePage.get_links), game → roster player pages
+    * (bbref_pages.py:228-232 get_page_suffixes); player pages are leaves
+    * (nodes.py: no children). Game edges flow through the FULL
+    * [[BBRefParse.parseGameE]] gate — a page that parses to Left (or
+    * throws unexpectedly; NonFatal is swallowed per page, the same
+    * isolation as Entities' attempt layer / nodes.py:41-47) contributes
+    * no edges, exactly as the per-wave parse did.
+    *
+    * This is THE corpus scan of the crawl: one pass over the wholetext
+    * HTML source yields the whole graph as id-size rows, so BFS waves
+    * join byte-tiny (src, dst) parquet instead of re-scanning HTML — at
+    * 100 TB the wholetext scan is the expensive part and it happens
+    * exactly once (asserted in CrawlSpec).
     */
-  def linkedIds(pages: DataFrame): DataFrame = {
+  def linkGraph(pages: DataFrame): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val fromSchedules = pages.filter(col("page_type") === "SchedulePage")
-      .select("html").as[String]
-      .flatMap(h => BBRefParse.scheduleLinks(h).map(BBRefParse.nameIdOf))
-    val fromGames = Entities.parsedGames(pages)
-      .flatMap(_.roster.map(_.nameId))
-    fromSchedules.union(fromGames).toDF("name_id").distinct()
+    pages.select("name_id", "page_type", "html")
+      .as[(String, String, String)]
+      .flatMap { case (nid, ptype, html) =>
+        val links: Seq[String] =
+          try ptype match {
+            case "SchedulePage" =>
+              BBRefParse.scheduleLinks(html).map(BBRefParse.nameIdOf)
+            case "GamePage" =>
+              BBRefParse.parseGameE(nid, html)
+                .map(_.roster.map(_.nameId): Seq[String]).getOrElse(Nil)
+            case _ => Nil
+          } catch { case scala.util.control.NonFatal(_) => Nil }
+        (nid, ptype, Option.empty[String]) +:
+          links.distinct.map(l => (nid, ptype, Option(l)))
+      }
+      .toDF("name_id", "page_type", "linked_id")
   }
+
+  /** name_ids linked FROM the given pages — the distinct edge
+    * destinations of [[linkGraph]] (one parse pass; live-crawl waves in
+    * [[crawlAndFetch]] consume this over each freshly-fetched wave).
+    */
+  def linkedIds(pages: DataFrame): DataFrame =
+    linkGraph(pages).filter(col("linked_id").isNotNull)
+      .select(col("linked_id").as("name_id")).distinct()
 
   /** Canonical URL of a discovered name_id, by page-type convention
     * (games under /boxes/<home>/, players under /players/<initial>/ —
@@ -118,8 +151,22 @@ object Crawl {
                spoolDir: Option[String] = None): DataFrame = {
     val spark = cache.sparkSession
     val spool = spoolDir.getOrElse(graft.sources.Spool.dir(spark, "frontier"))
+    // ONE pass over the HTML corpus: spool the whole link graph
+    // (presence rows + edges) as id-size parquet, then run every BFS
+    // wave over the spool. Before r12 each wave semi-joined the
+    // wholetext source again — parse work was once-per-page but the
+    // corpus SCAN repeated up to maxWaves times, and at 100 TB the
+    // wholetext scan is the expensive part. This mirrors the s8 DuckDB
+    // oracle's structure (materialized edge CTE, waves over id-only
+    // edges).
+    val graphSpool = graft.sources.Spool.dir(spark, "frontier_graph")
+    linkGraph(cache).write.mode(SaveMode.Overwrite).parquet(graphSpool)
+    val graph = () => spark.read.parquet(graphSpool)
+    val cacheIds = () => graph().filter(col("linked_id").isNull).select("name_id")
+    val edges = () => graph().filter(col("linked_id").isNotNull)
+      .select(col("name_id"), col("linked_id"))
     val ledger = () => spark.read.parquet(spool)
-    cache.filter(col("page_type") === "SchedulePage")
+    graph().filter(col("linked_id").isNull && col("page_type") === "SchedulePage")
       .select(col("name_id"), lit(0).as("depth"), lit(true).as("in_cache"))
       // depth-0 seed (written even when empty: pins the schema). Append:
       // the parquet writer creates the spool dir if needed, and a
@@ -129,13 +176,15 @@ object Crawl {
     var expanding = ledger().limit(1).count() > 0
     while (expanding && depth < maxWaves) {
       depth += 1
-      val wave = cache.join(
-        ledger().filter(col("depth") === depth - 1 && col("in_cache")).select("name_id"),
-        Seq("name_id"), "left_semi")
-      // to-visit = links ⟕anti⟕ already-requested
-      val fresh = linkedIds(wave)
+      // to-visit = dst of edges from the previous wave's served pages
+      // ⟕anti⟕ already-requested; edges exist only for cached pages, so
+      // joining on src reproduces the old cache semi-join
+      val fresh = edges()
+        .join(ledger().filter(col("depth") === depth - 1 && col("in_cache")).select("name_id"),
+          Seq("name_id"), "left_semi")
+        .select(col("linked_id").as("name_id")).distinct()
         .join(ledger().select("name_id"), Seq("name_id"), "left_anti")
-        .join(cache.select(col("name_id"), lit(true).as("in_cache")), Seq("name_id"), "left")
+        .join(cacheIds().withColumn("in_cache", lit(true)), Seq("name_id"), "left")
         .select(col("name_id"), lit(depth).as("depth"),
           coalesce(col("in_cache"), lit(false)).as("in_cache"))
       fresh.write.mode(SaveMode.Append).parquet(spool)

@@ -80,6 +80,69 @@ class CrawlSpec extends SparkSpec {
     assert(tables("play").count() > 50L)
   }
 
+  test("frontier scans the wholetext HTML corpus exactly once") {
+    import java.nio.file._
+    // a PRIVATE copy of the fixture tree: other suites scan FixtureDir
+    // concurrently in this shared JVM, so the scan counter filters on a
+    // path only this test reads
+    val src = Paths.get(ScrapeSuite.FixtureDir)
+    val dst = Files.createTempDirectory("graft_scanonce")
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+    val token = dst.getFileName.toString
+
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.text.TextFileFormat
+    def textScans(p: SparkPlan): Int = {
+      val self = p match {
+        case f: FileSourceScanExec
+            if f.relation.fileFormat.isInstanceOf[TextFileFormat] &&
+              f.relation.location.rootPaths.exists(_.toString.contains(token)) => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case other                    => other.children
+      }
+      self + kids.map(textScans).sum
+    }
+    val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val marker = 987654321L
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        scans.addAndGet(textScans(qe.executedPlan))
+        if (qe.executedPlan.toString.contains(marker.toString)) done.countDown()
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val ledger = Crawl.frontier(HtmlSource.pages(spark, dst.toString))
+      assert(ledger.count() > 0)
+      // bus-order drain marker: the listener bus is FIFO, so once this
+      // execution is observed every frontier execution has been counted
+      spark.range(marker, marker + 1).collect()
+      assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "listener bus did not drain")
+      assert(scans.get() == 1,
+        s"frontier should scan the HTML corpus exactly once, saw ${scans.get()} scans")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      graft.sources.Spool.deleteRecursively(dst)
+    }
+  }
+
   test("frontier over the raw fixture corpus records schedule links as to-visit") {
     val ledger = ScrapeSuite.queries("s8_crawl_frontier")(spark, sfDir).cache()
     assert(ledger.filter(col("depth") === 0).count() == 1L) // 2016-schedule
