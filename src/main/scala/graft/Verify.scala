@@ -19,6 +19,14 @@ object Verify {
       if (args.length > 2) args(2).split(",").toSet else (_ => true)
     val spark = graft.engine.GraftSession.local()
     new java.io.File(outDir).mkdirs()
+    // Pin the s6/s7 star-oracle landing dir to THIS output dir (not the
+    // default pid-scoped temp path): repeated — including name-filtered —
+    // Verify runs against the same outDir then land and reference the
+    // same files, so oracle_sql.json stays consistent with whatever a
+    // previous full run landed instead of pointing at a fresh pid dir
+    // nobody populated.
+    graft.queries.ScrapeSuite.setStarOracleDir(
+      new java.io.File(outDir).getAbsolutePath + "/_star_oracle")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -48,14 +48,37 @@ object ScrapeSuite {
     * directly. A driver-local path is correct here: this is a single-JVM
     * verification artifact, not a production sink (those go through
     * [[graft.sources.Spool]], which refuses non-cluster-visible paths on
-    * real masters). The path is suffixed with THIS process's pid so two
-    * concurrent verification runs on one host never overwrite each
-    * other's landed tables mid-read — pid rather than the Spark
-    * application id because the oracle SQL below is a session-free
-    * static contract (the driver dumps it from the same JVM that lands
-    * the files, so the two always agree on the resolved path).
+    * real masters).
+    *
+    * Resolution: [[setStarOracleDir]] wins when set — Verify pins a path
+    * keyed by its OUTPUT dir, so every (including name-filtered) Verify
+    * run against the same outDir lands and references the SAME path.
+    * Before r12 this was always pid-scoped, so a filtered re-run
+    * rewrote oracle_sql.json to a dir only the NEW pid's JVM could have
+    * landed and check.py failed s6/s7 unless the full set ran in that
+    * JVM. Unset callers (tests, Bench) fall back to the pid-scoped
+    * default below, which keeps concurrent unpinned runs on one host
+    * from overwriting each other's landed tables mid-read.
     */
-  val StarOracleDir: String = {
+  def StarOracleDir: String = {
+    val o = starOracleDirRef.get()
+    if (o != null) o else DefaultStarOracleDir
+  }
+
+  private val starOracleDirRef =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Pin the star-oracle landing dir for this JVM. Must happen before
+    * any scrape query lands tables (asserted): the landed files and the
+    * oracle SQL must resolve the same path.
+    */
+  def setStarOracleDir(dir: String): Unit = {
+    require(landedCache.isEmpty,
+      "star tables already landed — pin the star oracle dir before running scrape queries")
+    starOracleDirRef.set(dir)
+  }
+
+  private lazy val DefaultStarOracleDir: String = {
     val tmp = sys.props("java.io.tmpdir")
     // Sweep stale siblings left by DEAD graft JVMs before allocating our
     // own: the landed tables must outlive THIS process (the driver's
@@ -123,7 +146,17 @@ object ScrapeSuite {
           name -> s.read.parquet(s"$StarOracleDir/$name.parquet")
         }
       }
-      Await.result(Future.sequence(landed), Duration.Inf).toMap
+      // Future.sequence fails fast on the FIRST landing error while the
+      // surviving futures keep writing; await the stragglers before
+      // letting computeIfAbsent complete exceptionally, else a retrying
+      // caller would race fresh Overwrite writes against still-running
+      // orphan writers on the same parquet paths (same pattern as
+      // Entities.starSchemaBuildWith).
+      try Await.result(Future.sequence(landed), Duration.Inf).toMap
+      catch { case e: Throwable =>
+        landed.foreach(f => scala.util.Try(Await.result(f, Duration.Inf)))
+        throw e
+      }
     })
 
   /** Drop this session's memoized parse + star schema (test teardown),
@@ -421,6 +454,18 @@ object ScrapeSuite {
     * later waves empty, matching the loop's early exit. Reference
     * semantics under test: nodes.py:9-58 (ScrapeNode DFS with
     * skip-existing).
+    *
+    * Known divergence class (none reachable with current fixtures): the
+    * `ggated` gate mirrors parseGameE's EXPECTED-failure Left channel
+    * (≥2 /teams/ scorebox anchors), but the Spark side also swallows
+    * UNEXPECTED throws per page (the NonFatal attempt in
+    * Crawl.linkGraph / Entities.attempt). A game page that passes the
+    * scorebox gate yet throws mid-parse (e.g. an unparseable date div)
+    * would contribute no roster edges in Spark but still yield gedges
+    * here. Every current fixture parses cleanly, and a future
+    * divergence fails loudly in Verify rather than silently; if such a
+    * fixture is ever added, extend this gate (e.g. require a parseable
+    * date div) to keep parity.
     */
   private def s8OracleSql: String = {
     val maxWaves = 8 // Crawl.frontier's default bound
@@ -498,7 +543,10 @@ object ScrapeSuite {
     * them from parquet and hash-checks the results. s5 — the round-9
     * stretch goal — replays the full play pipeline in [[s5OracleSql]].
     */
-  val oracles: Map[String, String] = Map(
+  // def, not val: the s6/s7 SQL embeds StarOracleDir, which Verify may
+  // pin (setStarOracleDir) AFTER this object loads — an eager map would
+  // freeze the default pid path into the dumped contract
+  def oracles: Map[String, String] = Map(
     "s8_crawl_frontier" -> s8OracleSql,
     "s5_play_parse" -> s5OracleSql,
     // the DuckDB twin of BBRefParse.parsePlayerE: seg = html from
