@@ -47,8 +47,13 @@ object Tables {
       // (53-bit mantissa) and floor to the wrong microsecond for ~12% of
       // ms-aligned values
       case LongType =>
+        // NULL passes through as a NULL timestamp (what the NTZ path and
+        // the DuckDB oracle both produce) — without the explicit branch a
+        // null ts would fall into raise_error with a NULL-concat message,
+        // aborting the load with an undiagnosable null-message error
         df.withColumn("ts", timestamp_micros(
-          when(col("ts") >= NanosFloor, expr("ts div 1000"))
+          when(col("ts").isNull, lit(null).cast(LongType))
+            .when(col("ts") >= NanosFloor, expr("ts div 1000"))
             .otherwise(raise_error(concat(
               lit("events.ts LONG is not nanos-since-epoch (got "),
               col("ts").cast("string"), lit(")"))))))

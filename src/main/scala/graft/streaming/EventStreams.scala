@@ -59,8 +59,11 @@ object EventStreams {
   def eventStream(spark: SparkSession, dir: String,
                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // peek with the SAME glob the stream reads: a multi-file layout
+    // (events_1.parquet..events_N.parquet — exactly what the wildcard
+    // below enables) has no literal events.parquet to peek at
     val schema = cachedSchema(spark, dir)(
-      spark.read.parquet(s"$dir/events.parquet").schema)
+      spark.read.option("pathGlobFilter", "events*.parquet").parquet(dir).schema)
     // events*.parquet, not events.parquet: the stream root is the sf dir
     // (so the glob must exclude the OTHER tables), but a real deployment
     // lands events as a SEQUENCE of files — a single-file glob would
