@@ -161,7 +161,19 @@ object TextAnalysis {
       .select(col(idCol), explode(split(lower(col(textCol)), "[^a-z]+")).as("term"))
       .filter(length(col("term")) >= minTermLen)
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df = docs where the term appears at least once. The tf >= 1 guard
+    // is always true, but it must stay: a plain count(*) lets Catalyst
+    // prune tf out of this branch, degrading it to a distinct whose
+    // exchange is canonically DIFFERENT from tf's — so ReuseExchange
+    // never fired and the corpus was scanned, lowercased, split and
+    // exploded TWICE (the dominant cost of the query). count(tf) is not
+    // enough either: NullPropagation rewrites count(non-nullable) back
+    // to count(1). The un-foldable reference keeps both branches sharing
+    // one scan + one (id, term) shuffle, and df aggregates the
+    // already-aggregated tf table (tiny, map-side combined) — asserted
+    // in PlanAuditSpec.
+    val dfreq = tf.groupBy("term")
+      .agg(count(when(col("tf") >= 1, lit(1))).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol)
       .orderBy(col("tfidf").desc, col("tf").desc, col("df").asc, col("term").asc)

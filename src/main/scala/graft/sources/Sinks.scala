@@ -203,19 +203,25 @@ object Sinks {
     readJdbc(spark, url, table).select(keys.head, keys.tail: _*)
       .filter(col(keys.head) >= lit(lo) && col(keys.head) <= lit(hi))
 
-  /** Bucketed managed table: pre-shuffles rows into `nBuckets` by the
+  /** Bucketed table: pre-shuffles rows into `nBuckets` by the
     * join key at WRITE time, so every later join/aggregation on that key
-    * is exchange-free (the scan exposes the hash partitioning). This is
+    * is exchange-free (the scan exposes the hash partitioning — the
+    * zero-Exchange read path is plan-audited in PlanAuditSpec). This is
     * the co-located-join posture for fact⋈fact at 100 TB: pay the
-    * shuffle once when the table lands, not on every query.
+    * shuffle once when the table lands, not on every query. `path` makes
+    * the table EXTERNAL at an explicit location (the posture for a
+    * shared-FS landing zone); None lands it under the session warehouse.
     */
   def bucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
-               mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode)
+               mode: SaveMode = SaveMode.Overwrite,
+               path: Option[String] = None): Unit = {
+    val w = df.write.mode(mode)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
-      .saveAsTable(table)
+    path.foreach(p => w.option("path", p))
+    w.saveAsTable(table)
+  }
 
   /** Incremental ingest: keep only rows whose key is not yet in the
     * target (deep-field's exists_in_db skip, bbref_pages.py:58-63), as a

@@ -175,6 +175,59 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bucketed landing: fact join + agg on the bucket key is exchange-free") {
+    // Sinks.bucketed pays the shuffle at WRITE time; this pins the
+    // payoff: re-joining two tables bucketed on the join key (and then
+    // aggregating on it) must introduce ZERO Exchange — at 100 TB this
+    // is the difference between one shuffle and none on every repeated
+    // fact join. The merge hint blocks the broadcast path (sf0.001 dims
+    // fit under the 64 MB threshold) so the test exercises the bucketed
+    // SMJ a fact⋈fact join takes at scale.
+    import org.apache.spark.sql.functions.{col, max, sum}
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    val li = graft.sources.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val ord = graft.sources.Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    try {
+      graft.sources.Sinks.bucketed(li, "graft_bkt_lineitem", "l_orderkey", 8,
+        path = Some(s"$dir/li"))
+      graft.sources.Sinks.bucketed(ord, "graft_bkt_orders", "o_orderkey", 8,
+        path = Some(s"$dir/ord"))
+      val j = spark.table("graft_bkt_lineitem").hint("merge")
+        .join(spark.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("qty"), max("o_totalprice").as("price"))
+      assert(j.collect().nonEmpty) // finalize the (possibly adaptive) plan
+      val plan = j.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed fact join/agg must not shuffle:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      graft.sources.Spool.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
+  test("t9: tf and df share one corpus scan via exchange reuse") {
+    // the df branch aggregates the ALREADY-AGGREGATED tf table by
+    // reusing tf's (id, term) shuffle — without the reuse the corpus is
+    // scanned, lowercased, split and exploded twice (the dominant cost;
+    // the tf>=1 count guard in tfidfTopTerms exists to keep the two
+    // branches canonically identical). AQE only installs ReusedExchange
+    // at execution, so finalize the plan first.
+    val df = SparkEntry.queries("t9_tfidf")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"t9: df branch no longer reuses tf's exchange — corpus scanned twice\n$plan")
+    // exactly one parquet scan of documents in the FINAL adaptive plan
+    // (the executed-plan string also prints the initial plan below the
+    // final one, so slice at the '+- == Initial Plan ==' separator)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(finalPlan).length == 1,
+      s"t9: expected a single corpus scan in the final plan\n$finalPlan")
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
