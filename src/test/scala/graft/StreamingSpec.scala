@@ -322,6 +322,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("crash AFTER sink delivery, BEFORE checkpoint commit: replay is redelivered and absorbed") {
+    // The r11 restart test kills the query BETWEEN arrivals — offsets
+    // and commits agree at the kill point. The nastier 1000-executor
+    // failure is mid-batch: foreachBatch has already handed the batch to
+    // the sink when the driver dies, so the commit log never records it.
+    // On restart Spark finds offsets ahead of commits and REPLAYS the
+    // batch: the sink sees it twice. This drives that exact boundary —
+    // incarnation 2's foreachBatch lands its rows and then throws (crash
+    // after delivery, before commit) — and pins both halves of the
+    // contract: the replay really happens (duplicates observed at the
+    // sink), and the durable-key dedup (st6's upsert semantics) absorbs
+    // it with nothing lost and nothing invented.
+    val root = java.nio.file.Files.createTempDirectory("graft_mid").toFile
+    val ev = Tables.events(spark, sfDir)
+    val medianUs = ev.select(unix_micros(col("ts")).as("tsm"))
+      .stat.approxQuantile("tsm", Array(0.5), 0.001)(0).toLong
+    landSingleParquet(ev.filter(unix_micros(col("ts")) <= medianUs), root, "events.parquet")
+    val cp = java.nio.file.Files.createTempDirectory("graft_mid_cp").toString
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    def run(crashAfterDelivery: Boolean): Unit = {
+      val q = EventStreams.sessionizePlan(spark, root.toString)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.collect()
+          rows.foreach(r => delivered.add((r.getAs[Long]("user_id"),
+            r.getAs[Long]("first_ts_ms"), r.getAs[Long]("last_ts_ms"),
+            r.getAs[Long]("n_events"))))
+          if (crashAfterDelivery && rows.nonEmpty)
+            throw new RuntimeException("simulated crash after delivery, before commit")
+        }.start()
+      try q.processAllAvailable()
+      catch { case e: Exception if crashAfterDelivery => () } // the simulated crash
+      finally q.stop()
+    }
+    try {
+      run(crashAfterDelivery = false) // phase 1 commits cleanly
+      landSingleParquet(ev.filter(unix_micros(col("ts")) > medianUs), root, "events_2.parquet")
+      run(crashAfterDelivery = true)  // phase 2 delivered, NOT committed
+      val afterCrash = delivered.size()
+      run(crashAfterDelivery = false) // restart: must replay phase 2's batch
+      val all = delivered.toArray(Array.empty[(Long, Long, Long, Long)]).toSeq
+      assert(all.size > afterCrash,
+        "restart emitted nothing — the uncommitted batch was not replayed")
+      assert(all.size > all.toSet.size,
+        "no duplicate deliveries observed — the crash boundary was not exercised")
+      val oneDrain = sessionKeys(EventStreams.sessionize(spark, sfDir).collect().toSeq)
+      assert(all.toSet == oneDrain,
+        s"mid-batch crash lost or invented sessions: " +
+          s"only-recovered=${(all.toSet -- oneDrain).take(3)} " +
+          s"only-single=${(oneDrain -- all.toSet).take(3)}")
+    } finally {
+      graft.sources.Spool.deleteRecursively(root.toPath)
+      graft.sources.Spool.deleteRecursively(java.nio.file.Paths.get(cp))
+    }
+  }
+
   test("st5: streamed interval join equals the batch self-join") {
     val streamed = EventStreams.streamStreamJoin(spark, sfDir)
       .orderBy("user_id").collect()
