@@ -43,6 +43,25 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** string → mod-(2^61-1) FNV-1a hash — the fixed-width join key the
+    * span-dedup inverted index shuffles instead of k-token window
+    * strings. Same arithmetic as the MinHash pre-hash
+    * ([[HashKernels.mod61]] of [[HashKernels.fnv1a64]]), so the DuckDB
+    * oracle replays it with the existing fnv/HUGEINT fragment.
+    */
+  case class Fnv61(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_fnv61"
+    protected override def nullSafeEval(input: Any): Any =
+      HashKernels.mod61(HashKernels.fnv1a64(input.asInstanceOf[UTF8String]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashKernels.mod61(graft.functions.HashKernels.fnv1a64($c))")
+    override protected def withNewChildInternal(newChild: Expression): Fnv61 =
+      copy(child = newChild)
+  }
+
   /** string → min Rabin–Karp window hash (winnowing fingerprint). */
   case class RollingFingerprint(child: Expression, window: Int)
       extends UnaryExpression {
@@ -90,6 +109,7 @@ object HashExpressions {
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
 
   def minhash(shingles: Column, k: Int): Column = col(MinHashSignature(expr(shingles), k))
+  def fnv61(s: Column): Column = col(Fnv61(expr(s)))
   def simhash(tokens: Column): Column = col(SimHash64(expr(tokens)))
   def fingerprint(text: Column, window: Int): Column = col(RollingFingerprint(expr(text), window))
   def cosine(a: Column, b: Column): Column = col(CosineSimilarity(expr(a), expr(b)))

@@ -78,6 +78,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact-substring (span) near-dup pairs — the verbatim-run criterion
+    * of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499): two documents are near-dups when
+    * they share ANY contiguous run of `k` whitespace tokens verbatim.
+    * This catches partial-overlap duplication (syndicated articles with
+    * different headers, quoted passages, re-hosted pages) that
+    * whole-document Jaccard (d2/d3) under-scores. Returns one row per
+    * pair with the count of distinct shared window hashes.
+    *
+    * Spark re-expression of the paper's suffix-array construction: an
+    * inverted index over the k-token windows, keyed by a FIXED-WIDTH
+    * window hash ([[HashExpressions.fnv61]], one codegen pass) so the
+    * shuffle carries (id, 8 bytes) instead of k-token strings. The
+    * posting-list gate does double duty at 100 TB: singleton windows
+    * (the overwhelming majority) can never pair and are dropped before
+    * the self-join, and windows in more than `maxPostings` documents are
+    * boilerplate — license headers, templates — whose |postings|² pair
+    * space is mass duplication for the cluster to drown in, not a dedup
+    * signal; real near-dup pairs of such documents still surface through
+    * their rarer windows. The gate's window count shuffles on the same
+    * key the self-join needs, so the exchange is reused, and hash
+    * collisions (2^-61 per window pair) can only inflate `n_shared` by
+    * arithmetic both engines share.
+    */
+  def substringPairs(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, maxPostings: Int = 1000): DataFrame = {
+    val wh = docs.select(col(idCol).as("id"), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col("id"), explode(expr(gramsExpr(k))).as("s"))
+      .select(col("id"), HashExpressions.fnv61(col("s")).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val gated = wh.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") >= 2 && col("__n") <= maxPostings).drop("__n")
+    gated.as("a").join(gated.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Benchmark decontamination — the training-data hygiene step every
     * large pretraining pipeline runs (the GPT-3/Gopher-style n-gram
     * collision check, reported in their public appendices): a corpus

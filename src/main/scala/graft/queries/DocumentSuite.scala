@@ -163,6 +163,14 @@ object DocumentSuite {
         .orderBy("id_a", "id_b")
     }),
 
+    // 16 whitespace tokens ≈ the verbatim-span criterion at this
+    // corpus's token granularity (the paper uses 50 BPE tokens)
+    "d8_dedup_substring" -> ((s, d) => {
+      Dedup.substringPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 16, maxPostings = 1000)
+        .orderBy("id_a", "id_b")
+    }),
+
     // a 10%-of-corpus stand-in plays the benchmark/eval set (the real
     // pipeline reads a separate, small eval table); 8-gram collisions
     // are the standard decontamination window
@@ -518,6 +526,29 @@ object DocumentSuite {
       s"""WITH $NgramPairsCte
          |SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
          |FROM jpairs ORDER BY id_a, id_b""".stripMargin,
+
+    // the window string is array_to_string over the same 1-based slice
+    // the Spark side's concat_ws(slice) builds; the hash is the d3
+    // fnv-mod-(2^61-1) fragment, and the posting gate (2..1000) replays
+    // substringPairs' singleton/boilerplate bounds. The fnv fold runs in
+    // its OWN CTE, never in the UNNEST select: the fold lambda's `i`
+    // would be captured by the enumerator column u(i) (DuckDB 1.0 lambda
+    // shadowing — the same reason d3 hashes in a separate CTE), making
+    // the hash depend on the window's position in its document
+    "d8_dedup_substring" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 16),
+         |ws AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i : i+15], ' ') AS s
+         |  FROM toks, UNNEST(range(1, len(t) - 16 + 2)) AS u(i)),
+         |w AS (
+         |  SELECT doc_id, (${fnvSql("s")}) % $M61::HUGEINT AS h FROM ws),
+         |g AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 1000),
+         |wg AS (SELECT w.* FROM w JOIN g USING (h))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM wg a JOIN wg b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
 
     "d6_dedup_cluster" ->
       s"""WITH RECURSIVE $NgramPairsCte,

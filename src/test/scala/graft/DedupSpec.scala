@@ -42,6 +42,33 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("substringPairs flags any shared k-token run; boilerplate windows are gated") {
+    import spark.implicits._
+    val run = (1 to 20).map(i => s"tok$i").mkString(" ") // a 20-token verbatim run
+    val boiler = (1 to 16).map(i => s"lic$i").mkString(" ") // 16-token license header
+    val d = Seq(
+      (0L, s"$run alpha beta gamma"),                      // shares `run` with 1
+      (1L, s"completely different head then $run"),        // partial overlap: span, not jaccard
+      (2L, "no overlap with anything here at all " + (1 to 20).map(i => s"z$i").mkString(" ")),
+      (3L, s"$boiler unique tail three"),                  // boilerplate-only overlap
+      (4L, s"$boiler unique tail four"),
+      (5L, s"$boiler unique tail five")
+    ).toDF("doc_id", "text")
+    // k=16: docs 0/1 share five 16-token windows of the 20-token run
+    val pairs = Dedup.substringPairs(d, "doc_id", "text", k = 16)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      Set((0L, 1L), (3L, 4L), (3L, 5L), (4L, 5L)), pairs.mkString("; "))
+    assert(pairs.find(p => p._1 == 0L && p._2 == 1L).get._3 == 5L)
+    // with the boilerplate gate tightened, the license-header trio drops
+    // out (its only shared window exceeds maxPostings) while the real
+    // span pair survives through its rarer windows
+    val gated = Dedup.substringPairs(d, "doc_id", "text", k = 16, maxPostings = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gated == Set((0L, 1L)), gated.toString)
+  }
+
   test("simhashPairs links near-identical docs only") {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", blocks = 4, maxHamming = 3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -92,12 +92,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("d2/d4: bucketed candidate joins stay hash-joinable (no nested-loop degeneration)") {
-    // same failure mode the d3/d5 audit pins, for the other two bucketed
-    // dedup families: d2's shingle inverted-index self-join and d4's
-    // simhash pigeonhole-block join must remain equi-joins — a
-    // degeneration to nested-loop scans every bucket pair quadratically
-    Seq("d2_dedup_ngram_jaccard", "d4_dedup_simhash").foreach { name =>
+  test("d2/d4/d8: bucketed candidate joins stay hash-joinable (no nested-loop degeneration)") {
+    // same failure mode the d3/d5 audit pins, for the other bucketed
+    // dedup families: d2's shingle inverted-index self-join, d4's
+    // simhash pigeonhole-block join and d8's window-hash posting join
+    // must remain equi-joins — a degeneration to nested-loop scans every
+    // bucket pair quadratically
+    Seq("d2_dedup_ngram_jaccard", "d4_dedup_simhash",
+        "d8_dedup_substring").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.optimizedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
