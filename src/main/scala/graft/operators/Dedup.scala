@@ -109,9 +109,7 @@ object Dedup {
       .select(col("id"), explode(expr(gramsExpr(k))).as("s"))
       .select(col("id"), HashExpressions.fnv61(col("s")).as("h"))
       .distinct()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val gated = wh.withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n") >= 2 && col("__n") <= maxPostings).drop("__n")
+    val gated = pruneSingletonBuckets(wh, Seq("h"), maxPostings)
     gated.as("a").join(gated.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -266,13 +264,18 @@ object Dedup {
     * singletons — replicating them over the salts just to join with
     * nothing would multiply the dominant (empty) part of the shuffle by
     * 16. The window count shuffles on the bucket key the self-join
-    * needed anyway.
+    * needed anyway. `maxMembers` additionally drops oversized buckets
+    * (d8's boilerplate-window gate); the LSH/simhash families keep the
+    * unbounded default — their bucket width is governed by the
+    * band/block parameters, and dropping a hot bucket there would
+    * silently lose true near-dup pairs instead of noise.
     */
-  private def pruneSingletonBuckets(rel: DataFrame, bucketCols: Seq[String]): DataFrame = {
+  private def pruneSingletonBuckets(rel: DataFrame, bucketCols: Seq[String],
+                                    maxMembers: Int = Int.MaxValue): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(bucketCols.map(col): _*)
     rel.withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n") >= 2).drop("__n")
+      .filter(col("__n") >= 2 && col("__n") <= maxMembers).drop("__n")
   }
 
   /** Salted, singleton-pruned same-bucket self-join: one (id_a < id_b)

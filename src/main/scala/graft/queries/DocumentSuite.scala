@@ -540,10 +540,10 @@ object DocumentSuite {
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
          |  WHERE len(string_split(text, ' ')) >= 16),
          |ws AS (
-         |  SELECT DISTINCT doc_id, array_to_string(t[i : i+15], ' ') AS s
+         |  SELECT doc_id, array_to_string(t[i : i+15], ' ') AS s
          |  FROM toks, UNNEST(range(1, len(t) - 16 + 2)) AS u(i)),
          |w AS (
-         |  SELECT doc_id, (${fnvSql("s")}) % $M61::HUGEINT AS h FROM ws),
+         |  SELECT DISTINCT doc_id, (${fnvSql("s")}) % $M61::HUGEINT AS h FROM ws),
          |g AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 1000),
          |wg AS (SELECT w.* FROM w JOIN g USING (h))
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared

@@ -76,17 +76,23 @@ object ScrapeSuite {
     require(landedCache.isEmpty,
       "star tables already landed — pin the star oracle dir before running scrape queries")
     starOracleDirRef.set(dir)
+    // pinned JVMs (Verify) never touch DefaultStarOracleDir, but they
+    // are the most frequent graft processes on a gate host — keep them
+    // participating in the stale-sibling GC or abandoned pid dirs from
+    // older unpinned JVMs would accumulate unboundedly in /tmp
+    sweepStaleSiblings()
   }
 
-  private lazy val DefaultStarOracleDir: String = {
+  /** Sweep stale pid-scoped sibling dirs left by DEAD graft JVMs: the
+    * landed tables must outlive their process (the driver's DuckDB
+    * replay of the oracle SQL runs after Verify's JVM has exited), so a
+    * same-JVM shutdown hook would break the s6/s7 oracle check —
+    * instead each new graft JVM garbage-collects abandoned sibling
+    * dirs. Live pids are skipped, so a concurrent verification run is
+    * never swept mid-read.
+    */
+  private def sweepStaleSiblings(): Unit = {
     val tmp = sys.props("java.io.tmpdir")
-    // Sweep stale siblings left by DEAD graft JVMs before allocating our
-    // own: the landed tables must outlive THIS process (the driver's
-    // DuckDB replay of the oracle SQL below runs after Verify's JVM has
-    // exited), so a same-JVM shutdown hook would break the s6/s7 oracle
-    // check — instead each new graft JVM garbage-collects abandoned
-    // sibling dirs. Live pids are skipped, so a concurrent verification
-    // run is never swept mid-read.
     // Deletion requires BOTH (a) the owning pid gone AND (b) the dir
     // older than the sweep horizon. The age guard is what makes the gate
     // ordering-safe: any graft JVM that loads this object AFTER Verify
@@ -115,7 +121,11 @@ object ScrapeSuite {
         } catch { case _: Exception => () } // skip undeletable siblings
       }
     } catch { case _: Exception => () }
-    s"$tmp/graft_star_oracle_${ProcessHandle.current().pid()}"
+  }
+
+  private lazy val DefaultStarOracleDir: String = {
+    sweepStaleSiblings()
+    s"${sys.props("java.io.tmpdir")}/graft_star_oracle_${ProcessHandle.current().pid()}"
   }
 
   private val landedCache =
@@ -151,10 +161,17 @@ object ScrapeSuite {
       // letting computeIfAbsent complete exceptionally, else a retrying
       // caller would race fresh Overwrite writes against still-running
       // orphan writers on the same parquet paths (same pattern as
-      // Entities.starSchemaBuildWith).
+      // Entities.starSchemaBuildWith). The straggler wait is BOUNDED
+      // and swallows everything including interrupts: an unbounded
+      // Await here could hang the JVM on a wedged straggler after a
+      // framework interrupt, and nothing thrown while draining may
+      // replace the original landing failure `e`.
       try Await.result(Future.sequence(landed), Duration.Inf).toMap
       catch { case e: Throwable =>
-        landed.foreach(f => scala.util.Try(Await.result(f, Duration.Inf)))
+        landed.foreach { f =>
+          try Await.result(f, scala.concurrent.duration.Duration(10, "min"))
+          catch { case _: Throwable => () }
+        }
         throw e
       }
     })

@@ -159,7 +159,15 @@ object Crawl {
     // wholetext scan is the expensive part. This mirrors the s8 DuckDB
     // oracle's structure (materialized edge CTE, waves over id-only
     // edges).
-    val graphSpool = graft.sources.Spool.dir(spark, "frontier_graph")
+    //
+    // The graph lands UNDER the ledger spool, not in a separately
+    // resolved Spool.dir: a caller-supplied spoolDir is the documented
+    // escape hatch on cluster masters with no checkpoint dir (where
+    // Spool.dir refuses), so the graph must inherit that path's
+    // visibility and lifecycle. The underscore prefix makes it a hidden
+    // path to Hadoop's default PathFilter (like _SUCCESS), so ledger
+    // reads of `spool` never pick the graph files up.
+    val graphSpool = s"${spool.stripSuffix("/")}/_graph"
     linkGraph(cache).write.mode(SaveMode.Overwrite).parquet(graphSpool)
     val graph = () => spark.read.parquet(graphSpool)
     val cacheIds = () => graph().filter(col("linked_id").isNull).select("name_id")

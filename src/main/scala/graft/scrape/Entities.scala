@@ -272,13 +272,19 @@ object Entities {
     // dropped and whose jobs could interleave with caller cleanup (e.g.
     // spark.stop()). Future.sequence still fails fast on the FIRST
     // error, so wait for the stragglers explicitly before rethrowing —
-    // no orphan job outlives this call.
+    // no orphan job outlives this call. The straggler wait is BOUNDED
+    // and swallows everything including interrupts (Try only catches
+    // NonFatal, so an InterruptedException from a straggler Await would
+    // otherwise replace the original failure; an unbounded wait could
+    // hang on a straggler wedged by the same condition).
     val all = Future.sequence(Seq(venuesF, teamsF, playerIdsF, gameIdsF))
     val Seq(venues, teams, playerIds, gameIds) =
       try Await.result(all, Duration.Inf)
       catch { case e: Throwable =>
-        Seq(venuesF, teamsF, playerIdsF, gameIdsF)
-          .foreach(f => scala.util.Try(Await.result(f, Duration.Inf)))
+        Seq(venuesF, teamsF, playerIdsF, gameIdsF).foreach { f =>
+          try Await.result(f, Duration(10, "min"))
+          catch { case _: Throwable => () }
+        }
         throw e
       }
     val playerDim = playerAttrs.join(broadcast(playerIds), Seq("name_id"))
