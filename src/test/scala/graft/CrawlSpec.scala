@@ -143,6 +143,32 @@ class CrawlSpec extends SparkSpec {
     }
   }
 
+  test("frontier with a caller-supplied spoolDir: graph lands under it, hidden from ledger reads") {
+    // the cluster-master escape hatch: no checkpoint dir, caller supplies
+    // the spool — the link graph must inherit that path (not a separately
+    // resolved temp dir) and stay invisible to parquet reads of the spool
+    import org.apache.spark.sql.functions.col
+    val spool = java.nio.file.Files.createTempDirectory("graft_fr_spool").toString + "/ledger"
+    val sched = Seq(("2020-schedule", "SchedulePage",
+      s"<html><body>${gameLink("WAS201710120")}</body></html>"))
+    val cache = {
+      import spark.implicits._
+      sched.toDF("name_id", "page_type", "html")
+    }.unionByName(HtmlSource.pages(spark, ScrapeSuite.FixtureDir)
+      .filter(col("page_type") =!= "SchedulePage"))
+    val ledger = Crawl.frontier(cache, spoolDir = Some(spool))
+    assert(new java.io.File(s"$spool/_graph").isDirectory,
+      "link graph should land under the caller's spool")
+    // the ledger read (plain parquet over the spool) must not pick up the
+    // underscore-hidden graph files: schema stays (name_id, depth, in_cache)
+    assert(ledger.columns.toSet == Set("name_id", "depth", "in_cache"))
+    assert(ledger.filter(col("depth") === 1).collect()
+      .map(_.getAs[String]("name_id")).toSeq == Seq("WAS201710120"))
+    assert(ledger.filter(col("depth") === 2).count() > 0) // roster wave
+    graft.sources.Spool.deleteRecursively(
+      java.nio.file.Paths.get(spool).getParent)
+  }
+
   test("frontier over the raw fixture corpus records schedule links as to-visit") {
     val ledger = ScrapeSuite.queries("s8_crawl_frontier")(spark, sfDir).cache()
     assert(ledger.filter(col("depth") === 0).count() == 1L) // 2016-schedule

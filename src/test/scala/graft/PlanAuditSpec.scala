@@ -230,6 +230,19 @@ class PlanAuditSpec extends SparkSpec {
       s"t9: expected a single corpus scan in the final plan\n$finalPlan")
   }
 
+  test("d8: posting gate precedes the pair join and both sides share one corpus scan") {
+    val df = SparkEntry.queries("d8_dedup_substring")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"d8: expected one corpus scan in the final plan\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"d8: the self-join sides no longer share the window-hash exchange\n$plan")
+    // the singleton/boilerplate window gate (windowspecdefinition over h)
+    // must run BEFORE the pair join consumes the postings
+    assert(plan.contains("windowspecdefinition"), plan)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
