@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.{GraftFunctions, HashKernels}
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("runtime registration: SQL functions match the Column API kernels") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_fnv61('abc') AS h,
+        |       graft_simhash64(array('a', 'b', 'c')) AS sh,
+        |       graft_fingerprint('the quick brown fox jumps over it', 16) AS fp,
+        |       graft_minhash(array('a b c', 'b c d'), 8) AS mh,
+        |       graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cos,
+        |       graft_hyperplane_sig(array(0.5F, -0.5F, 1.0F), 0, 4) AS hp
+        |""".stripMargin).head()
+    assert(r.getAs[Long]("h") ==
+      HashKernels.mod61(HashKernels.fnv1a64String("abc")))
+    assert(r.getAs[Double]("cos") == 1.0)
+    assert(r.getAs[scala.collection.Seq[Long]]("mh").length == 8)
+    val hp = r.getAs[Int]("hp")
+    assert(hp >= 0 && hp < 16) // 4 planes → 4-bit bucket id
+    // same kernel as the Column API — spot-check one against the bridge
+    import org.apache.spark.sql.functions.lit
+    val viaColumn = spark.range(1)
+      .select(graft.functions.HashExpressions.fnv61(lit("abc")).as("h"))
+      .head().getAs[Long]("h")
+    assert(r.getAs[Long]("h") == viaColumn)
+  }
+
+  test("SQL functions stay inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = spark.sql("SELECT graft_fnv61(CAST(id AS STRING)) AS h FROM range(10)")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[.*graft_fnv61""".r.findFirstIn(plan).isDefined,
+      s"graft_fnv61 must stay inside whole-stage codegen:\n$plan")
+  }
+
+  test("structural parameters must be integer literals (clear error otherwise)") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a'), CAST(id AS INT)) FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+
+  test("deploy-time extensions: a session created with GraftExtensions resolves the functions") {
+    // build a SECOND session over the SAME SparkContext with the
+    // extensions applied at creation (the spark.sql.extensions route);
+    // clear the cached sessions first or getOrCreate would return the
+    // shared harness session untouched, then restore them. A suite
+    // whose lazy session init lands inside this clear/restore window
+    // would mint its own session instead of reusing the shared one —
+    // benign (same context, same GraftSession confs), so the window is
+    // not serialized.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master(spark.sparkContext.master)
+        .withExtensions(new graft.engine.GraftExtensions)
+        .getOrCreate()
+      val h = s2.sql("SELECT graft_fnv61('abc') AS h").head().getAs[Long]("h")
+      assert(h == HashKernels.mod61(HashKernels.fnv1a64String("abc")))
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
