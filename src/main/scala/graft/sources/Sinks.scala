@@ -23,6 +23,18 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** ORC twin of the parquet sink — the other splittable columnar
+    * format Spark ships a native vectorized reader for (predicate
+    * pushdown + partition pruning verified in SinksSpec). Avro is
+    * deliberately absent: the spark-avro datasource jar is not part of
+    * this build's classpath.
+    */
+  def orc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+          mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   def csv(df: DataFrame, path: String, header: Boolean = true,
           mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("header", header.toString).csv(path)

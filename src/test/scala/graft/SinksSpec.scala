@@ -28,6 +28,21 @@ class SinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(part"), plan)
   }
 
+  test("partitioned ORC sink round-trips with partition pruning and predicate pushdown") {
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "part", "v")
+    val path = tmp("sink-orc")
+    Sinks.orc(df, path, partitionBy = Seq("part"))
+    val back = spark.read.orc(path)
+    assert(back.count() == 3)
+    val pruned = back.filter(col("part") === "a" && col("id") > 1L)
+    assert(pruned.count() == 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part"), plan)
+    // the non-partition predicate must reach the ORC scan too
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)"), plan)
+  }
+
   test("csv and json sinks round-trip") {
     val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
     val cp = tmp("sink-csv"); val jp = tmp("sink-json")
