@@ -55,7 +55,7 @@ object SparkEntry {
         else if (n.startsWith("a")) 3
         else if (n.startsWith("m")) 4
         else if (heavyScrape(n)) 6
-        else 5 // s1, s2, s3, s8
+        else 5 // s1, s2, s3, s8, s9
       (fam, "\\d+".r.findFirstIn(n).map(_.toInt).getOrElse(0))
     }
     names.toSeq.sortBy(rank)

@@ -235,6 +235,13 @@ object ScrapeSuite {
       graft.scrape.Crawl.frontier(pages(s)).orderBy("depth", "name_id")
     }),
 
+    // crawl-prioritization rank over the same link graph s8 walks:
+    // integer fixed-point PageRank (10 iterations, damping 0.85), the
+    // order a live fetcher would refresh pages in
+    "s9_linkrank" -> ((s, _) => {
+      graft.scrape.Crawl.linkRank(pages(s)).orderBy("name_id")
+    }),
+
     // the reference's end goal (README: "aggregate your own stats"):
     // plate appearances, games and strikeout-ish outcomes per player,
     // joined through the built star schema with broadcast dims
@@ -484,52 +491,97 @@ object ScrapeSuite {
     * fixture is ever added, extend this gate (e.g. require a parseable
     * date div) to keep parity.
     */
+  /** The shared CTE chain extracting the crawl link graph from the
+    * fixture corpus — everything through `edges` — used by BOTH the s8
+    * BFS oracle and the s9 linkrank oracle (the two queries walk the
+    * same graph, so the extraction twin is written once).
+    */
+  private def crawlGraphCtes: String = {
+    val thElem = "(?s)<th(?:>|[ \\t\\n][^>]*>).*?</th>"
+    s"""cache AS MATERIALIZED (
+       |  SELECT regexp_replace(regexp_extract(filename, '([^/]+)$$', 1), '\\.s?html$$', '') AS name_id,
+       |         content
+       |  FROM read_text('$FixtureDir/**/*.shtml')),
+       |typed AS MATERIALIZED (
+       |  SELECT name_id, content,
+       |    CASE WHEN regexp_matches(name_id, '${HtmlSource.GameIdRe}') THEN 'GamePage'
+       |         WHEN regexp_matches(name_id, '${HtmlSource.PlayerIdRe.replace("'", "''")}') THEN 'PlayerPage'
+       |         WHEN name_id LIKE '%schedule%' THEN 'SchedulePage'
+       |         ELSE 'unknown' END AS page_type
+       |  FROM cache),
+       |cids AS MATERIALIZED (SELECT DISTINCT name_id FROM typed),
+       |sedges AS MATERIALIZED (
+       |  SELECT src, regexp_replace(regexp_extract(u, '([^/]+)$$', 1), '\\.s?html$$', '') AS dst
+       |  FROM (SELECT name_id AS src,
+       |               unnest(regexp_extract_all(content, '(?s)<p class="game">.*?<em>\\s*<a href="([^"]+)"', 1)) AS u
+       |        FROM typed WHERE page_type = 'SchedulePage')
+       |  WHERE u NOT LIKE '%/previews/%'),
+       |gpages AS MATERIALIZED (
+       |  SELECT name_id, content,
+       |    strpos(content, 'class="scorebox"') AS sb,
+       |    strpos(content, 'class="scorebox_meta"') AS mi
+       |  FROM typed WHERE page_type = 'GamePage'),
+       |ggated AS MATERIALIZED (
+       |  SELECT name_id, content FROM gpages
+       |  WHERE sb > 0 AND len(list_filter(
+       |    regexp_extract_all(substr(content, sb, CASE WHEN mi > sb THEN mi - sb ELSE 20000 END),
+       |      '(?s)<a(?:>|[ \\t\\n][^>]*>).*?</a>'),
+       |    a -> regexp_extract(a, '[ \\t\\n]href="([^"]*)"', 1) LIKE '/teams/%')) >= 2),
+       |gedges AS MATERIALIZED (
+       |  SELECT name_id AS src,
+       |         regexp_extract(th, '[ \\t\\n]data-append-csv="([^"]*)"', 1) AS dst
+       |  FROM (
+       |    SELECT name_id,
+       |      unnest(flatten(list_transform(
+       |        list_filter(regexp_extract_all(content, '(?s)class="placeholder".*?<!--(.*?)-->', 1),
+       |          c -> contains(c, 'batting') AND contains(c, '<table'))[1:2],
+       |        t -> list_filter(regexp_extract_all(t, '$thElem'),
+       |          c -> regexp_matches(c, '^<th[^>]*[ \\t\\n]data-append-csv="') AND
+       |               regexp_matches(c, '^<th[^>]*[ \\t\\n]data-stat="player"'))))) AS th
+       |    FROM ggated)),
+       |edges AS MATERIALIZED (SELECT src, dst FROM sedges UNION ALL SELECT src, dst FROM gedges)""".stripMargin
+  }
+
+  /** The DuckDB twin of [[graft.scrape.Crawl.linkRank]]: the power
+    * iteration unrolled to its fixed round count, every round a pure
+    * BIGINT-floor-division function of the previous one
+    * (r_{k+1}(v) = (0.15·S) div N + (85 · Σ (r_k(u) div outdeg(u)))
+    * div 100 with S = Crawl.RankScale), so the two engines agree
+    * bit-for-bit. DuckDB SUM over BIGINT widens to HUGEINT — values
+    * stay under 2^63 (total mass ≤ S), so the final CAST to BIGINT is
+    * lossless and matches Spark's LongType sums.
+    */
+  private def s9OracleSql: String = {
+    val iters = 10 // linkRank's default round count
+    val scale = graft.scrape.Crawl.RankScale
+    val base15 = 15L * scale / 100L
+    val head =
+      s"""WITH $crawlGraphCtes,
+         |dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+         |nodes AS MATERIALIZED (
+         |  SELECT name_id FROM typed UNION SELECT dst AS name_id FROM dedges),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS odeg FROM dedges GROUP BY src),
+         |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+         |r0 AS MATERIALIZED (
+         |  SELECT name_id, $scale // (SELECT n FROM nn) AS r FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT nd.name_id,
+         |    ($base15 // (SELECT n FROM nn)) + ((85 * COALESCE(q.s, 0)) // 100) AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS name_id, SUM(r.r // d.odeg) AS s
+         |    FROM dedges e JOIN deg d ON e.src = d.src
+         |    JOIN r${k - 1} r ON r.name_id = e.src
+         |    GROUP BY e.dst) q ON nd.name_id = q.name_id)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT name_id, CAST(r AS BIGINT) AS rank_fp FROM r$iters ORDER BY name_id"
+  }
+
   private def s8OracleSql: String = {
     val maxWaves = 8 // Crawl.frontier's default bound
-    val thElem = "(?s)<th(?:>|[ \\t\\n][^>]*>).*?</th>"
     val base =
-      s"""WITH cache AS MATERIALIZED (
-         |  SELECT regexp_replace(regexp_extract(filename, '([^/]+)$$', 1), '\\.s?html$$', '') AS name_id,
-         |         content
-         |  FROM read_text('$FixtureDir/**/*.shtml')),
-         |typed AS MATERIALIZED (
-         |  SELECT name_id, content,
-         |    CASE WHEN regexp_matches(name_id, '${HtmlSource.GameIdRe}') THEN 'GamePage'
-         |         WHEN regexp_matches(name_id, '${HtmlSource.PlayerIdRe.replace("'", "''")}') THEN 'PlayerPage'
-         |         WHEN name_id LIKE '%schedule%' THEN 'SchedulePage'
-         |         ELSE 'unknown' END AS page_type
-         |  FROM cache),
-         |cids AS MATERIALIZED (SELECT DISTINCT name_id FROM typed),
-         |sedges AS MATERIALIZED (
-         |  SELECT src, regexp_replace(regexp_extract(u, '([^/]+)$$', 1), '\\.s?html$$', '') AS dst
-         |  FROM (SELECT name_id AS src,
-         |               unnest(regexp_extract_all(content, '(?s)<p class="game">.*?<em>\\s*<a href="([^"]+)"', 1)) AS u
-         |        FROM typed WHERE page_type = 'SchedulePage')
-         |  WHERE u NOT LIKE '%/previews/%'),
-         |gpages AS MATERIALIZED (
-         |  SELECT name_id, content,
-         |    strpos(content, 'class="scorebox"') AS sb,
-         |    strpos(content, 'class="scorebox_meta"') AS mi
-         |  FROM typed WHERE page_type = 'GamePage'),
-         |ggated AS MATERIALIZED (
-         |  SELECT name_id, content FROM gpages
-         |  WHERE sb > 0 AND len(list_filter(
-         |    regexp_extract_all(substr(content, sb, CASE WHEN mi > sb THEN mi - sb ELSE 20000 END),
-         |      '(?s)<a(?:>|[ \\t\\n][^>]*>).*?</a>'),
-         |    a -> regexp_extract(a, '[ \\t\\n]href="([^"]*)"', 1) LIKE '/teams/%')) >= 2),
-         |gedges AS MATERIALIZED (
-         |  SELECT name_id AS src,
-         |         regexp_extract(th, '[ \\t\\n]data-append-csv="([^"]*)"', 1) AS dst
-         |  FROM (
-         |    SELECT name_id,
-         |      unnest(flatten(list_transform(
-         |        list_filter(regexp_extract_all(content, '(?s)class="placeholder".*?<!--(.*?)-->', 1),
-         |          c -> contains(c, 'batting') AND contains(c, '<table'))[1:2],
-         |        t -> list_filter(regexp_extract_all(t, '$thElem'),
-         |          c -> regexp_matches(c, '^<th[^>]*[ \\t\\n]data-append-csv="') AND
-         |               regexp_matches(c, '^<th[^>]*[ \\t\\n]data-stat="player"'))))) AS th
-         |    FROM ggated)),
-         |edges AS MATERIALIZED (SELECT src, dst FROM sedges UNION ALL SELECT src, dst FROM gedges),
+      s"""WITH $crawlGraphCtes,
          |l0 AS MATERIALIZED (SELECT name_id, 0 AS depth, TRUE AS in_cache FROM typed WHERE page_type = 'SchedulePage'),
          |seen0 AS MATERIALIZED (SELECT name_id FROM l0)""".stripMargin
     val waves = (1 to maxWaves).map { d =>
@@ -565,6 +617,7 @@ object ScrapeSuite {
   // freeze the default pid path into the dumped contract
   def oracles: Map[String, String] = Map(
     "s8_crawl_frontier" -> s8OracleSql,
+    "s9_linkrank" -> s9OracleSql,
     "s5_play_parse" -> s5OracleSql,
     // the DuckDB twin of BBRefParse.parsePlayerE: seg = html from
     // id="info"; name = text of the first h1 (tags stripped to '',

@@ -133,6 +133,92 @@ object Crawl {
     spark.read.parquet(spool)
   }
 
+  /** Fixed-point scale for [[linkRank]]: rank mass is carried as
+    * BIGINT millionths-of-a-millionth so every engine reproduces the
+    * arithmetic bit-for-bit (the same reason a5 accumulates centroids in
+    * fixed point) — floating-point PageRank sums are fold-order-dependent
+    * and would never hash-match a second engine.
+    */
+  val RankScale = 1000000000000L
+
+  /** PageRank over the crawl link graph — the crawl-prioritization rank
+    * a large-scale pipeline uses to order its fetch frontier (pages
+    * linked from many hubs refresh first). Damping 0.85, `iters` fixed
+    * power iterations, NO dangling-mass redistribution (leaf mass leaks
+    * each round — the standard simplification; ranks keep their order,
+    * and the oracle mirrors the same recurrence exactly).
+    *
+    * All arithmetic is BIGINT fixed point at [[RankScale]] with floor
+    * division, so iteration k is a pure function of iteration k-1 in ANY
+    * engine: r_{k+1}(v) = (0.15·S) div N + (85 · Σ_{u→v} (r_k(u) div
+    * outdeg(u))) div 100. Scale posture matches [[frontier]]: the
+    * wholetext corpus is scanned ONCE into the id-only graph spool, each
+    * iteration is one join + one aggregation on `name_id`-size rows
+    * (O(|edges|) shuffled once per round), rounds are fixed (not
+    * data-dependent), and lineage is truncated by checkpoint every 5
+    * rounds exactly like Dedup.dedupClusters.
+    */
+  def linkRank(cache: DataFrame, iters: Int = 10,
+               spoolDir: Option[String] = None): DataFrame = {
+    val spark = cache.sparkSession
+    val spool = spoolDir.getOrElse(graft.sources.Spool.dir(spark, "linkrank"))
+    linkGraph(cache).write.mode(SaveMode.Overwrite).parquet(spool)
+    linkRankFromGraph(spark.read.parquet(spool), iters)
+  }
+
+  /** The iteration core of [[linkRank]], over an already-materialized
+    * [[linkGraph]]-shaped relation (callers that hold the graph spool —
+    * or a test with a synthetic graph — enter here and pay no corpus
+    * scan). Returns `(name_id, rank_fp)` with rank in [[RankScale]]
+    * fixed point.
+    */
+  def linkRankFromGraph(graph: DataFrame, iters: Int = 10): DataFrame = {
+    val spark = graph.sparkSession
+    val edges = graph.filter(col("linked_id").isNotNull)
+      .select(col("name_id").as("src"), col("linked_id").as("dst"))
+      .distinct()
+    // node set = every page plus every link target (targets the cache
+    // does not hold still receive rank — they are exactly the to-fetch
+    // frontier the rank is meant to order)
+    val nodes = graph.select(col("name_id"))
+      .union(edges.select(col("dst").as("name_id"))).distinct().cache()
+    val n = nodes.count() // scalar only — no row data touches the driver
+    require(n > 0, "linkRank over an empty graph")
+    // degree joined onto edges ONCE; every round reuses the cached rows
+    // (materialized lazily by the first checkpoint's evaluation)
+    val edgeDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+      .cache()
+    val base = (15L * RankScale / 100L) / n
+    var ranks = nodes.select(col("name_id"), lit(RankScale / n).as("r"))
+    // Unlike d6, the round count is FIXED — no per-round convergence
+    // action is needed, so rounds stay LAZY and stack into one plan;
+    // only the every-5th-round checkpoint (eager, reliable when the
+    // session has a checkpoint dir) evaluates, truncating lineage so a
+    // task failure replays at most 5 rounds and the plan never deepens
+    // past that. 10 rounds = 2 driver jobs instead of 10+.
+    var iter = 0
+    while (iter < iters) {
+      val sums = edgeDeg
+        .join(ranks.withColumnRenamed("name_id", "src"), "src")
+        .select(col("dst").as("name_id"), expr("r div odeg").as("c"))
+        .groupBy("name_id").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(sums, Seq("name_id"), "left")
+        .select(col("name_id"),
+          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+      iter += 1
+      if (iter % 5 == 0 || iter == iters)
+        ranks =
+          if (spark.sparkContext.getCheckpointDir.isDefined) ranks.checkpoint()
+          else ranks.localCheckpoint()
+    }
+    // safe to release: the final ranks are checkpointed (plan truncated
+    // above), so nothing re-reads these caches after return
+    edgeDeg.unpersist()
+    nodes.unpersist()
+    ranks.select(col("name_id"), col("r").as("rank_fp"))
+  }
+
   /** Expand the frontier from the cache's schedule pages. Returns the
     * crawl ledger `(name_id, depth, in_cache)`: every page some wave
     * requested, the wave that first discovered it, and whether the cache

@@ -169,6 +169,50 @@ class CrawlSpec extends SparkSpec {
       java.nio.file.Paths.get(spool).getParent)
   }
 
+  test("linkRankFromGraph matches an independently computed fixed-point reference") {
+    import spark.implicits._
+    // synthetic graph in linkGraph shape: a cycle (a->b->c->a... via c->a),
+    // a dangling leaf (d), and a target absent from the cache (e)
+    val graph = Seq(
+      ("a", "SchedulePage", Option.empty[String]),
+      ("a", "SchedulePage", Some("b")),
+      ("a", "SchedulePage", Some("c")),
+      ("b", "GamePage", None),
+      ("b", "GamePage", Some("c")),
+      ("b", "GamePage", Some("d")),
+      ("b", "GamePage", Some("e")),
+      ("c", "GamePage", None),
+      ("c", "GamePage", Some("a")),
+      ("d", "PlayerPage", None)
+    ).toDF("name_id", "page_type", "linked_id")
+    val got = Crawl.linkRankFromGraph(graph, iters = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // independent reference: the same fixed-point recurrence in plain
+    // Scala Longs (floor division on non-negative values, like both
+    // engines' integer div)
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "c", "b" -> "d",
+      "b" -> "e", "c" -> "a")
+    val nodes = Seq("a", "b", "c", "d", "e")
+    val n = nodes.size
+    val odeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val base = (15L * Crawl.RankScale / 100L) / n
+    var r = nodes.map(_ -> Crawl.RankScale / n).toMap
+    for (_ <- 1 to 10) {
+      val inc = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / odeg(src) }.sum
+      }
+      r = nodes.map(v => v -> (base + 85L * inc.getOrElse(v, 0L) / 100L)).toMap
+    }
+    assert(got == r)
+    // rank-mass invariants: total never exceeds the injected mass (leaf
+    // mass leaks, it is never created), every node keeps at least the
+    // teleport floor, and the cycle hub outranks the leaf
+    assert(got.values.sum <= Crawl.RankScale)
+    assert(got.values.forall(_ >= base))
+    assert(got("a") > got("d"))
+  }
+
   test("frontier over the raw fixture corpus records schedule links as to-visit") {
     val ledger = ScrapeSuite.queries("s8_crawl_frontier")(spark, sfDir).cache()
     assert(ledger.filter(col("depth") === 0).count() == 1L) // 2016-schedule
