@@ -138,6 +138,61 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Bloom-prefiltered benchmark decontamination — the same contract as
+    * [[benchmarkContamination]] (exact distinct-shared-gram counts; the
+    * GPT-3 appendix uses 13-gram windows for this check) realized
+    * through Spark's runtime-filter machinery instead of a broadcast of
+    * the raw gram strings.
+    *
+    * Why a second decontamination path: d7 broadcasts the eval set's
+    * DISTINCT GRAM STRINGS, which is perfect while the eval set is
+    * thousands of documents but grows linearly with it — a 10 GB gram
+    * set no longer broadcasts. This variant aggregates the eval grams
+    * into ONE compact Bloom sketch (`BloomFilterAggregate`, the exact
+    * expression Spark's own InjectRuntimeFilter plants on shuffle
+    * joins), ships the sketch (KBs–MBs regardless of eval-set size) into
+    * a codegen `might_contain` probe on the corpus scan, and only the
+    * bloom-surviving grams — true matches plus an `fpp` sliver of false
+    * positives — reach the exact verification join. The OUTPUT is exact
+    * (the verify join removes every false positive), so the oracle is
+    * the same SQL as d7's; only the plan shape differs, and that shape
+    * is what survives a 100 TB corpus against a large eval set.
+    *
+    * The sketch itself passes through the driver (`head()` on a 1-row
+    * aggregate) exactly like Spark's runtime-filter subquery result —
+    * a bounded sketch, never row data.
+    */
+  def bloomDecontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int,
+                         expectedItems: Long = 1L << 20,
+                         numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64, BloomFilterMightContain}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val dg = shingles(docs, idCol, textCol, n)
+    val bg = shingles(bench, idCol, textCol, n).select(col("s")).distinct()
+    val sketch = bg.select(ColumnBridge.column(
+        new BloomFilterAggregate(
+          new XxHash64(Seq(ColumnBridge.expression(col("s")))),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+      .as("bf")).head().getAs[Array[Byte]](0)
+    // empty eval set → null sketch → nothing is contaminated
+    val pre =
+      if (sketch == null) dg.limit(0)
+      else dg.filter(ColumnBridge.column(BloomFilterMightContain(
+        Literal(sketch, BinaryType),
+        new XxHash64(Seq(ColumnBridge.expression(col("s")))))))
+    // exact verify join over the bloom survivors: false positives die
+    // here, so the result is bit-identical to benchmarkContamination.
+    // broadcast(bg) is safe at THIS tier only because the survivors are
+    // few; were bg itself huge, this join would flip to a shuffle join
+    // on `s` — still over the prefiltered sliver, which is the point.
+    pre.join(broadcast(bg), Seq("s"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** MinHash signatures: (id, sig array<long>[k]) — one codegen pass/doc. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame =

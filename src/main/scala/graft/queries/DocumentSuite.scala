@@ -183,6 +183,18 @@ object DocumentSuite {
         .orderBy("doc_id")
     }),
 
+    // the bloom-prefilter realization of the same hygiene step, at the
+    // GPT-3 appendix's 13-gram window; output is exact (verify join),
+    // only the plan shape differs from d7
+    "d9_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.bloomDecontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", 13)
+        .orderBy("doc_id")
+    }),
+
     // --- similarity search -------------------------------------------------
     "a1_ann_brute_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -516,6 +528,25 @@ object DocumentSuite {
         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
         |    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS s
         |  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+        |bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        |FROM g JOIN bench USING (s)
+        |WHERE g.doc_id % 10 <> 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // the bloom prefilter is plan shape, not semantics: the oracle is
+    // d7's exact SQL at the 13-gram window
+    "d9_bloom_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 13),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] || ' ' ||
+        |    t[i+8] || ' ' || t[i+9] || ' ' || t[i+10] || ' ' || t[i+11] || ' ' ||
+        |    t[i+12] AS s
+        |  FROM toks, UNNEST(range(1, len(t) - 11)) AS u(i)),
         |bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0)
         |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
         |FROM g JOIN bench USING (s)

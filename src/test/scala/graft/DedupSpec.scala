@@ -154,6 +154,30 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getLong(1) == 2L) // both benchmark 8-grams collide
   }
 
+  test("bloomDecontaminate is exact: identical to benchmarkContamination (bloom is a prefilter)") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+      (2L, "completely unrelated text with eight or more words in this row")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.benchmarkContamination(corpus, bench, "doc_id", "text", 8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // a deliberately tiny sketch (high fpp) still yields the exact result:
+    // false positives die in the verification join
+    val bloomed = Dedup.bloomDecontaminate(corpus, bench, "doc_id", "text", 8,
+        expectedItems = 8, numBits = 64)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bloomed == exact && exact == Seq((1L, 2L)))
+  }
+
+  test("bloomDecontaminate with an empty eval set flags nothing") {
+    val corpus = Seq((1L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val bench = corpus.limit(0)
+    assert(Dedup.bloomDecontaminate(corpus, bench, "doc_id", "text", 8).isEmpty)
+  }
+
   test("dedupClusters computes transitive components with min-id labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (3L, 4L))
       .toDF("id_a", "id_b")

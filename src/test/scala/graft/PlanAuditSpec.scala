@@ -92,6 +92,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("d9: the corpus probe is a bloom might_contain filter feeding a broadcast verify join") {
+    val df = SparkEntry.queries("d9_bloom_decontaminate")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the prefilter must run as the runtime-filter expression (codegen
+    // might_contain over the sketch literal), not as a join against the
+    // raw gram strings; the exact verify join stays broadcast
+    assert(plan.contains("might_contain"), "bloom probe missing from the plan")
+    assert(plan.contains("BroadcastHashJoin"), "exact verify join must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "corpus side must not shuffle")
+  }
+
   test("d2/d4/d8: bucketed candidate joins stay hash-joinable (no nested-loop degeneration)") {
     // same failure mode the d3/d5 audit pins, for the other bucketed
     // dedup families: d2's shingle inverted-index self-join, d4's
