@@ -40,6 +40,21 @@ object ScrapeSuite {
     starCache.computeIfAbsent(s,
       s => Entities.starSchemaBuild(pages(s), parsed(s), Map.empty)).tables
 
+  // One link-graph extraction per session, shared by s8 (BFS frontier)
+  // and s9 (linkrank): both walk the same graph, and the extraction is
+  // the wholetext corpus parse — the expensive part. The spool is a
+  // temp dir cleaned on JVM exit (Spool.dir), file-backed so both
+  // consumers' iterative joins read id-size parquet, never HTML.
+  private val graphCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+  private def linkGraphSpooled(s: SparkSession): DataFrame =
+    graphCache.computeIfAbsent(s, s => {
+      val dir = graft.sources.Spool.dir(s, "scrape_graph")
+      graft.scrape.Crawl.linkGraph(pages(s))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+      s.read.parquet(dir)
+    })
+
   /** Where s6/s7 land the built star schema so DuckDB can hash-check
     * them: the star build's OUTPUT is plain relational data even though
     * its INPUT is HTML DuckDB can't read, so landing it as parquet turns
@@ -181,6 +196,7 @@ object ScrapeSuite {
     */
   def clear(s: SparkSession): Unit = {
     landedCache.remove(s)
+    graphCache.remove(s) // spool files are Spool-managed (JVM-exit cleanup)
     Option(starCache.remove(s)).foreach(_.release())
     Option(parsedCache.remove(s)).foreach(_.unpersist())
   }
@@ -232,14 +248,17 @@ object ScrapeSuite {
     // in_cache=false rows are the to-visit list a live PageRetriever
     // would fetch
     "s8_crawl_frontier" -> ((s, _) => {
-      graft.scrape.Crawl.frontier(pages(s)).orderBy("depth", "name_id")
+      graft.scrape.Crawl.frontier(pages(s), preGraph = Some(linkGraphSpooled(s)))
+        .orderBy("depth", "name_id")
     }),
 
-    // crawl-prioritization rank over the same link graph s8 walks:
-    // integer fixed-point PageRank (10 iterations, damping 0.85), the
-    // order a live fetcher would refresh pages in
+    // crawl-prioritization rank over the same link graph s8 walks
+    // (shared spool — the corpus is parsed once for both): integer
+    // fixed-point PageRank (10 iterations, damping 0.85), the order a
+    // live fetcher would refresh pages in
     "s9_linkrank" -> ((s, _) => {
-      graft.scrape.Crawl.linkRank(pages(s)).orderBy("name_id")
+      graft.scrape.Crawl.linkRankFromGraph(linkGraphSpooled(s))
+        .orderBy("name_id")
     }),
 
     // the reference's end goal (README: "aggregate your own stats"):

@@ -234,7 +234,8 @@ object Crawl {
     * even when the page corpus is 100 TB.
     */
   def frontier(cache: DataFrame, maxWaves: Int = 8,
-               spoolDir: Option[String] = None): DataFrame = {
+               spoolDir: Option[String] = None,
+               preGraph: Option[DataFrame] = None): DataFrame = {
     val spark = cache.sparkSession
     val spool = spoolDir.getOrElse(graft.sources.Spool.dir(spark, "frontier"))
     // ONE pass over the HTML corpus: spool the whole link graph
@@ -253,9 +254,19 @@ object Crawl {
     // visibility and lifecycle. The underscore prefix makes it a hidden
     // path to Hadoop's default PathFilter (like _SUCCESS), so ledger
     // reads of `spool` never pick the graph files up.
-    val graphSpool = s"${spool.stripSuffix("/")}/_graph"
-    linkGraph(cache).write.mode(SaveMode.Overwrite).parquet(graphSpool)
-    val graph = () => spark.read.parquet(graphSpool)
+    //
+    // `preGraph` skips the extraction entirely: a caller that already
+    // holds a MATERIALIZED linkGraph relation (e.g. one shared between
+    // frontier and linkRank — the corpus should be parsed once, not once
+    // per consumer) passes it here; its storage lifecycle is the
+    // caller's, and it must be file-backed (waves iterate over it).
+    val graph: () => DataFrame = preGraph match {
+      case Some(g) => () => g
+      case None =>
+        val graphSpool = s"${spool.stripSuffix("/")}/_graph"
+        linkGraph(cache).write.mode(SaveMode.Overwrite).parquet(graphSpool)
+        () => spark.read.parquet(graphSpool)
+    }
     val cacheIds = () => graph().filter(col("linked_id").isNull).select("name_id")
     val edges = () => graph().filter(col("linked_id").isNotNull)
       .select(col("name_id"), col("linked_id"))
