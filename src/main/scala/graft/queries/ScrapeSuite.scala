@@ -571,7 +571,7 @@ object ScrapeSuite {
     * lossless and matches Spark's LongType sums.
     */
   private def s9OracleSql: String = {
-    val iters = 10 // linkRank's default round count
+    val iters = graft.scrape.Crawl.DefaultRankIters
     val scale = graft.scrape.Crawl.RankScale
     val base15 = 15L * scale / 100L
     val head =

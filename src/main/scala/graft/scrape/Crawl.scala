@@ -141,6 +141,13 @@ object Crawl {
     */
   val RankScale = 1000000000000L
 
+  /** Default power-iteration count for [[linkRank]]. The s9 oracle
+    * unrolls EXACTLY this many rounds — deriving both sides from one
+    * constant is what keeps the Spark query and the DuckDB twin from
+    * silently running different depths.
+    */
+  val DefaultRankIters = 10
+
   /** PageRank over the crawl link graph — the crawl-prioritization rank
     * a large-scale pipeline uses to order its fetch frontier (pages
     * linked from many hubs refresh first). Damping 0.85, `iters` fixed
@@ -154,11 +161,13 @@ object Crawl {
     * outdeg(u))) div 100. Scale posture matches [[frontier]]: the
     * wholetext corpus is scanned ONCE into the id-only graph spool, each
     * iteration is one join + one aggregation on `name_id`-size rows
-    * (O(|edges|) shuffled once per round), rounds are fixed (not
-    * data-dependent), and lineage is truncated by checkpoint every 5
-    * rounds exactly like Dedup.dedupClusters.
+    * (O(|edges|) shuffled once per round), and rounds are fixed (not
+    * data-dependent) — lazy up to 10 of them (one evaluation in the
+    * caller's action, exchange reuse deduplicating the shared
+    * subtrees), with mid-loop checkpoint truncation every 5th round
+    * only for deeper custom counts.
     */
-  def linkRank(cache: DataFrame, iters: Int = 10,
+  def linkRank(cache: DataFrame, iters: Int = DefaultRankIters,
                spoolDir: Option[String] = None): DataFrame = {
     val spark = cache.sparkSession
     val spool = spoolDir.getOrElse(graft.sources.Spool.dir(spark, "linkrank"))
@@ -172,7 +181,7 @@ object Crawl {
     * scan). Returns `(name_id, rank_fp)` with rank in [[RankScale]]
     * fixed point.
     */
-  def linkRankFromGraph(graph: DataFrame, iters: Int = 10): DataFrame = {
+  def linkRankFromGraph(graph: DataFrame, iters: Int = DefaultRankIters): DataFrame = {
     val spark = graph.sparkSession
     val edges = graph.filter(col("linked_id").isNotNull)
       .select(col("name_id").as("src"), col("linked_id").as("dst"))

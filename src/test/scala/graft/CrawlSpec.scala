@@ -213,6 +213,24 @@ class CrawlSpec extends SparkSpec {
     assert(got("a") > got("d"))
   }
 
+  test("linkRank (cache entry point) spools the graph itself and agrees with the core") {
+    import spark.implicits._
+    // a tiny standalone cache: one schedule linking one fixture game
+    val cache = Seq(("2020-schedule", "SchedulePage",
+      s"<html><body>${gameLink("WAS201710120")}</body></html>"))
+      .toDF("name_id", "page_type", "html")
+      .unionByName(HtmlSource.pages(spark, ScrapeSuite.FixtureDir)
+        .filter(col("name_id") === "WAS201710120"))
+    val viaCache = Crawl.linkRank(cache).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaGraph = Crawl.linkRankFromGraph(Crawl.linkGraph(cache)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaCache == viaGraph && viaCache.nonEmpty)
+    // the game page (linked by the schedule AND carrying the roster
+    // out-links) must outrank the schedule seed nothing links to
+    assert(viaCache("WAS201710120") > viaCache("2020-schedule"))
+  }
+
   test("frontier over the raw fixture corpus records schedule links as to-visit") {
     val ledger = ScrapeSuite.queries("s8_crawl_frontier")(spark, sfDir).cache()
     assert(ledger.filter(col("depth") === 0).count() == 1L) // 2016-schedule

@@ -94,10 +94,14 @@ class PlanAuditSpec extends SparkSpec {
 
   test("d9: the corpus probe is a bloom might_contain filter feeding a broadcast verify join") {
     val df = SparkEntry.queries("d9_bloom_decontaminate")(spark, sfDir)
+    df.collect() // finalize the adaptive plan before inspecting it
     val plan = df.queryExecution.executedPlan.toString
     // the prefilter must run as the runtime-filter expression (codegen
     // might_contain over the sketch literal), not as a join against the
-    // raw gram strings; the exact verify join stays broadcast
+    // raw gram strings; with a SMALL eval set the unhinted verify join
+    // must still land broadcast (spool size is known to the planner) —
+    // a LARGE eval set flipping to shuffle is the designed behavior,
+    // not this fixture's
     assert(plan.contains("might_contain"), "bloom probe missing from the plan")
     assert(plan.contains("BroadcastHashJoin"), "exact verify join must broadcast")
     assert(!plan.contains("SortMergeJoin"), "corpus side must not shuffle")
