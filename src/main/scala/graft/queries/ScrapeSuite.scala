@@ -474,14 +474,10 @@ object ScrapeSuite {
        |ORDER BY game_name_id, play_num""".stripMargin
   }
 
-  /** The DuckDB twin of [[graft.scrape.Crawl.frontier]] — the last query
-    * to gain an oracle (declared rows-only through round 10). The BFS is
-    * replayed as a maxWaves-bounded unrolled union rather than a
-    * recursive CTE: recursive-CTE UNION dedups whole rows, but a page
-    * rediscovered at a later depth differs in its `depth` column, so the
-    * "first discovery wave wins" semantics need an anti-join against ALL
-    * prior waves — exactly what the unrolled `seen` accumulators express,
-    * and exactly the `left_anti` in Crawl.frontier.
+  /** The shared CTE chain extracting the crawl link graph from the
+    * fixture corpus — everything through `edges` — used by BOTH the s8
+    * BFS oracle and the s9 linkrank oracle (the two queries walk the
+    * same graph, so the extraction twin is written once).
     *
     * The link edges are extracted ONCE from every cached page: schedule →
     * boxscore ids via the s2 regex + the nameIdOf twin (last path
@@ -490,13 +486,7 @@ object ScrapeSuite {
     * + data-stat="player"), gated on the same scorebox-teams
     * precondition as parseGameE (≥2 /teams/ anchors in the scorebox
     * slice — a game page failing that parses to Left and contributes no
-    * roster on the Spark side either). Player pages are leaves. Wave d =
-    * DISTINCT dst of edges from (wave d-1 ∩ in-cache), minus everything
-    * already discovered; edges exist only for cached pages, so joining on
-    * src reproduces the cache semi-join, and an empty wave leaves all
-    * later waves empty, matching the loop's early exit. Reference
-    * semantics under test: nodes.py:9-58 (ScrapeNode DFS with
-    * skip-existing).
+    * roster on the Spark side either). Player pages are leaves.
     *
     * Known divergence class (none reachable with current fixtures): the
     * `ggated` gate mirrors parseGameE's EXPECTED-failure Left channel
@@ -509,11 +499,6 @@ object ScrapeSuite {
     * divergence fails loudly in Verify rather than silently; if such a
     * fixture is ever added, extend this gate (e.g. require a parseable
     * date div) to keep parity.
-    */
-  /** The shared CTE chain extracting the crawl link graph from the
-    * fixture corpus — everything through `edges` — used by BOTH the s8
-    * BFS oracle and the s9 linkrank oracle (the two queries walk the
-    * same graph, so the extraction twin is written once).
     */
   private def crawlGraphCtes: String = {
     val thElem = "(?s)<th(?:>|[ \\t\\n][^>]*>).*?</th>"
@@ -597,6 +582,23 @@ object ScrapeSuite {
       s"\nSELECT name_id, CAST(r AS BIGINT) AS rank_fp FROM r$iters ORDER BY name_id"
   }
 
+  /** The DuckDB twin of [[graft.scrape.Crawl.frontier]] — the last query
+    * to gain an oracle (declared rows-only through round 10). The BFS is
+    * replayed as a maxWaves-bounded unrolled union rather than a
+    * recursive CTE: recursive-CTE UNION dedups whole rows, but a page
+    * rediscovered at a later depth differs in its `depth` column, so the
+    * "first discovery wave wins" semantics need an anti-join against ALL
+    * prior waves — exactly what the unrolled `seen` accumulators express,
+    * and exactly the `left_anti` in Crawl.frontier.
+    *
+    * Wave d = DISTINCT dst of edges from (wave d-1 ∩ in-cache)
+    * ([[crawlGraphCtes]] — see there for the extraction twin and its
+    * known divergence class), minus everything already discovered; edges
+    * exist only for cached pages, so joining on src reproduces the cache
+    * semi-join, and an empty wave leaves all later waves empty, matching
+    * the loop's early exit. Reference semantics under test: nodes.py:9-58
+    * (ScrapeNode DFS with skip-existing).
+    */
   private def s8OracleSql: String = {
     val maxWaves = 8 // Crawl.frontier's default bound
     val base =
