@@ -297,7 +297,13 @@ object EventStreams {
     * with no transactional sink support: keys, not transactions.
     */
   def streamUpsertSink(spark: SparkSession, dir: String): DataFrame = {
-    val dbDir = java.nio.file.Files.createTempDirectory("graft_st6")
+    // the db is a PER-CALL temp resource (deleted below), so it gets the
+    // same treatment as the drain checkpoint WAL: tmpfs when available —
+    // Derby fsyncs its transaction log on every upsert batch, and paying
+    // disk syncs for a database that dies with the call is pure fixed
+    // overhead. A production deployment passes its own durable JDBC URL.
+    val dbDir = java.nio.file.Paths.get(
+      graft.sources.Spool.fastTempRoot("st6_db"))
     val url = s"jdbc:derby:$dbDir/sinkdb;create=true"
     val q = withDrainConf(spark) {
       eventStream(spark, dir)
