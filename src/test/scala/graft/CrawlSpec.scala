@@ -213,6 +213,41 @@ class CrawlSpec extends SparkSpec {
     assert(got("a") > got("d"))
   }
 
+  test("linkRankFromGraph matches the reference on randomized graphs (seeded)") {
+    import spark.implicits._
+    // deterministic seed, same style as the parse fuzz: varying density,
+    // dst-only targets, dangling leaves, disconnected nodes — either the
+    // engine's recurrence equals the plain-Scala fixed point on every
+    // graph shape or the failing edge list prints
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 1 to 4) {
+      val presence = (0 until 3 + rnd.nextInt(10)).map(i => s"p$i")
+      val targets = presence ++ (0 until 1 + rnd.nextInt(3)).map(i => s"x$i")
+      val edges = (for {
+        s <- presence; t <- targets
+        if s != t && rnd.nextDouble() < 0.25
+      } yield (s, t)).distinct
+      val graph = (presence.map(p => (p, "GamePage", Option.empty[String])) ++
+        edges.map { case (s, t) => (s, "GamePage", Option(t)) })
+        .toDF("name_id", "page_type", "linked_id")
+      val got = Crawl.linkRankFromGraph(graph, iters = 10).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      val nodes = (presence ++ edges.map(_._2)).distinct
+      val n = nodes.size
+      val odeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val base = (15L * Crawl.RankScale / 100L) / n
+      var r = nodes.map(_ -> Crawl.RankScale / n).toMap
+      for (_ <- 1 to 10) {
+        val inc = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (src, _) => r(src) / odeg(src) }.sum
+        }
+        r = nodes.map(v => v -> (base + 85L * inc.getOrElse(v, 0L) / 100L)).toMap
+      }
+      assert(got == r, s"trial $trial: engine != reference on edges $edges")
+    }
+  }
+
   test("linkRank (cache entry point) spools the graph itself and agrees with the core") {
     import spark.implicits._
     // a tiny standalone cache: one schedule linking one fixture game
