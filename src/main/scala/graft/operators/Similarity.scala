@@ -155,6 +155,59 @@ object Similarity {
           * lit(1000000.0) + lit(0.5)).cast("long"))
   }
 
+  /** Product quantization encode — the vector-compression half of an
+    * IVF-PQ index (Jégou et al. 2011, "Product Quantization for Nearest
+    * Neighbor Search"): each vector splits into `m` subvectors and each
+    * subvector is replaced by the index of its nearest codebook entry,
+    * so a d-dim float vector stores as `m` small codes. Codebooks are
+    * "trained" by the same stateless deterministic sampling as
+    * [[ivfTopK]]'s centroids (the `kCodes` corpus rows with the smallest
+    * md5(id), coded 0..kCodes-1 in that order) — reproducible on every
+    * executor and in any engine, which is what makes the assignment
+    * oracle-checkable.
+    *
+    * Scale posture: the codebook is dim-scale (kCodes·m subvectors) and
+    * broadcasts; the corpus side explodes ×m, scores each subvector
+    * against its sub's codes inside the broadcast join, and the argmin
+    * is a PARTIAL-AGGREGABLE `min(struct(dist, code))` — map-side
+    * combine reduces the kCodes-way candidate fan-in before the single
+    * (vec_id, sub) shuffle, so shuffle volume is m rows per vector, not
+    * m·kCodes. The tiny row_number window coding the codebook runs on
+    * kCodes rows (dim-scale, the surrogateDim contract). Distances fold
+    * doubles left-to-right in the exact order the DuckDB twin replays;
+    * ties break on the code index; `dist_fp` reports the quantization
+    * error at 6-decimal fixed point (floor(x·1e6+0.5), the a4/a5
+    * convention — no float tolerance in the comparison at all). If `m`
+    * does not divide the dimension, both engines ignore the same tail
+    * elements (identical slice arithmetic).
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int, kCodes: Int): DataFrame = {
+    val byMd5 = Window.orderBy(md5(col("cent_id").cast("string")), col("cent_id"))
+    val cents = corpus.select(col(idCol).as("cent_id"), col(vecCol).as("cw"))
+      .orderBy(md5(col("cent_id").cast("string")), col("cent_id")).limit(kCodes)
+      .withColumn("code", row_number().over(byMd5).cast("long") - 1)
+    val centSubs = cents
+      .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("cw"))
+      .select(col("code"), col("sub"),
+        expr(s"slice(cw, sub * (size(cw) div $m) + 1, size(cw) div $m)").as("cs"))
+    val vecSubs = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(v, sub * (size(v) div $m) + 1, size(v) div $m)").as("vs"))
+    vecSubs.join(broadcast(centSubs), Seq("sub"))
+      .withColumn("dist", aggregate(
+        zip_with(col("vs"), col("cs"), (p, q) =>
+          (p.cast("double") - q.cast("double")) * (p.cast("double") - q.cast("double"))),
+        lit(0.0), (acc, v) => acc + v))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("best.code").as("code"),
+        floor(col("best.dist") * lit(1000000.0) + lit(0.5)).cast("long").as("dist_fp"))
+  }
+
   /** Hyperplane-LSH ANN: bucket corpus and queries into `tables`
     * independent sign-bit bucketings; candidates are same-bucket rows in
     * any table; rerank candidates by exact cosine and keep top-k. Recall

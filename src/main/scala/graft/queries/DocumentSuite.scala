@@ -226,6 +226,14 @@ object DocumentSuite {
         .orderBy("label", "pos")
     }),
 
+    // 64-dim embeddings → 4 subspaces × 16 codes: each vector stores as
+    // 4 bytes instead of 256 — the IVF-PQ compression step
+    "a6_pq_encode" -> ((s, d) => {
+      Similarity.pqEncode(Tables.embeddings(s, d), "vec_id", "embedding",
+        m = 4, kCodes = 16)
+        .orderBy("vec_id", "sub")
+    }),
+
     // --- multimodal --------------------------------------------------------
     "m1_multimodal_meta" -> ((s, d) => {
       Multimodal.withPayloadMeta(Tables.documents(s, d), "doc_id", "text")
@@ -752,6 +760,34 @@ object DocumentSuite {
          |SELECT query_id, neighbor_id, cos,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
          |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // codebook = the a3 md5 sample coded in order; squared-L2 folds
+    // left-to-right like cosSql; argmin ties break on the code index
+    // (Spark: min(struct(dist, code))); dist_fp is the a4/a5 fixed-point
+    // convention so the compare is integer-exact
+    "a6_pq_encode" ->
+      """WITH cb AS (
+        |  SELECT embedding::DOUBLE[] AS cw,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) - 1 AS code
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |subs AS (SELECT u.s AS sub FROM UNNEST(range(0, 4)) AS u(s)),
+        |cs AS (
+        |  SELECT code, sub,
+        |    cw[CAST(sub * (len(cw) // 4) + 1 AS INT) : CAST((sub + 1) * (len(cw) // 4) AS INT)] AS csv
+        |  FROM cb, subs),
+        |vs AS (
+        |  SELECT vec_id, sub,
+        |    (embedding::DOUBLE[])[CAST(sub * (len(embedding) // 4) + 1 AS INT) : CAST((sub + 1) * (len(embedding) // 4) AS INT)] AS vsv
+        |  FROM embeddings, subs),
+        |scored AS (
+        |  SELECT vec_id, sub, code,
+        |    list_reduce(list_transform(list_zip(vsv, csv), p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+        |  FROM vs JOIN cs USING (sub))
+        |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code,
+        |  CAST(FLOOR(dist * 1000000.0 + 0.5) AS BIGINT) AS dist_fp
+        |FROM scored
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1
+        |ORDER BY vec_id, sub""".stripMargin,
 
     "d5_dedup_embedding" ->
       s"""WITH ${lshSigsCte(tables = 8, planes = 4)},

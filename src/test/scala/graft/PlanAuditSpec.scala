@@ -164,6 +164,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("a6: PQ codebook broadcasts and the argmin is partial-aggregated before the shuffle") {
+    val df = SparkEntry.queries("a6_pq_encode")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the kCodes-way candidate fan-in must shrink map-side: a plan that
+    // shuffled every (vector, sub, code) scored row would carry m·kCodes
+    // rows per vector instead of m
+    assert(plan.contains("BroadcastHashJoin"), "codebook join must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "corpus side must not shuffle for the join")
+    assert("partial_min|partial\\(?min".r.findFirstIn(plan).isDefined ||
+      "Aggregate".r.findAllIn(plan).length >= 2,
+      s"argmin must have a partial phase:\n$plan")
+  }
+
   test("t10: bigram top-k is partial-agg + TakeOrdered, never a global sort of all grams") {
     val plan = graft.operators.TextAnalysis
       .bigramCollocations(graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", 100)

@@ -55,6 +55,51 @@ class SimilaritySpec extends SparkSpec {
       (9, 0L, 1L, 500000L, 500000L), (9, 1L, 1L, 500000L, 500000L)))
   }
 
+  test("pqEncode matches a scalar reference and quantizes codebook members to themselves") {
+    // 20 deterministic 8-dim vectors, m=2 subspaces, k=4 codes
+    val rnd = new scala.util.Random(77)
+    val vecs = (0L until 20L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(df, "vec_id", "embedding", m = 2, kCodes = 4)
+      .orderBy("vec_id", "sub").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // scalar reference: same md5 codebook sample, same left-to-right
+    // double fold, same (dist, code) tie-break
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val codebook = vecs.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(4).zipWithIndex.map { case ((_, v), code) => (code.toLong, v) }
+    val expected = (for {
+      (id, v) <- vecs; sub <- 0 until 2
+    } yield {
+      val w = v.length / 2
+      val vs = v.slice(sub * w, sub * w + w)
+      val scored = codebook.map { case (code, cw) =>
+        val cs = cw.slice(sub * w, sub * w + w)
+        val dist = vs.zip(cs).foldLeft(0.0) { case (acc, (p, q)) =>
+          acc + (p.toDouble - q.toDouble) * (p.toDouble - q.toDouble)
+        }
+        (dist, code)
+      }.min
+      (id, sub.toLong, scored._2, math.floor(scored._1 * 1000000.0 + 0.5).toLong)
+    }).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expected)
+
+    // every codebook member must encode to its own code with zero error
+    val own = codebook.map(_._1).toSet
+    val byId = got.groupBy(_._1)
+    codebook.foreach { case (code, _) =>
+      val id = vecs.sortBy { case (i, _) => (md5hex(i.toString), i) }.apply(code.toInt)._1
+      byId(id).foreach { case (_, _, c, dfp) =>
+        assert(c == code && dfp == 0L, s"codebook member $id should self-encode")
+      }
+    }
+    assert(got.forall { case (_, _, c, dfp) => own.contains(c) && dfp >= 0L })
+  }
+
   test("ivfTopK probes nearest cells and achieves useful recall") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter($"vec_id" < 10)
