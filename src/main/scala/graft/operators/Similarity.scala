@@ -181,31 +181,85 @@ object Similarity {
     * does not divide the dimension, both engines ignore the same tail
     * elements (identical slice arithmetic).
     */
-  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               m: Int, kCodes: Int): DataFrame = {
+  /** The per-subspace codebook of [[pqEncode]]/[[pqAdcTopK]]:
+    * `(code, sub, cs)` — the `kCodes` md5-sampled rows, coded 0..k-1 in
+    * sample order, sliced into their `m` subvectors. The tiny
+    * row_number window runs on kCodes rows (dim-scale, the surrogateDim
+    * contract); every consumer broadcasts this relation.
+    */
+  private def codebookSubs(corpus: DataFrame, idCol: String, vecCol: String,
+                           m: Int, kCodes: Int): DataFrame = {
     val byMd5 = Window.orderBy(md5(col("cent_id").cast("string")), col("cent_id"))
-    val cents = corpus.select(col(idCol).as("cent_id"), col(vecCol).as("cw"))
+    corpus.select(col(idCol).as("cent_id"), col(vecCol).as("cw"))
       .orderBy(md5(col("cent_id").cast("string")), col("cent_id")).limit(kCodes)
       .withColumn("code", row_number().over(byMd5).cast("long") - 1)
-    val centSubs = cents
       .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("cw"))
       .select(col("code"), col("sub"),
         expr(s"slice(cw, sub * (size(cw) div $m) + 1, size(cw) div $m)").as("cs"))
-    val vecSubs = corpus
-      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+  }
+
+  /** `(id → m subvectors)` explode shared by the encode and query sides. */
+  private def subVectors(df: DataFrame, idCol: String, vecCol: String,
+                         m: Int, idAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as("v"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .select(col("vec_id"), col("sub"),
+      .select(col(idAs), col("sub"),
         expr(s"slice(v, sub * (size(v) div $m) + 1, size(v) div $m)").as("vs"))
-    vecSubs.join(broadcast(centSubs), Seq("sub"))
-      .withColumn("dist", aggregate(
-        zip_with(col("vs"), col("cs"), (p, q) =>
-          (p.cast("double") - q.cast("double")) * (p.cast("double") - q.cast("double"))),
-        lit(0.0), (acc, v) => acc + v))
+
+  /** Squared-L2 between two float subvectors, folded left-to-right in
+    * doubles — the exact order the DuckDB twins replay.
+    */
+  private def sqL2(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (p, q) =>
+      (p.cast("double") - q.cast("double")) * (p.cast("double") - q.cast("double"))),
+    lit(0.0), (acc, v) => acc + v)
+
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int, kCodes: Int): DataFrame =
+    subVectors(corpus, idCol, vecCol, m, "vec_id")
+      .join(broadcast(codebookSubs(corpus, idCol, vecCol, m, kCodes)), Seq("sub"))
+      .withColumn("dist", sqL2(col("vs"), col("cs")))
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("dist"), col("code"))).as("best"))
       .select(col("vec_id"), col("sub").cast("long").as("sub"),
         col("best.code").as("code"),
         floor(col("best.dist") * lit(1000000.0) + lit(0.5)).cast("long").as("dist_fp"))
+
+  /** Asymmetric-distance (ADC) top-k over the PQ codes — the faiss
+    * IndexPQ query path: the corpus is visited only through its
+    * compressed `(vec_id, sub, code)` representation (m small codes per
+    * vector — at 100 TB of vectors THE reason PQ exists), while each
+    * query precomputes a distance TABLE (query-subvector → every
+    * codebook entry, m·kCodes rows per query) that broadcasts. Scoring
+    * is one broadcast join codes⋈table and a partial-aggregated sum per
+    * (query, neighbor); ranking reuses the a1/a3 top-k window (partial
+    * WindowGroupLimit before the shuffle).
+    *
+    * Per-sub table entries are quantized to the a4/a5 fixed point
+    * BEFORE the sum, so the total is a BIGINT sum of BIGINTs —
+    * order-independent across partial-aggregate merges and exact in any
+    * engine; ties rank by neighbor id. Production stores the a6 codes
+    * and reads them here; this composition recomputes them inline so
+    * the operator is self-contained over raw vectors.
+    */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, m: Int, kCodes: Int): DataFrame = {
+    val codes = pqEncode(corpus, idCol, vecCol, m, kCodes)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+    val adc = subVectors(queries, idCol, vecCol, m, "query_id")
+      .join(broadcast(codebookSubs(corpus, idCol, vecCol, m, kCodes)), Seq("sub"))
+      .select(col("query_id"), col("sub").cast("long").as("sub"), col("code"),
+        floor(sqL2(col("vs"), col("cs")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("dfp"))
+    val scored = codes.join(broadcast(adc), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dfp")).as("adc_fp"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_fp").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_fp"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** Hyperplane-LSH ANN: bucket corpus and queries into `tables`

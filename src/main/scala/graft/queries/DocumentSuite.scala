@@ -234,6 +234,16 @@ object DocumentSuite {
         .orderBy("vec_id", "sub")
     }),
 
+    // ADC search over the a6 codes: the corpus is visited only through
+    // its 4-byte compressed form, queries precompute broadcastable
+    // distance tables
+    "a7_pq_adc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqAdcTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, m = 4, kCodes = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     // --- multimodal --------------------------------------------------------
     "m1_multimodal_meta" -> ((s, d) => {
       Multimodal.withPayloadMeta(Tables.documents(s, d), "doc_id", "text")
@@ -365,6 +375,32 @@ object DocumentSuite {
        |    SELECT e.id, e.v, ce.cid,
        |      ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY ${cosSql("e.v", "ce.cw")} DESC, ce.cid) AS r
        |    FROM e, cents ce $filter) WHERE r <= $keep)""".stripMargin
+
+  /** Shared DuckDB CTE chain for the PQ family (a6 encode, a7 ADC):
+    * md5-sampled codebook coded in sample order, m=4 subspace slices of
+    * codebook and corpus, and the per-(vector, sub, code) squared-L2
+    * scores (left-to-right fold). Consumers pick the argmin
+    * (QUALIFY ... = 1) and, for a7, build the query-side ADC tables on
+    * the same `cs` slices.
+    */
+  private val PqCtes: String =
+    """cb AS (
+      |  SELECT embedding::DOUBLE[] AS cw,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) - 1 AS code
+      |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |subs AS (SELECT u.s AS sub FROM UNNEST(range(0, 4)) AS u(s)),
+      |cs AS (
+      |  SELECT code, sub,
+      |    cw[CAST(sub * (len(cw) // 4) + 1 AS INT) : CAST((sub + 1) * (len(cw) // 4) AS INT)] AS csv
+      |  FROM cb, subs),
+      |pvs AS (
+      |  SELECT vec_id, sub,
+      |    (embedding::DOUBLE[])[CAST(sub * (len(embedding) // 4) + 1 AS INT) : CAST((sub + 1) * (len(embedding) // 4) AS INT)] AS vsv
+      |  FROM embeddings, subs),
+      |pqscored AS (
+      |  SELECT vec_id, sub, code,
+      |    list_reduce(list_transform(list_zip(vsv, csv), p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+      |  FROM pvs JOIN cs USING (sub))""".stripMargin
 
   /** Shared DuckDB CTE chain: 3-gram shingles -> inverted-index pair
     * counts -> Jaccard >= 0.5 pairs (used by the d2 and d6 oracles).
@@ -766,28 +802,39 @@ object DocumentSuite {
     // (Spark: min(struct(dist, code))); dist_fp is the a4/a5 fixed-point
     // convention so the compare is integer-exact
     "a6_pq_encode" ->
-      """WITH cb AS (
-        |  SELECT embedding::DOUBLE[] AS cw,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) - 1 AS code
-        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        |subs AS (SELECT u.s AS sub FROM UNNEST(range(0, 4)) AS u(s)),
-        |cs AS (
-        |  SELECT code, sub,
-        |    cw[CAST(sub * (len(cw) // 4) + 1 AS INT) : CAST((sub + 1) * (len(cw) // 4) AS INT)] AS csv
-        |  FROM cb, subs),
-        |vs AS (
-        |  SELECT vec_id, sub,
-        |    (embedding::DOUBLE[])[CAST(sub * (len(embedding) // 4) + 1 AS INT) : CAST((sub + 1) * (len(embedding) // 4) AS INT)] AS vsv
-        |  FROM embeddings, subs),
-        |scored AS (
-        |  SELECT vec_id, sub, code,
-        |    list_reduce(list_transform(list_zip(vsv, csv), p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
-        |  FROM vs JOIN cs USING (sub))
-        |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code,
-        |  CAST(FLOOR(dist * 1000000.0 + 0.5) AS BIGINT) AS dist_fp
-        |FROM scored
-        |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1
-        |ORDER BY vec_id, sub""".stripMargin,
+      s"""WITH $PqCtes
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code,
+         |  CAST(FLOOR(dist * 1000000.0 + 0.5) AS BIGINT) AS dist_fp
+         |FROM pqscored
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1
+         |ORDER BY vec_id, sub""".stripMargin,
+
+    // ADC over the a6 codes: per-sub table entries hit the fixed point
+    // BEFORE the sum (BIGINT sum of BIGINTs — order-independent, the
+    // same reason a5 accumulates centroids in fixed point)
+    "a7_pq_adc" ->
+      s"""WITH $PqCtes,
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM pqscored
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+         |qs AS (
+         |  SELECT query_id, sub,
+         |    qv[CAST(sub * (len(qv) // 4) + 1 AS INT) : CAST((sub + 1) * (len(qv) // 4) AS INT)] AS qsv
+         |  FROM q, subs),
+         |adc AS (
+         |  SELECT query_id, sub, code,
+         |    CAST(FLOOR(list_reduce(list_transform(list_zip(qsv, csv), p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS dfp
+         |  FROM qs JOIN cs USING (sub)),
+         |sc AS (
+         |  SELECT a.query_id, c.vec_id AS neighbor_id, CAST(SUM(a.dfp) AS BIGINT) AS adc_fp
+         |  FROM codes c JOIN adc a ON a.sub = c.sub AND a.code = c.code
+         |  WHERE a.query_id <> c.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, adc_fp,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS BIGINT) AS rank
+         |FROM sc QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "d5_dedup_embedding" ->
       s"""WITH ${lshSigsCte(tables = 8, planes = 4)},

@@ -193,7 +193,7 @@ class PlanAuditSpec extends SparkSpec {
     // partition and a3 shuffles corpus x nProbe rows before dropping all
     // but k. That plan shape is load-bearing, so a conf or version change
     // that loses it must fail here, not melt a cluster.
-    Seq("a1_ann_brute_topk", "a3_ann_ivf", "q9_window_rank_topk",
+    Seq("a1_ann_brute_topk", "a3_ann_ivf", "a7_pq_adc", "q9_window_rank_topk",
         "t9_tfidf").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString

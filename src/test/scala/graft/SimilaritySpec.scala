@@ -100,6 +100,50 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall { case (_, _, c, dfp) => own.contains(c) && dfp >= 0L })
   }
 
+  test("pqAdcTopK matches a scalar ADC reference and ranks by compressed distance") {
+    val rnd = new scala.util.Random(99)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+    val got = Similarity.pqAdcTopK(queries, df, "vec_id", "embedding",
+        k = 4, m = 2, kCodes = 4)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // scalar reference: encode (as in the pqEncode spec), then ADC =
+    // sum over subs of fixed-point table entries, rank by (adc, id)
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val m = 2; val w = 8 / m
+    val codebook = vecs.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(4).zipWithIndex.map { case ((_, v), code) => (code.toLong, v) }
+    def sq(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (p, q)) =>
+        acc + (p.toDouble - q.toDouble) * (p.toDouble - q.toDouble)
+      }
+    val codes = vecs.flatMap { case (id, v) =>
+      (0 until m).map { sub =>
+        val vs = v.slice(sub * w, sub * w + w)
+        val best = codebook.map { case (c, cw) => (sq(vs, cw.slice(sub * w, sub * w + w)), c) }.min
+        (id, sub, best._2)
+      }
+    }
+    val expected = (for { (qid, qv) <- vecs.take(3) } yield {
+      val table = (for { sub <- 0 until m; (c, cw) <- codebook } yield
+        ((sub, c), math.floor(sq(qv.slice(sub * w, sub * w + w),
+          cw.slice(sub * w, sub * w + w)) * 1000000.0 + 0.5).toLong)).toMap
+      vecs.filter(_._1 != qid).map { case (nid, _) =>
+        val adc = codes.filter(_._1 == nid).map { case (_, sub, c) => table((sub, c)) }.sum
+        (adc, nid)
+      }.sorted.take(4).zipWithIndex.map { case ((adc, nid), i) =>
+        (qid, nid, adc, (i + 1).toLong)
+      }
+    }).flatten
+    assert(got.toSeq == expected)
+  }
+
   test("ivfTopK probes nearest cells and achieves useful recall") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter($"vec_id" < 10)
