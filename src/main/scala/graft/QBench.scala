@@ -1,0 +1,34 @@
+package graft
+
+import graft.engine.GraftSession
+
+/** Developer diagnostic: time named SparkEntry queries in isolation.
+  *
+  * `runMain graft.QBench q1_pricing_summary,t9_tfidf [reps]` against
+  * `SPARK_GRAFT_SF_DIR` (default sf0.1). Set `QBENCH_EXPLAIN=1` to dump
+  * each query's formatted physical plan before timing. Not part of the
+  * driver gate — Bench.scala is the reported benchmark; this exists so
+  * a single query can be profiled without paying the 77-query sweep.
+  */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    require(args.nonEmpty, "usage: QBench <name>[,<name>...] [reps]")
+    val names = args(0).split(",").toSeq
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val explain = sys.env.get("QBENCH_EXPLAIN").contains("1")
+    val spark = GraftSession.local()
+    spark.range(1000000).selectExpr("sum(id)").collect() // JIT/codegen warm
+    names.foreach { n =>
+      val fn = SparkEntry.queries.getOrElse(n,
+        sys.error(s"unknown query '$n'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+      if (explain) fn(spark, sfDir).explain("formatted")
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        val cnt = fn(spark, sfDir).count()
+        println(f"[qbench] $n rep $r: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$cnt")
+      }
+    }
+    spark.stop()
+  }
+}

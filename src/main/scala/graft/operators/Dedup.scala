@@ -426,4 +426,51 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings
+    * into Voronoi cells and flag same-cell pairs whose exact cosine
+    * clears `threshold`. The published recipe — k-means the corpus,
+    * then compare only within a cluster — with the k-means replaced by
+    * the engine's deterministic coarse quantizer: cells are the
+    * `nCentroids` corpus rows with the smallest md5(id) (the exact
+    * [[Similarity.ivfTopK]] centroid contract — stateless, reproducible
+    * on every executor, and replayable by the DuckDB oracle).
+    *
+    * Structurally DISTINCT from [[embeddingDedupPairs]]: d5 buckets by
+    * random-hyperplane sign bits (many tables, bitwise locality), this
+    * partitions by nearest-centroid (one cell per vector, geometric
+    * locality) — the two candidate generators miss different pair
+    * classes, which is why production pipelines run both. Scale
+    * posture: the centroid set is dim-scale and broadcasts; assignment
+    * is a map-side argmax + one per-id window; candidates carry IDS
+    * ONLY through the 16-way-salted same-cell join (the d5 rule — never
+    * replicate the vector payload into the pair space); vectors re-join
+    * by id for the exact-cosine verify. Cell population is bounded by
+    * nCentroids ∝ corpus size (the IVF sizing rule), and the salt keeps
+    * a degenerate cell from serializing into one task.
+    */
+  def semanticDedupPairs(embs: DataFrame, idCol: String, vecCol: String,
+                         nCentroids: Int, threshold: Double): DataFrame = {
+    val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = base.select(col("id").as("cid"), col("v").as("cw"))
+      .orderBy(md5(col("cid").cast("string")), col("cid")).limit(nCentroids)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("__cc").desc, col("cid").asc)
+    // argmax scoring happens map-side inside the broadcast join; only
+    // (id, cid, score) reaches the per-id window shuffle — the wide
+    // vector column never rides an exchange in the assignment
+    val assigned = base.join(broadcast(cents))
+      .select(col("id"), col("cid"),
+        HashExpressions.cosine(col("v"), col("cw")).as("__cc"))
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("id"), col("cid"))
+    val cand = saltedSelfCandidates(assigned, Seq("cid"))
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        HashExpressions.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
 }

@@ -262,6 +262,54 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Scalar-quantization ADC top-k — the int8 analog of [[pqAdcTopK]]
+    * (the faiss `IndexScalarQuantizer` query path): every vector is
+    * stored as the [[quantizeInt8]] code array (floor(x·scale + 0.5)
+    * with scale = min(127/max|x|, 1e12)) and search runs entirely over
+    * the codes. At 100 TB this is the 4×-smaller-scan variant of a1:
+    * the corpus is read as int8 codes (the production layout would
+    * land the code arrays once and scan only them), the quantized
+    * queries broadcast, and the only shuffle is the per-query top-k
+    * window — same single-corpus-scan + partial WindowGroupLimit shape
+    * as a1/a3/a7.
+    *
+    * Exactness contract: the code arrays and their integer dot product
+    * and squared norms are BIGINT-exact (the dot folds longs, so
+    * partial order can never matter); the reported `cos_fp` is the
+    * quantized cosine at the a4/a5 6-decimal fixed point through ONE
+    * deterministic double sequence (int→double casts, two sqrts, one
+    * multiply, one division, ·1e6, +0.5, floor — IEEE-identical in any
+    * engine, mirrored verbatim by the DuckDB twin). A zero vector
+    * quantizes to an all-zero code (norm 0) and scores `cos_fp` 0
+    * against everything, in both engines.
+    */
+  def sqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int): DataFrame = {
+    def codes(df: DataFrame, idAs: String, codeAs: String, n2As: String): DataFrame = {
+      val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+      val scale = when(mx > 0, least(lit(127.0) / mx, lit(1.0e12))).otherwise(lit(0.0))
+      val q = transform(col(vecCol), x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
+      df.select(col(idCol).as(idAs), q.as(codeAs))
+        .withColumn(n2As, aggregate(col(codeAs), lit(0L), (a, b) => a + b * b))
+    }
+    val qs = codes(queries, "query_id", "qq", "n2q")
+    val cs = codes(corpus, "neighbor_id", "cq", "n2c")
+    val dot = aggregate(zip_with(col("qq"), col("cq"), (p, q) => p * q),
+      lit(0L), (a, b) => a + b)
+    val scored = cs.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_fp",
+        when(col("n2q") > 0 && col("n2c") > 0,
+          floor(dot.cast("double")
+            / (sqrt(col("n2q").cast("double")) * sqrt(col("n2c").cast("double")))
+            * lit(1000000.0) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_fp").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_fp"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Hyperplane-LSH ANN: bucket corpus and queries into `tables`
     * independent sign-bit bucketings; candidates are same-bucket rows in
     * any table; rerank candidates by exact cosine and keep top-k. Recall

@@ -254,4 +254,55 @@ object TextAnalysis {
     val punctRatio = punct / nChars.cast("double")
     least(nTok / 100.0, lit(1.0)) * 0.3 + stopRatio * 0.4 + (lit(1.0) - punctRatio) * 0.3
   }
+
+  /** Character-distribution statistics per document — the
+    * entropy-family quality signals (a low-entropy doc is boilerplate,
+    * key-mashing, or a binary blob that survived text extraction; both
+    * CCNet and Gopher filter on distributional degeneracy). Output per
+    * doc: `n_chars` (exact), `n_distinct` (alphabet size), `simpson_fp`
+    * (Simpson diversity 1 − Σp², 6-decimal fixed point) and
+    * `entropy_fp` (Shannon entropy in bits, 6-decimal fixed point).
+    *
+    * Exactness: character counts, Σn and Σn² are BIGINT-exact, so
+    * `simpson_fp` goes through one deterministic double sequence over
+    * exact integers (cast, ÷total, ÷total, 1−, ·1e6, +0.5, floor —
+    * IEEE-identical in any engine). Shannon terms need a log, which no
+    * cross-engine contract makes bit-exact: each PER-CHARACTER term
+    * −p·ln(p)/ln(2) is quantized to the 1e6 grid FIRST (a ~1-ulp
+    * library disagreement flips a floor only within ~1e-11 of a grid
+    * boundary) and the per-doc sum then runs on BIGINTs —
+    * order-independent across partial-aggregate merges, never a double
+    * accumulation whose merge order could change the bits (the a5/a7
+    * rule).
+    *
+    * Scale posture: the alphabet is bounded, so the (doc, char) partial
+    * aggregate collapses each partition to ≤|alphabet| rows per doc
+    * before its shuffle and the per-doc rollup aggregates ≤|alphabet|
+    * rows — both exchanges carry id+char+counts, never text. One corpus
+    * scan total.
+    */
+  def charStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("doc_id"), length(col(textCol)).cast("long").as("total"),
+        explode(split(col(textCol), "")).as("ch"))
+      // empty docs are excluded rather than divided by: split("") still
+      // yields one (empty) element, and p = n/0 would NaN the log chain
+      .filter(col("total") > 0)
+      .groupBy("doc_id", "ch")
+      .agg(count(lit(1)).as("n"), max("total").as("total"))
+    val p = col("n").cast("double") / col("total").cast("double")
+    val termFp = floor(-p * log(p) / log(lit(2.0)) * lit(1000000.0) + lit(0.5)).cast("long")
+    counts
+      .groupBy("doc_id")
+      .agg(max("total").as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n") * col("n")).as("__sumsq"),
+        sum(termFp).as("entropy_fp"))
+      .withColumn("simpson_fp",
+        floor((lit(1.0) - col("__sumsq").cast("double") / col("n_chars").cast("double")
+          / col("n_chars").cast("double")) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        col("simpson_fp"), col("entropy_fp"))
+  }
 }

@@ -125,6 +125,11 @@ object DocumentSuite {
         .orderBy("doc_id")
     }),
 
+    "t12_char_entropy" -> ((s, d) => {
+      TextAnalysis.charStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // --- dedup -------------------------------------------------------------
     "d1_dedup_exact" -> ((s, d) => {
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -195,6 +200,15 @@ object DocumentSuite {
         .orderBy("doc_id")
     }),
 
+    // SemDeDup: nearest-centroid cells (the a3 coarse quantizer) with
+    // in-cell exact-cosine verify — the geometric complement to d5's
+    // hyperplane buckets
+    "d10_dedup_semantic" -> ((s, d) => {
+      Dedup.semanticDedupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        nCentroids = 16, threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- similarity search -------------------------------------------------
     "a1_ann_brute_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -241,6 +255,14 @@ object DocumentSuite {
       val e = Tables.embeddings(s, d)
       Similarity.pqAdcTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
         k = 5, m = 4, kCodes = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ADC over int8 scalar-quantized codes: the corpus is visited only
+    // through its a4-rule code arrays (4× less scan IO than float32)
+    "a8_sq_adc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.sqAdcTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -522,6 +544,34 @@ object DocumentSuite {
         |  FROM documents)
         |SELECT doc_id, source FROM r JOIN q USING (source)
         |WHERE sr <= quota ORDER BY doc_id""".stripMargin,
+
+    // counts, Σn and Σn² are integer-exact; the two float emissions are
+    // fixed-point floors over deterministic double sequences mirrored
+    // op-for-op from TextAnalysis.charStats (Shannon terms quantize to
+    // the 1e6 grid BEFORE the per-doc BIGINT sum, so partial-aggregate
+    // merge order can never matter)
+    "t12_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, length(text)::BIGINT AS total, c AS ch
+        |  FROM documents, unnest(string_split(text, '')) AS u(c)
+        |  WHERE length(text) > 0),
+        |counts AS (
+        |  SELECT doc_id, ch, COUNT(*)::BIGINT AS n, MAX(total) AS total
+        |  FROM chars GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT doc_id, n, total,
+        |    CAST(FLOOR(-(n::DOUBLE / total::DOUBLE) * ln(n::DOUBLE / total::DOUBLE) / ln(2.0)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS term_fp
+        |  FROM counts),
+        |agg AS (
+        |  SELECT doc_id, MAX(total) AS n_chars, COUNT(*)::BIGINT AS n_distinct,
+        |    SUM(n * n)::BIGINT AS sumsq, SUM(term_fp)::BIGINT AS entropy_fp
+        |  FROM terms GROUP BY 1)
+        |SELECT doc_id, n_chars, n_distinct,
+        |  CAST(FLOOR((1.0 - sumsq::DOUBLE / n_chars::DOUBLE / n_chars::DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS simpson_fp,
+        |  entropy_fp
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -836,6 +886,31 @@ object DocumentSuite {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS BIGINT) AS rank
          |FROM sc QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // a4's quantization rule (floor(x·scale+0.5), scale = min(127/max|x|,
+    // 1e12)); code arrays, norms and the dot are BIGINT-exact, cos_fp is
+    // one deterministic double sequence over exact integers
+    "a8_sq_adc" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |s AS (SELECT vec_id, v,
+        |  CASE WHEN mx > 0 THEN LEAST(127.0 / mx, 1.0e12) ELSE 0.0 END AS sc FROM m),
+        |codes AS (SELECT vec_id,
+        |  list_transform(v, x -> CAST(FLOOR(x * sc + 0.5) AS BIGINT)) AS q FROM s),
+        |withn AS (SELECT vec_id, q,
+        |  list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS n2 FROM codes),
+        |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS n2q FROM withn WHERE vec_id < 10),
+        |cs AS (SELECT vec_id AS neighbor_id, q AS cq, n2 AS n2c FROM withn),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    CASE WHEN n2q > 0 AND n2c > 0 THEN
+        |      CAST(FLOOR(list_reduce(list_transform(list_zip(qq, cq), p -> p[1] * p[2]), (a, b) -> a + b)
+        |        / (sqrt(CAST(n2q AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
+        |    ELSE 0 END AS cos_fp
+        |  FROM qs, cs WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, cos_fp,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_fp DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "d5_dedup_embedding" ->
       s"""WITH ${lshSigsCte(tables = 8, planes = 4)},
          |cand AS (
@@ -844,6 +919,21 @@ object DocumentSuite {
          |scored AS (
          |  SELECT id_a, id_b, ${cosSql("a.v", "b.v")} AS cos
          |  FROM cand JOIN e a ON a.id = id_a JOIN e b ON b.id = id_b)
+         |SELECT id_a, id_b, ROUND(cos, 6) AS cos
+         |FROM scored WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    // the a3 centroid sample + keep=1 assignment, then in-cell pairs —
+    // the salt on the Spark side only re-buckets tasks, never the pair
+    // set, so the oracle joins cells directly
+    "d10_dedup_semantic" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cw FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |assign AS ${ivfAssignCte("", keep = 1, "id", "v")},
+         |scored AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, ${cosSql("a.v", "b.v")} AS cos
+         |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id)
          |SELECT id_a, id_b, ROUND(cos, 6) AS cos
          |FROM scored WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 

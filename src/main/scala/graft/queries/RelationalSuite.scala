@@ -351,6 +351,20 @@ object RelationalSuite {
         .orderBy("event_id")
     }),
 
+    // arbitrary subtotal selection — the grouping construct rollup/cube
+    // can't express: ((status, priority), (priority), ()) is neither a
+    // rollup chain nor the full cube lattice. One Expand + one
+    // aggregation, same single-shuffle plan family as q13/q14.
+    "q32_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
     "q27_skew_salted_agg" -> ((s, d) => {
       saltedSumCount(
         Tables.lineitem(s, d), col("l_returnflag"), dec2(col("l_quantity")),
@@ -584,6 +598,12 @@ object RelationalSuite {
         |FROM l LEFT JOIN LATERAL (
         |  SELECT * FROM r WHERE r.user_id = l.user_id AND r.ts_ms <= l.ts_ms
         |  ORDER BY r.ts_ms DESC, r.view_event_id DESC LIMIT 1) v ON true
-        |ORDER BY l.event_id""".stripMargin
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q32_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, (SUM(${dec("o_totalprice")}))::DOUBLE AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
   )
 }

@@ -89,6 +89,42 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((0L, 1L)))
   }
 
+  test("semanticDedupPairs matches a scalar SemDeDup reference (cells + in-cell cosine)") {
+    val rnd = new scala.util.Random(31)
+    // three tight direction clusters plus noise: near-dups live in the
+    // same Voronoi cell, so the cell partition must not lose them
+    val centersF = Seq(Array(1.0, 0.2, -0.3, 0.5), Array(-0.6, 0.9, 0.1, -0.2),
+      Array(0.2, -0.4, 1.0, 0.3))
+    val vecs = (0L until 24L).map { i =>
+      val c = centersF((i % 3).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedupPairs(df, "vec_id", "embedding",
+        nCentroids = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // scalar reference: same md5 centroid sample, same argmax-cosine
+    // assignment with (cos desc, cid asc) tie-break, same verify
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val cents = vecs.sortBy { case (id, _) => (md5hex(id.toString), id) }.take(4)
+    def cell(v: Array[Float]): Long =
+      cents.map { case (cid, cw) => (-cos(v, cw), cid) }.min._2
+    val expected = (for {
+      (a, va) <- vecs; (b, vb) <- vecs
+      if a < b && cell(va) == cell(vb) && cos(va, vb) >= 0.9
+    } yield (a, b)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty) // the fixture must actually exercise the verify
+  }
+
   test("degenerate corpus: 500 near-identical docs complete through the salted candidate joins") {
     // mass-duplicated boilerplate differing in one token — survives an
     // exact-dedup pre-pass, then every doc lands in the SAME LSH band /

@@ -123,8 +123,9 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("d3/d5: salted candidate joins stay equi-joins and prune singleton buckets") {
-    Seq("d3_dedup_minhash_lsh", "d5_dedup_embedding").foreach { name =>
+  test("d3/d5/d10: salted candidate joins stay equi-joins and prune singleton buckets") {
+    Seq("d3_dedup_minhash_lsh", "d5_dedup_embedding",
+        "d10_dedup_semantic").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.optimizedPlan.toString
       // the salt + bucket key must remain hash-joinable — a salted join
@@ -193,8 +194,8 @@ class PlanAuditSpec extends SparkSpec {
     // partition and a3 shuffles corpus x nProbe rows before dropping all
     // but k. That plan shape is load-bearing, so a conf or version change
     // that loses it must fail here, not melt a cluster.
-    Seq("a1_ann_brute_topk", "a3_ann_ivf", "a7_pq_adc", "q9_window_rank_topk",
-        "t9_tfidf").foreach { name =>
+    Seq("a1_ann_brute_topk", "a3_ann_ivf", "a7_pq_adc", "a8_sq_adc",
+        "q9_window_rank_topk", "t9_tfidf").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("WindowGroupLimit"),

@@ -144,6 +144,53 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("sqAdcTopK matches a scalar int8-ADC reference, zero vectors score 0") {
+    val rnd = new scala.util.Random(123)
+    val vecs = (0L until 29L).map(i => (i, Array.fill(6)(rnd.nextFloat() * 2 - 1))) :+
+      (29L, Array.fill(6)(0.0f)) // zero vector: code all-zero, cos_fp 0
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.sqAdcTopK(df.filter($"vec_id" < 3), df, "vec_id", "embedding", k = 4)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // scalar reference: a4's quantization rule, exact integer dot/norms,
+    // the same deterministic double sequence for cos_fp, (desc, id) rank
+    def code(v: Array[Float]): Array[Long] = {
+      val mx = v.map(x => math.abs(x.toDouble)).max
+      val sc = if (mx > 0) math.min(127.0 / mx, 1.0e12) else 0.0
+      v.map(x => math.floor(x.toDouble * sc + 0.5).toLong)
+    }
+    val coded = vecs.map { case (id, v) =>
+      val q = code(v); (id, q, q.map(x => x * x).sum)
+    }
+    val expected = coded.filter(_._1 < 3).flatMap { case (qid, qq, n2q) =>
+      coded.filter(_._1 != qid).map { case (nid, cq, n2c) =>
+        val dot = qq.zip(cq).map { case (a, b) => a * b }.sum
+        val fp = if (n2q > 0 && n2c > 0)
+          math.floor(dot.toDouble / (math.sqrt(n2q.toDouble) * math.sqrt(n2c.toDouble))
+            * 1000000.0 + 0.5).toLong
+        else 0L
+        (nid, fp)
+      }.sortBy { case (nid, fp) => (-fp, nid) }.take(4).zipWithIndex
+        .map { case ((nid, fp), i) => (qid, nid, fp, (i + 1).toLong) }
+    }
+    assert(got.toSeq == expected)
+
+    // int8 ADC must agree with exact brute-force on most of the top-k:
+    // quantization error shifts scores, not the neighborhood structure
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < 10)
+    val brute = Similarity.bruteTopK(q, e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.sqAdcTopK(q, e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sq.size == 50)
+    val recall = (brute & sq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall") // int8 is near-lossless at this dim
+  }
+
   test("ivfTopK probes nearest cells and achieves useful recall") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter($"vec_id" < 10)

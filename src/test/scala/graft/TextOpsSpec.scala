@@ -109,4 +109,27 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 1L), (4L, 0L, 0L)))
   }
+
+  test("charStats: exact Simpson, grid-quantized Shannon, degenerate and empty docs") {
+    val df = Seq(
+      (1L, "aaaa"),  // one symbol: zero entropy, zero diversity
+      (2L, "aabb"),  // uniform over 2: H = 1 bit, Simpson = 1/2
+      (3L, "aab"),   // H = 2/3·log2(3/2) + 1/3·log2(3) quantized per term
+      (4L, "")       // empty: excluded, never divided by
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def termFp(n: Long, total: Long): Long = {
+      val p = n.toDouble / total.toDouble
+      math.floor(-p * math.log(p) / math.log(2.0) * 1000000.0 + 0.5).toLong
+    }
+    val h3 = termFp(2, 3) + termFp(1, 3) // ~918296 (0.918296 bits)
+    val s3 = math.floor((1.0 - 5.0 / 9.0) * 1000000.0 + 0.5).toLong
+    assert(out.toSeq == Seq(
+      (1L, 4L, 1L, 0L, 0L),
+      (2L, 4L, 2L, 500000L, 1000000L),
+      (3L, 3L, 2L, s3, h3)))
+    assert(h3 == 918296L) // pins the grid arithmetic itself
+  }
 }
