@@ -280,6 +280,13 @@ object TextAnalysis {
     * before its shuffle and the per-doc rollup aggregates ≤|alphabet|
     * rows — both exchanges carry id+char+counts, never text. One corpus
     * scan total.
+    *
+    * Unicode contract: "character" means a UTF-16 code unit (Spark's
+    * split("") / length semantics). An engine that splits by code
+    * POINT (DuckDB) agrees on the entire BMP but counts astral-plane
+    * symbols (emoji, rare CJK) once where this counts the surrogate
+    * pair twice — for an entropy/diversity FILTER the distinction is
+    * immaterial, but a bit-exact oracle comparison requires BMP text.
     */
   def charStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String): org.apache.spark.sql.DataFrame = {

@@ -132,4 +132,34 @@ class TextOpsSpec extends SparkSpec {
       (3L, 3L, 2L, s3, h3)))
     assert(h3 == 918296L) // pins the grid arithmetic itself
   }
+
+  test("charStats fuzz: matches a scalar reference over random ASCII corpora") {
+    val rnd = new scala.util.Random(4242)
+    // biased alphabet (realistic skew) + degenerate single-char and
+    // whitespace-heavy docs
+    val alpha = "aaaabbccdefg hij.k!"
+    val docs = (0L until 60L).map { i =>
+      val len = rnd.nextInt(120)
+      val s =
+        if (i % 17 == 0) "z" * (len + 1)
+        else (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      (i, s)
+    }.filter(_._2.nonEmpty)
+    val got = TextAnalysis.charStats(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expected = docs.map { case (id, s) =>
+      val counts = s.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val total = s.length.toLong
+      val sumsq = counts.values.map(n => n * n).sum
+      val ent = counts.values.toSeq.sorted.map { n =>
+        val p = n.toDouble / total.toDouble
+        math.floor(-p * math.log(p) / math.log(2.0) * 1000000.0 + 0.5).toLong
+      }.sum
+      val simp = math.floor((1.0 - sumsq.toDouble / total.toDouble / total.toDouble)
+        * 1000000.0 + 0.5).toLong
+      (id, total, counts.size.toLong, simp, ent)
+    }
+    assert(got.toSeq == expected)
+  }
 }
