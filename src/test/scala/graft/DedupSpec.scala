@@ -159,6 +159,17 @@ class DedupSpec extends SparkSpec {
     // every vector is near-parallel: all pairs bucket together and all
     // verify above threshold
     assert(emb.count() == nDocs.toLong * (nDocs - 1) / 2)
+
+    // semantic cells hit the same wall when a cell degenerates: with a
+    // single centroid every vector lands in ONE Voronoi cell and the
+    // whole pair space crosses the salted in-cell join — the pair set
+    // must survive the 16-way split intact. (More centroids would also
+    // SPLIT this near-parallel family across cell boundaries and lose
+    // cross-cell pairs — the documented SemDeDup recall trade, which is
+    // why production runs d5 alongside d10.)
+    val sem = Dedup.semanticDedupPairs(vecs, "vec_id", "embedding",
+      nCentroids = 1, threshold = 0.999)
+    assert(sem.count() == nDocs.toLong * (nDocs - 1) / 2)
   }
 
   test("repetitionScore measures within-doc n-gram repetition") {
