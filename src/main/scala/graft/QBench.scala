@@ -8,7 +8,7 @@ import graft.engine.GraftSession
   * `SPARK_GRAFT_SF_DIR` (default sf0.1). Set `QBENCH_EXPLAIN=1` to dump
   * each query's formatted physical plan before timing. Not part of the
   * driver gate — Bench.scala is the reported benchmark; this exists so
-  * a single query can be profiled without paying the 77-query sweep.
+  * a single query can be profiled without paying the full-suite sweep.
   */
 object QBench {
   def main(args: Array[String]): Unit = {

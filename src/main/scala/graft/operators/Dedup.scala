@@ -418,6 +418,16 @@ object Dedup {
       posexplode(array((0 until tables).map(t =>
         HashExpressions.hyperplaneSig(col("v"), t, planes)): _*)).as(Seq("tbl", "bucket")))
     val cand = saltedSelfCandidates(bucketed, Seq("tbl", "bucket"))
+    verifiedCosPairs(cand, base, threshold)
+  }
+
+  /** Shared exact-cosine verify tail of the embedding dedup family
+    * (d5/d10): re-join the vectors by id onto the ids-only candidates,
+    * keep pairs at/above `threshold`, report the 6-dp rounded cosine.
+    * `base` must be (id, v).
+    */
+  private def verifiedCosPairs(cand: DataFrame, base: DataFrame,
+                               threshold: Double): DataFrame =
     cand
       .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
@@ -425,7 +435,6 @@ object Dedup {
         HashExpressions.cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-  }
 
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings
     * into Voronoi cells and flag same-cell pairs whose exact cosine
@@ -452,8 +461,8 @@ object Dedup {
   def semanticDedupPairs(embs: DataFrame, idCol: String, vecCol: String,
                          nCentroids: Int, threshold: Double): DataFrame = {
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cents = base.select(col("id").as("cid"), col("v").as("cw"))
-      .orderBy(md5(col("cid").cast("string")), col("cid")).limit(nCentroids)
+    // the a3/a6 coarse-sampling contract, one definition for all consumers
+    val cents = Similarity.md5Sample(embs, idCol, vecCol, nCentroids, "cid", "cw")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("__cc").desc, col("cid").asc)
     // argmax scoring happens map-side inside the broadcast join; only
@@ -465,12 +474,6 @@ object Dedup {
       .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
       .select(col("id"), col("cid"))
     val cand = saltedSelfCandidates(assigned, Seq("cid"))
-    cand
-      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        HashExpressions.cosine(col("v_a"), col("v_b")).as("cos"))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    verifiedCosPairs(cand, base, threshold)
   }
 }

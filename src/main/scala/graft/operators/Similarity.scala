@@ -27,6 +27,38 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
+  /** Deterministic md5-smallest-id sample of `n` (id, vector) rows — THE
+    * shared coarse-sampling contract: [[ivfTopK]]'s centroids,
+    * [[pqEncode]]/[[pqAdcTopK]]'s codebook rows and
+    * [[Dedup.semanticDedupPairs]]'s cells all draw from this one
+    * definition (stateless, reproducible on every executor, replayed
+    * verbatim by the DuckDB oracles) — a tie-break or ordering tweak
+    * here changes every consumer together instead of desynchronizing
+    * them. Executes as TakeOrdered (per-partition heaps of n), never a
+    * global sort.
+    */
+  private[operators] def md5Sample(df: DataFrame, idCol: String, vecCol: String,
+                                   n: Int, idAs: String, vecAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+      .orderBy(md5(col(idAs).cast("string")), col(idAs)).limit(n)
+
+  /** The a4 scalar-quantization rule — scale = min(127/max|x|, 1e12),
+    * 0 for a zero vector — shared by [[quantizeInt8]] (storage summary)
+    * and [[sqAdcTopK]] (compressed-domain search) so the two can never
+    * drift from the documented "a4-rule code arrays" contract; the
+    * DuckDB twins replay exactly this arithmetic.
+    */
+  private[operators] def int8Scale(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    when(mx > 0, least(lit(127.0) / mx, lit(1.0e12))).otherwise(lit(0.0))
+  }
+
+  /** int8 code array under [[int8Scale]]: floor(x·scale + 0.5) per
+    * component (floor(x+0.5), not round() — see [[quantizeInt8]]).
+    */
+  private[operators] def int8Codes(vec: Column, scale: Column): Column =
+    transform(vec, x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
+
   /** SQL-expressible double-fold cosine (kept in sync with the DuckDB
     * oracle in DocumentSuite — same left-to-right accumulation order).
     */
@@ -62,10 +94,7 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
-    val cents = corpus
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .orderBy(md5(col("cid").cast("string")), col("cid"))
-      .limit(nCentroids)
+    val cents = md5Sample(corpus, idCol, vecCol, nCentroids, "cid", "cv")
 
     // nearest-cell assignment: broadcast the centroids, keep argmax-cosine
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
@@ -108,12 +137,10 @@ object Similarity {
     * diverging on pathological vectors.
     */
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
-    val scale = when(mx > 0, least(lit(127.0) / mx, lit(1.0e12))).otherwise(lit(0.0))
-    val q = transform(v, x => floor(x * scale + lit(0.5)).cast("long"))
+    val scale = int8Scale(col(vecCol))
+    val q = int8Codes(col(vecCol), scale)
     emb.select(col(idCol).as("vec_id"),
-      size(v).cast("long").as("n_dims"),
+      size(col(vecCol)).cast("long").as("n_dims"),
       floor(scale * lit(1000000.0) + lit(0.5)).cast("long").as("scale_fp"),
       aggregate(q, lit(0L), (a, b) => a + b).as("q_sum"),
       aggregate(q, lit(0L), (a, b) => a + b * b).as("q_l2"),
@@ -190,8 +217,7 @@ object Similarity {
   private def codebookSubs(corpus: DataFrame, idCol: String, vecCol: String,
                            m: Int, kCodes: Int): DataFrame = {
     val byMd5 = Window.orderBy(md5(col("cent_id").cast("string")), col("cent_id"))
-    corpus.select(col(idCol).as("cent_id"), col(vecCol).as("cw"))
-      .orderBy(md5(col("cent_id").cast("string")), col("cent_id")).limit(kCodes)
+    md5Sample(corpus, idCol, vecCol, kCodes, "cent_id", "cw")
       .withColumn("code", row_number().over(byMd5).cast("long") - 1)
       .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("cw"))
       .select(col("code"), col("sub"),
@@ -286,9 +312,7 @@ object Similarity {
   def sqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int): DataFrame = {
     def codes(df: DataFrame, idAs: String, codeAs: String, n2As: String): DataFrame = {
-      val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
-      val scale = when(mx > 0, least(lit(127.0) / mx, lit(1.0e12))).otherwise(lit(0.0))
-      val q = transform(col(vecCol), x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
+      val q = int8Codes(col(vecCol), int8Scale(col(vecCol)))
       df.select(col(idCol).as(idAs), q.as(codeAs))
         .withColumn(n2As, aggregate(col(codeAs), lit(0L), (a, b) => a + b * b))
     }

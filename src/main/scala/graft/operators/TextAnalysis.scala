@@ -281,12 +281,13 @@ object TextAnalysis {
     * rows — both exchanges carry id+char+counts, never text. One corpus
     * scan total.
     *
-    * Unicode contract: "character" means a UTF-16 code unit (Spark's
-    * split("") / length semantics). An engine that splits by code
-    * POINT (DuckDB) agrees on the entire BMP but counts astral-plane
-    * symbols (emoji, rare CJK) once where this counts the surrogate
-    * pair twice — for an entropy/diversity FILTER the distinction is
-    * immaterial, but a bit-exact oracle comparison requires BMP text.
+    * Unicode contract: "character" means a CODE POINT. Spark's
+    * `length`/`split(text, "")` operate on UTF8String code points
+    * (verified: length("😀😀ab") = 4 and the empty split yields the
+    * two emoji intact), which is also DuckDB's `string_split` /
+    * `length` semantics — the engines agree on all planes, astral
+    * symbols included, so the oracle comparison needs no BMP
+    * restriction.
     */
   def charStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String): org.apache.spark.sql.DataFrame = {

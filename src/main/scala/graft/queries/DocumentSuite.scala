@@ -309,6 +309,18 @@ object DocumentSuite {
     s"list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (a, b) -> a + b)"
   private def cosSql(a: String, b: String) =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+  // Zero-guarded twin of cosSql for every oracle whose Spark side goes
+  // through HashKernels.cosineF (a2/a3 rerank, the a3/d10 cell
+  // assignment, d5/d10 verify): cosineF maps a zero-norm operand to 0.0
+  // where raw 0/0 would be NaN — and DuckDB's NaN sorts GREATER than
+  // everything and passes >= filters, so an unguarded oracle would rank
+  // a zero vector first / emit phantom pairs the engine correctly
+  // suppresses. No current fixture holds a zero vector (hashes are
+  // unchanged); this pins the boundary so one appearing in data can't
+  // silently split the engines. a1 deliberately keeps the UNguarded
+  // fold on both sides (Similarity.cosineSql has no zero branch).
+  private def cosSqlZ(a: String, b: String) =
+    s"(CASE WHEN ${dotSql(a, a)} = 0 OR ${dotSql(b, b)} = 0 THEN 0.0 ELSE ${cosSql(a, b)} END)"
 
   /** Testdata embeddings are 64-dimensional; the plane literals below are
     * emitted for exactly this width (list_zip truncates to the shorter
@@ -395,7 +407,7 @@ object DocumentSuite {
   private def ivfAssignCte(filter: String, keep: Int, idAs: String, vecAs: String): String =
     s"""(SELECT id AS $idAs, v AS $vecAs, cid FROM (
        |    SELECT e.id, e.v, ce.cid,
-       |      ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY ${cosSql("e.v", "ce.cw")} DESC, ce.cid) AS r
+       |      ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY ${cosSqlZ("e.v", "ce.cw")} DESC, ce.cid) AS r
        |    FROM e, cents ce $filter) WHERE r <= $keep)""".stripMargin
 
   /** Shared DuckDB CTE chain for the PQ family (a6 encode, a7 ADC):
@@ -826,7 +838,7 @@ object DocumentSuite {
          |  FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.id <> c.id
          |  WHERE q.id < 10),
          |scored AS (
-         |  SELECT query_id, neighbor_id, ROUND(${cosSql("a.v", "b.v")}, 6) AS cos
+         |  SELECT query_id, neighbor_id, ROUND(${cosSqlZ("a.v", "b.v")}, 6) AS cos
          |  FROM cand JOIN e a ON a.id = query_id JOIN e b ON b.id = neighbor_id)
          |SELECT query_id, neighbor_id, cos,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
@@ -840,7 +852,7 @@ object DocumentSuite {
          |cassign AS ${ivfAssignCte("", keep = 1, "neighbor_id", "cv2")},
          |qassign AS ${ivfAssignCte("WHERE e.id < 10", keep = 4, "query_id", "qv")},
          |scored AS (
-         |  SELECT qa.query_id, ca.neighbor_id, ROUND(${cosSql("qa.qv", "ca.cv2")}, 6) AS cos
+         |  SELECT qa.query_id, ca.neighbor_id, ROUND(${cosSqlZ("qa.qv", "ca.cv2")}, 6) AS cos
          |  FROM cassign ca JOIN qassign qa USING (cid)
          |  WHERE qa.query_id <> ca.neighbor_id)
          |SELECT query_id, neighbor_id, cos,
@@ -890,26 +902,25 @@ object DocumentSuite {
     // 1e12)); code arrays, norms and the dot are BIGINT-exact, cos_fp is
     // one deterministic double sequence over exact integers
     "a8_sq_adc" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
-        |s AS (SELECT vec_id, v,
-        |  CASE WHEN mx > 0 THEN LEAST(127.0 / mx, 1.0e12) ELSE 0.0 END AS sc FROM m),
-        |codes AS (SELECT vec_id,
-        |  list_transform(v, x -> CAST(FLOOR(x * sc + 0.5) AS BIGINT)) AS q FROM s),
-        |withn AS (SELECT vec_id, q,
-        |  list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS n2 FROM codes),
-        |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS n2q FROM withn WHERE vec_id < 10),
-        |cs AS (SELECT vec_id AS neighbor_id, q AS cq, n2 AS n2c FROM withn),
-        |scored AS (
-        |  SELECT query_id, neighbor_id,
-        |    CASE WHEN n2q > 0 AND n2c > 0 THEN
-        |      CAST(FLOOR(list_reduce(list_transform(list_zip(qq, cq), p -> p[1] * p[2]), (a, b) -> a + b)
-        |        / (sqrt(CAST(n2q AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
-        |    ELSE 0 END AS cos_fp
-        |  FROM qs, cs WHERE query_id <> neighbor_id)
-        |SELECT query_id, neighbor_id, cos_fp,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_fp DESC, neighbor_id) AS BIGINT) AS rank
-        |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+         |s AS (SELECT vec_id, v,
+         |  CASE WHEN mx > 0 THEN LEAST(127.0 / mx, 1.0e12) ELSE 0.0 END AS sc FROM m),
+         |codes AS (SELECT vec_id,
+         |  list_transform(v, x -> CAST(FLOOR(x * sc + 0.5) AS BIGINT)) AS q FROM s),
+         |withn AS (SELECT vec_id, q, ${dotSql("q", "q")} AS n2 FROM codes),
+         |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS n2q FROM withn WHERE vec_id < 10),
+         |cs AS (SELECT vec_id AS neighbor_id, q AS cq, n2 AS n2c FROM withn),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    CASE WHEN n2q > 0 AND n2c > 0 THEN
+         |      CAST(FLOOR(${dotSql("qq", "cq")}
+         |        / (sqrt(CAST(n2q AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
+         |    ELSE 0 END AS cos_fp
+         |  FROM qs, cs WHERE query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, cos_fp,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_fp DESC, neighbor_id) AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "d5_dedup_embedding" ->
       s"""WITH ${lshSigsCte(tables = 8, planes = 4)},
@@ -917,7 +928,7 @@ object DocumentSuite {
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id),
          |scored AS (
-         |  SELECT id_a, id_b, ${cosSql("a.v", "b.v")} AS cos
+         |  SELECT id_a, id_b, ${cosSqlZ("a.v", "b.v")} AS cos
          |  FROM cand JOIN e a ON a.id = id_a JOIN e b ON b.id = id_b)
          |SELECT id_a, id_b, ROUND(cos, 6) AS cos
          |FROM scored WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
@@ -932,7 +943,7 @@ object DocumentSuite {
          |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          |assign AS ${ivfAssignCte("", keep = 1, "id", "v")},
          |scored AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, ${cosSql("a.v", "b.v")} AS cos
+         |  SELECT a.id AS id_a, b.id AS id_b, ${cosSqlZ("a.v", "b.v")} AS cos
          |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id)
          |SELECT id_a, id_b, ROUND(cos, 6) AS cos
          |FROM scored WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,

@@ -112,11 +112,13 @@ class PlanAuditSpec extends SparkSpec {
     // dedup families: d2's shingle inverted-index self-join, d4's
     // simhash pigeonhole-block join and d8's window-hash posting join
     // must remain equi-joins — a degeneration to nested-loop scans every
-    // bucket pair quadratically
+    // bucket pair quadratically. The grep must run on the PHYSICAL plan:
+    // the logical tree names these nodes 'Join Cross'/'Join Inner', so a
+    // physical-node grep over optimizedPlan can never fire (r12 review).
     Seq("d2_dedup_ngram_jaccard", "d4_dedup_simhash",
         "d8_dedup_substring").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.optimizedPlan.toString
+        .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"),
         s"$name: bucket join degenerated\n$plan")
@@ -124,20 +126,31 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("d3/d5/d10: salted candidate joins stay equi-joins and prune singleton buckets") {
+    // d10's centroid ASSIGNMENT is a legitimate conditionless broadcast
+    // nested-loop against the dim-scale centroid sample (the a1/a3
+    // argmax pattern), and BOTH sides of the salted self-join re-derive
+    // the assignment subtree, so it prints twice (AQE dedupes the
+    // actual work via exchange reuse). The candidate join itself must
+    // stay an equi-join: budget 2 for d10 — a degeneration adds a third
+    // — and 0 for d3/d5.
+    val bnljBudget = Map("d10_dedup_semantic" -> 2).withDefaultValue(0)
     Seq("d3_dedup_minhash_lsh", "d5_dedup_embedding",
         "d10_dedup_semantic").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.optimizedPlan.toString
-      // the salt + bucket key must remain hash-joinable — a salted join
-      // degrading to a nested-loop would quadratically scan every bucket
-      assert(!plan.contains("BroadcastNestedLoopJoin") &&
-        !plan.contains("CartesianProduct"), s"$name: salted join degenerated\n$plan")
+      // physical plan, not optimizedPlan: the logical tree never spells
+      // 'BroadcastNestedLoopJoin'/'CartesianProduct', so the old grep
+      // could not fire (r12 review finding)
+      val plan = df.queryExecution.executedPlan.toString
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      assert(bnlj <= bnljBudget(name) && !plan.contains("CartesianProduct"),
+        s"$name: salted join degenerated ($bnlj nested-loop joins)\n$plan")
       // singleton-bucket pruning: the window count runs BEFORE the
       // 16-way salt explode so empty buckets are never replicated (plans
       // print top-down, so upstream window text appears AFTER the
       // downstream Generate [salt#..] that consumes it)
-      val wIdx = plan.indexOf("windowspecdefinition")
-      val eIdx = plan.indexOf("[salt#")
+      val lplan = df.queryExecution.optimizedPlan.toString
+      val wIdx = lplan.indexOf("windowspecdefinition")
+      val eIdx = lplan.indexOf("[salt#")
       assert(wIdx >= 0 && eIdx >= 0 && wIdx > eIdx,
         s"$name: prune-window / salt-explode shape missing (window@$wIdx salt@$eIdx)")
     }
