@@ -34,6 +34,11 @@ object StreamingSuite {
     }),
     "st7_session_window" -> ((s, d) => {
       EventStreams.sessionWindowAgg(s, d).orderBy("user_id", "start_ms")
+    }),
+    // transformWithState (the Spark 4 arbitrary-state API) + RocksDB:
+    // a per-user running ordinal whose counter state spans micro-batches
+    "st8_stream_ordinal" -> ((s, d) => {
+      EventStreams.runningOrdinal(s, d).orderBy("user_id", "ordinal")
     })
   )
 
@@ -121,6 +126,14 @@ object StreamingSuite {
     "st6_stream_upsert_sink" ->
       """SELECT user_id, COUNT(DISTINCT event_id) AS n_rows
         |FROM events WHERE event_type = 'purchase'
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // one drain = one micro-batch, whose per-key rows the processor
+    // numbers in (ts_ms, event_id) order — exactly ROW_NUMBER
+    "st8_stream_ordinal" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts), event_id) AS BIGINT) AS ordinal
+        |FROM events ORDER BY user_id, ordinal""".stripMargin
   )
 }

@@ -16,6 +16,45 @@ import org.apache.spark.sql.types._
 final case class SessionState(startTs: Long, lastTs: Long, nEvents: Long, sessionId: Long)
 final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                             first_ts_ms: Long, last_ts_ms: Long)
+final case class OrdinalOut(user_id: Long, event_id: Long, ts_ms: Long, ordinal: Long)
+
+/** st8's per-key running counter on Spark 4's `transformWithState`
+  * API (the arbitrary-stateful-processing successor to
+  * flatMapGroupsWithState): typed `ValueState` from the processor
+  * handle, explicit `TimeMode`, and a per-state `TTLConfig` — the API a
+  * large-state deployment uses for per-key state with TTL eviction.
+  * Batch rows arrive unordered, so each batch's rows sort by
+  * (ts_ms, event_id) before numbering — within one drain the emitted
+  * ordinal is exactly the batch ROW_NUMBER, which is what the DuckDB
+  * oracle checks. Incremental arrivals extend the counter monotonically
+  * (state carries n across batches); time-ordered file arrival — the
+  * realistic event-log layout — preserves the global order too.
+  *
+  * TTL is NONE here (the gate's drain must number every event);
+  * an unbounded deployment bounds the per-user state footprint with
+  * `TTLConfig(Duration)` — the one-line flip this operator exists to
+  * demonstrate — accepting that a user silent past the TTL restarts
+  * at 1.
+  */
+final class RunningOrdinalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, Long), OrdinalOut] {
+  @transient private var nSeen: org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    nSeen = getHandle.getValueState[Long]("n_seen",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(
+      user: Long, rows: Iterator[(Long, Long, Long)],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[OrdinalOut] = {
+    // (user_id, event_id, ts_ms) tuples; deterministic in-batch order
+    val sorted = rows.toArray.sortBy { case (_, eid, ts) => (ts, eid) }
+    var n = if (nSeen.exists()) nSeen.get() else 0L
+    val out = sorted.map { case (_, eid, ts) => n += 1; OrdinalOut(user, eid, ts, n) }
+    nSeen.update(n)
+    out.iterator
+  }
+}
 
 object EventStreams {
 
@@ -198,6 +237,44 @@ object EventStreams {
         }
     }
     out.toDF()
+  }
+
+  /** st8: per-user running event ordinal via [[RunningOrdinalProcessor]]
+    * (`transformWithState`). One row out per row in, the ordinal
+    * continuing across micro-batches through the typed ValueState.
+    * The operator REQUIRES the RocksDB state-store provider (Spark
+    * rejects state-v2 queries on the HDFS-backed default), so the
+    * provider conf is set for this drain and restored after — which
+    * also makes st8 the gate's standing proof that the RocksDB path
+    * stays healthy, complementing StreamingSpec's conf-flip re-runs.
+    */
+  def runningOrdinal(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try drain(runningOrdinalPlan(spark, dir), OutputMode.Append())
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** The un-drained st8 plan (see [[sessionizePlan]] for why plans are
+    * exposed separately: StreamingSpec drives multi-batch arrivals and
+    * checkpoint restarts against it directly).
+    */
+  def runningOrdinalPlan(spark: SparkSession, dir: String,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    eventStream(spark, dir, maxFilesPerTrigger)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningOrdinalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
   }
 
   /** Sessionization with the BUILT-IN session window — the declarative

@@ -416,4 +416,52 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_rows")))
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("st8: transformWithState counter state spans micro-batches (two-phase arrival)") {
+    // The st8 ValueState contract: a per-user ordinal numbered in one
+    // drain must be reproduced by a time-split two-phase arrival —
+    // batch 2's rows continue from batch 1's persisted counter, and
+    // time-ordered arrival (the realistic event-log layout) preserves
+    // the global (ts, event_id) numbering exactly. transformWithState
+    // refuses to run on the HDFS-backed default store, so the RocksDB
+    // provider conf is scoped to the live query like the gate drain does.
+    val root = java.nio.file.Files.createTempDirectory("graft_tws").toFile
+    val ev = Tables.events(spark, sfDir)
+    val medianUs = ev.select(unix_micros(col("ts")).as("tsm"))
+      .stat.approxQuantile("tsm", Array(0.5), 0.001)(0).toLong
+    landSingleParquet(ev.filter(unix_micros(col("ts")) <= medianUs), root, "events.parquet")
+    val cp = java.nio.file.Files.createTempDirectory("graft_tws_cp").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = EventStreams.runningOrdinalPlan(spark, root.toString)
+      .writeStream.format("memory").queryName("graft_tws_ordinals")
+      .outputMode("append").option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      val afterFirst = spark.table("graft_tws_ordinals").count()
+      landSingleParquet(ev.filter(unix_micros(col("ts")) > medianUs), root, "events_2.parquet")
+      q.processAllAvailable()
+      def keys(rows: Seq[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[Long]("ordinal"))).toSet
+      val twoPhase = spark.table("graft_tws_ordinals").collect().toSeq
+      val oneDrain = EventStreams.runningOrdinal(spark, sfDir).collect().toSeq
+      assert(keys(twoPhase) == keys(oneDrain),
+        s"ordinal state diverged across batches: ${twoPhase.length} vs ${oneDrain.length} rows; " +
+          s"only-incremental=${(keys(twoPhase) -- keys(oneDrain)).take(3)} " +
+          s"only-single=${(keys(oneDrain) -- keys(twoPhase)).take(3)}")
+      assert(afterFirst > 0 && afterFirst < twoPhase.size,
+        s"second arrival produced no new rows ($afterFirst of ${twoPhase.size}) — no second batch exercised")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      graft.sources.Spool.deleteRecursively(root.toPath)
+      graft.sources.Spool.deleteRecursively(java.nio.file.Paths.get(cp))
+    }
+  }
 }
