@@ -234,6 +234,38 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("dedupClusters fuzz: random pair graphs match a scalar union-find") {
+    // the linkrank treatment for the component labeler: randomized graph
+    // shapes (sparse, clustered, ring fragments, isolated pairs) must
+    // reproduce an independent scalar union-find's min-id components
+    val rnd = new scala.util.Random(2718)
+    (1 to 4).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val nEdges = n / 2 + rnd.nextInt(n)
+      val edges = (0 until nEdges).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val got = Dedup.dedupClusters(edges.toDF("id_a", "id_b"), maxIter = 60)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+          .map(x => x -> find(x)).toMap
+        assert(got == expected, s"trial $trial (n=$n, edges=${edges.size}) diverged")
+      }
+    }
+  }
+
   test("dedupClusters: deep component chains converge with bounded lineage") {
     // a 12-hop path needs 12 label-propagation rounds (min label moves
     // one hop per round) — past two checkpoint intervals, so the result's
