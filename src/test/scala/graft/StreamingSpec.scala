@@ -464,4 +464,57 @@ class StreamingSpec extends SparkSpec {
       graft.sources.Spool.deleteRecursively(java.nio.file.Paths.get(cp))
     }
   }
+
+  test("st8 recovers from a checkpoint restart: ValueState resumes, ordinals continue") {
+    // the st2 restart contract for the state-v2 store: the query dies
+    // between arrivals, a NEW incarnation starts from the same
+    // checkpoint, and the RocksDB-snapshotted ValueState counters must
+    // resume — a counter silently restarting at 1 after recovery is the
+    // failure mode this pins. foreachBatch sink (memory-sink queries
+    // refuse checkpoint recovery); at-least-once replays are absorbed
+    // by the (user_id, event_id, ordinal) key set.
+    val root = java.nio.file.Files.createTempDirectory("graft_rst8").toFile
+    val ev = Tables.events(spark, sfDir)
+    val medianUs = ev.select(unix_micros(col("ts")).as("tsm"))
+      .stat.approxQuantile("tsm", Array(0.5), 0.001)(0).toLong
+    landSingleParquet(ev.filter(unix_micros(col("ts")) <= medianUs), root, "events.parquet")
+    val cp = java.nio.file.Files.createTempDirectory("graft_rst8_cp").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val landed = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    def run(): Int = {
+      val before = landed.size()
+      val q = EventStreams.runningOrdinalPlan(spark, root.toString)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => landed.add((r.getAs[Long]("user_id"),
+            r.getAs[Long]("event_id"), r.getAs[Long]("ordinal"))))
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      landed.size() - before
+    }
+    try {
+      run() // first incarnation, then it "dies"
+      landSingleParquet(ev.filter(unix_micros(col("ts")) > medianUs), root, "events_2.parquet")
+      val emitted2 = run() // restarted from the same checkpoint
+      assert(emitted2 > 0, "restarted query emitted nothing — recovery did not resume")
+      val recovered = landed.toArray(Array.empty[(Long, Long, Long)]).toSet
+      val oneDrain = EventStreams.runningOrdinal(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[Long]("ordinal"))).toSet
+      assert(recovered == oneDrain,
+        s"restart lost state or renumbered: only-recovered=${(recovered -- oneDrain).take(3)} " +
+          s"only-single=${(oneDrain -- recovered).take(3)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      graft.sources.Spool.deleteRecursively(root.toPath)
+      graft.sources.Spool.deleteRecursively(java.nio.file.Paths.get(cp))
+    }
+  }
 }
