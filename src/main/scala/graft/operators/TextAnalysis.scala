@@ -255,6 +255,27 @@ object TextAnalysis {
     least(nTok / 100.0, lit(1.0)) * 0.3 + stopRatio * 0.4 + (lit(1.0) - punctRatio) * 0.3
   }
 
+  /** Per-source quality-decile assignment — the calibration step that
+    * turns a raw quality score into filter/curriculum thresholds
+    * ("drop the bottom two deciles per domain", "sample decile-weighted").
+    * Deciles are PER SOURCE, which is both the methodologically right
+    * granularity (scores aren't comparable across domains) and the
+    * scale-safe one: the ntile window shuffles on the source key, so no
+    * global single-partition sort exists anywhere (the q16 surrogateDim
+    * lesson). Ordering ties break on the document id, making the decile
+    * boundary deterministic in any engine; NTILE itself is standard SQL
+    * integer arithmetic (first `mod` buckets get the extra row).
+    */
+  def qualityDeciles(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, nCharsCol: String,
+                     sourceCol: String): org.apache.spark.sql.DataFrame = {
+    val score = qualityScore(col(textCol), col(nCharsCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(score.asc, col(idCol).asc)
+    docs.select(col(idCol), col(sourceCol), score.as("score"),
+      ntile(10).over(w).cast("long").as("decile"))
+  }
+
   /** Character-distribution statistics per document — the
     * entropy-family quality signals (a low-entropy doc is boilerplate,
     * key-mashing, or a binary blob that survived text extraction; both

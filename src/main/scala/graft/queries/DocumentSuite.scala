@@ -130,6 +130,12 @@ object DocumentSuite {
         .orderBy("doc_id")
     }),
 
+    "t13_quality_deciles" -> ((s, d) => {
+      TextAnalysis.qualityDeciles(Tables.documents(s, d),
+        "doc_id", "text", "n_chars", "source")
+        .orderBy("doc_id")
+    }),
+
     // --- dedup -------------------------------------------------------------
     "d1_dedup_exact" -> ((s, d) => {
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -301,6 +307,17 @@ object DocumentSuite {
 
   private def hits(langWords: Seq[String]) =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${langWords.map(w => s"'$w'").mkString(", ")})))"
+
+  /** TextAnalysis.qualityScore replayed op-for-op — ONE definition
+    * shared by the t2 and t13 oracles so the score arithmetic cannot
+    * drift between them.
+    */
+  private def qualityScoreSql: String =
+    s"""LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.3
+       |    + (CAST(${hits(stop("en"))} AS DOUBLE)
+       |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
+       |    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+       |       / CAST(n_chars AS DOUBLE)) * 0.3""".stripMargin
 
   // --- shared DuckDB arithmetic for the embedding oracles -----------------
   // Same left-to-right double fold as Similarity.cosineSql /
@@ -475,11 +492,16 @@ object DocumentSuite {
     "t2_quality_score" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |  LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.3
-         |    + (CAST(${hits(stop("en"))} AS DOUBLE)
-         |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
-         |    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
-         |       / CAST(n_chars AS DOUBLE)) * 0.3 AS score
+         |  $qualityScoreSql AS score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same score arithmetic as t2 (shared SQL helper); NTILE is
+    // standard integer bucket math and the (score, doc_id) ordering is
+    // total, so the decile boundary is deterministic in any engine
+    "t13_quality_deciles" ->
+      s"""SELECT doc_id, source, $qualityScoreSql AS score,
+         |  CAST(NTILE(10) OVER (PARTITION BY source
+         |    ORDER BY $qualityScoreSql ASC, doc_id ASC) AS BIGINT) AS decile
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t3_token_count" ->

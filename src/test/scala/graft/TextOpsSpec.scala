@@ -133,6 +133,24 @@ class TextOpsSpec extends SparkSpec {
     assert(h3 == 918296L) // pins the grid arithmetic itself
   }
 
+  test("qualityDeciles assigns per-source ntile buckets with the remainder up front") {
+    // 12 docs in source A (deciles of 12: first two deciles get 2 docs),
+    // 3 docs in source B (only deciles 1..3 occupied, one doc each) —
+    // token counts make the quality score strictly increasing in i, so
+    // the decile order is the doc order
+    val docs = ((0 until 12).map(i => (i.toLong, ("w " * (i + 1)).trim, "A")) ++
+      (20 until 23).map(i => (i.toLong, ("w " * (i + 1)).trim, "B")))
+      .map { case (id, t, s) => (id, t, s, t.length.toLong) }
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = TextAnalysis.qualityDeciles(docs, "doc_id", "text", "n_chars", "source")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val a = out.filter(_._2 == "A").map(_._3).toSeq
+    val b = out.filter(_._2 == "B").map(_._3).toSeq
+    assert(a == Seq(1L, 1L, 2L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L))
+    assert(b == Seq(1L, 2L, 3L))
+  }
+
   test("charStats fuzz: matches a scalar reference over random ASCII corpora") {
     val rnd = new scala.util.Random(4242)
     // biased alphabet (realistic skew) + degenerate single-char and
