@@ -320,6 +320,15 @@ object DocumentSuite {
        |       / CAST(n_chars AS DOUBLE)) * 0.3""".stripMargin
 
   // --- shared DuckDB arithmetic for the embedding oracles -----------------
+  // The Similarity.md5Sample ordering replayed in SQL — ONE spelling for
+  // every oracle that consumes the coarse-sample contract (a3/d10 cents,
+  // the PQ codebook), so a tie-break tweak in md5Sample has exactly one
+  // SQL twin to update.
+  private def md5OrderSql(id: String) = s"md5(CAST($id AS VARCHAR)), $id"
+  /** `cents(cid, cw)` — the a3/d10 centroid sample CTE body. */
+  private def centsSampleSql(n: Int): String =
+    s"""(SELECT vec_id AS cid, embedding::DOUBLE[] AS cw FROM embeddings
+       |  ORDER BY ${md5OrderSql("vec_id")} LIMIT $n)""".stripMargin
   // Same left-to-right double fold as Similarity.cosineSql /
   // HashKernels.cosineF, so cosines are bit-identical across engines.
   private def dotSql(a: String, b: String) =
@@ -434,11 +443,11 @@ object DocumentSuite {
     * (QUALIFY ... = 1) and, for a7, build the query-side ADC tables on
     * the same `cs` slices.
     */
-  private val PqCtes: String =
-    """cb AS (
+  private lazy val PqCtes: String =
+    s"""cb AS (
       |  SELECT embedding::DOUBLE[] AS cw,
-      |    CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) - 1 AS code
-      |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |    CAST(ROW_NUMBER() OVER (ORDER BY ${md5OrderSql("vec_id")}) AS BIGINT) - 1 AS code
+      |  FROM embeddings ORDER BY ${md5OrderSql("vec_id")} LIMIT 16),
       |subs AS (SELECT u.s AS sub FROM UNNEST(range(0, 4)) AS u(s)),
       |cs AS (
       |  SELECT code, sub,
@@ -867,9 +876,7 @@ object DocumentSuite {
          |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "a3_ann_ivf" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cw FROM embeddings
-         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      s"""WITH cents AS ${centsSampleSql(16)},
          |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          |cassign AS ${ivfAssignCte("", keep = 1, "neighbor_id", "cv2")},
          |qassign AS ${ivfAssignCte("WHERE e.id < 10", keep = 4, "query_id", "qv")},
@@ -959,9 +966,7 @@ object DocumentSuite {
     // the salt on the Spark side only re-buckets tasks, never the pair
     // set, so the oracle joins cells directly
     "d10_dedup_semantic" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cw FROM embeddings
-         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      s"""WITH cents AS ${centsSampleSql(16)},
          |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          |assign AS ${ivfAssignCte("", keep = 1, "id", "v")},
          |scored AS (

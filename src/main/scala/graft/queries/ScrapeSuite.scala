@@ -177,16 +177,23 @@ object ScrapeSuite {
       // caller would race fresh Overwrite writes against still-running
       // orphan writers on the same parquet paths (same pattern as
       // Entities.starSchemaBuildWith). The straggler wait is BOUNDED
-      // and swallows everything including interrupts: an unbounded
-      // Await here could hang the JVM on a wedged straggler after a
-      // framework interrupt, and nothing thrown while draining may
-      // replace the original landing failure `e`.
+      // and swallows straggler failures (they lost the race to `e`);
+      // an INTERRUPT aborts the drain and restores the interrupt flag
+      // instead of being discarded — a framework canceller must not
+      // block behind 10-minute straggler waits, and later
+      // isInterrupted checks must still observe the cancellation.
       try Await.result(Future.sequence(landed), Duration.Inf).toMap
       catch { case e: Throwable =>
-        landed.foreach { f =>
-          try Await.result(f, scala.concurrent.duration.Duration(10, "min"))
-          catch { case _: Throwable => () }
+        val it = landed.iterator
+        var interrupted = e.isInstanceOf[InterruptedException]
+        while (!interrupted && it.hasNext) {
+          try Await.result(it.next(), scala.concurrent.duration.Duration(10, "min"))
+          catch {
+            case _: InterruptedException => interrupted = true
+            case _: Throwable => ()
+          }
         }
+        if (interrupted) Thread.currentThread().interrupt()
         throw e
       }
     })

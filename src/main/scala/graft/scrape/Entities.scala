@@ -273,18 +273,25 @@ object Entities {
     // spark.stop()). Future.sequence still fails fast on the FIRST
     // error, so wait for the stragglers explicitly before rethrowing —
     // no orphan job outlives this call. The straggler wait is BOUNDED
-    // and swallows everything including interrupts (Try only catches
-    // NonFatal, so an InterruptedException from a straggler Await would
-    // otherwise replace the original failure; an unbounded wait could
-    // hang on a straggler wedged by the same condition).
+    // and swallows straggler failures (each future's own error already
+    // lost the race to `e`) — but an INTERRUPT of this thread aborts
+    // the drain loop and restores the interrupt flag: discarding it
+    // would block the canceller behind up to 10 min per straggler and
+    // hide the cancellation from every later isInterrupted check.
     val all = Future.sequence(Seq(venuesF, teamsF, playerIdsF, gameIdsF))
     val Seq(venues, teams, playerIds, gameIds) =
       try Await.result(all, Duration.Inf)
       catch { case e: Throwable =>
-        Seq(venuesF, teamsF, playerIdsF, gameIdsF).foreach { f =>
-          try Await.result(f, Duration(10, "min"))
-          catch { case _: Throwable => () }
+        val it = Seq(venuesF, teamsF, playerIdsF, gameIdsF).iterator
+        var interrupted = e.isInstanceOf[InterruptedException]
+        while (!interrupted && it.hasNext) {
+          try Await.result(it.next(), Duration(10, "min"))
+          catch {
+            case _: InterruptedException => interrupted = true
+            case _: Throwable => ()
+          }
         }
+        if (interrupted) Thread.currentThread().interrupt()
         throw e
       }
     val playerDim = playerAttrs.join(broadcast(playerIds), Seq("name_id"))

@@ -248,17 +248,27 @@ object EventStreams {
     * also makes st8 the gate's standing proof that the RocksDB path
     * stays healthy, complementing StreamingSpec's conf-flip re-runs.
     */
-  def runningOrdinal(spark: SparkSession, dir: String): DataFrame = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try drain(runningOrdinalPlan(spark, dir), OutputMode.Append())
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+  def runningOrdinal(spark: SparkSession, dir: String): DataFrame =
+    // serialized per JVM: the provider conf is session-global and read
+    // at query start, so a concurrent second caller would capture the
+    // first call's temporary RocksDB value as its `prev` and "restore"
+    // it — pinning the session to RocksDB after both finish. The lock
+    // also keeps unrelated queries from starting inside the flip window
+    // only if they take the same lock, so the flip stays as narrow as
+    // the drain itself; the gate runs queries sequentially.
+    providerFlipLock.synchronized {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try drain(runningOrdinalPlan(spark, dir), OutputMode.Append())
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
-  }
+
+  private val providerFlipLock = new Object
 
   /** The un-drained st8 plan (see [[sessionizePlan]] for why plans are
     * exposed separately: StreamingSpec drives multi-batch arrivals and
