@@ -65,6 +65,31 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getLong(1) == 11L && out(0).isNullAt(2))
   }
 
+  test("asofJoin fuzz: random keyed timelines with ties match a scalar reference") {
+    // randomized (key, ts) timelines with deliberate ts collisions on
+    // both sides — the scalar reference applies the documented rule
+    // verbatim: latest right at-or-before, ties by greatest rid, None
+    // when no prior right row exists
+    val rnd = new scala.util.Random(1123)
+    val keys = Vector("k1", "k2", "k3")
+    val left = (0 until 80).map(i =>
+      (i.toLong, keys(rnd.nextInt(keys.size)), rnd.nextInt(40).toLong))
+    val right = (0 until 60).map(i =>
+      (keys(rnd.nextInt(keys.size)), rnd.nextInt(40).toLong, i.toLong, rnd.nextInt(100) / 10.0))
+    val got = run(left, right)
+    val expected = left.sortBy(_._1).map { case (lid, k, ts) =>
+      val candidates = right.filter(r => r._1 == k && r._2 <= ts)
+      if (candidates.isEmpty) (lid, None, None)
+      else {
+        val best = candidates.maxBy(r => (r._2, r._3)) // (ts, rid)
+        (lid, Some(best._3), Some(best._4))
+      }
+    }
+    assert(got == expected)
+    assert(expected.exists(_._2.isEmpty) && expected.exists(_._2.nonEmpty),
+      "fuzz fixture must exercise both the matched and no-prior-row paths")
+  }
+
   test("asofJoin plans one key shuffle and one sort — no range join, no cartesian") {
     val l = Seq((1L, "a", 100L)).toDF("lid", "k", "ts")
     val r = Seq(("a", 90L, 10L, 1.0)).toDF("k", "ts", "rid", "rv")

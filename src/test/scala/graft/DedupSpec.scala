@@ -76,6 +76,36 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(p => p._2 >= 3L)) // unrelated docs never pair
   }
 
+  test("simhashPairs fuzz: EXACT pair set vs brute-force hamming (pigeonhole completeness)") {
+    // Unlike the probabilistic LSH families, d4's contract is exact:
+    // pigeonhole (maxHamming < blocks) guarantees every qualifying pair
+    // shares a block, and the popcount verify kills every false
+    // candidate — so the output must EQUAL the brute-force pair set,
+    // on randomized near-dup corpora, for every (blocks, maxHamming).
+    val rnd = new scala.util.Random(97)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val docs = (0 until 20).flatMap { i =>
+      val toks = (0 until 12 + rnd.nextInt(10)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      val edited = toks.updated(rnd.nextInt(toks.length), vocab(rnd.nextInt(vocab.size)))
+      Seq((2L * i, toks.mkString(" ")), (2L * i + 1, edited.mkString(" ")))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"),
+        graft.functions.HashExpressions.simhash(split(col("text"), " ")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq((4, 2), (4, 3), (8, 7)).foreach { case (blocks, maxH) =>
+      val got = Dedup.simhashPairs(df, "doc_id", "text", blocks, maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)).toLong if h <= maxH
+      } yield (a, b, h)).toSet
+      assert(got == expected,
+        s"blocks=$blocks maxH=$maxH: missing=${(expected -- got).take(3)} phantom=${(got -- expected).take(3)}")
+    }
+  }
+
   test("embeddingDedupPairs finds high-cosine pairs within LSH buckets") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.1f, 0.0f, 0.2f)),
