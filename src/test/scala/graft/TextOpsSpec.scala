@@ -151,6 +151,52 @@ class TextOpsSpec extends SparkSpec {
     assert(b == Seq(1L, 2L, 3L))
   }
 
+  test("sequencePack fuzz: per-group cumulative packing matches a scalar fold") {
+    // random groups + token counts (incl. docs larger than the budget,
+    // which must span pack boundaries starting where their cumsum says)
+    val rnd = new scala.util.Random(555)
+    val budget = 64L
+    val rows = (0 until 120).map { i =>
+      (i.toLong, s"g${rnd.nextInt(4)}", 1L + rnd.nextInt(100))
+    }
+    val df = rows.toDF("doc_id", "source", "toks")
+    val got = TextAnalysis.sequencePack(df, col("source"), col("doc_id"),
+        col("toks"), budget)
+      .select("doc_id", "pack_id", "pack_offset").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = rows.groupBy(_._2).values.flatMap { grp =>
+      var cum = 0L
+      grp.sortBy(_._1).map { case (id, _, t) =>
+        val out = id -> (cum / budget, cum % budget); cum += t; out
+      }
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("domainMixSample fuzz: integer quota allocation matches a scalar reference") {
+    val rnd = new scala.util.Random(808)
+    val rows = (0 until 300).map(i => (i.toLong, s"s${rnd.nextInt(6)}"))
+    val target = 80L
+    val got = TextAnalysis.domainMixSample(rows.toDF("doc_id", "source"),
+        col("source"), col("doc_id"), target)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // scalar replay: w_g = floor(sqrt(n_g)); quota_g = max(1,
+    // target·w_g div Σw); keep each group's first quota_g ids in
+    // (md5(id), id) order
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val groups = rows.groupBy(_._2)
+    val weights = groups.view.mapValues(g => math.floor(math.sqrt(g.size.toDouble)).toLong).toMap
+    val tw = weights.values.sum
+    val expected = groups.flatMap { case (g, members) =>
+      val quota = math.max(1L, target * weights(g) / tw)
+      members.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(quota.toInt)
+    }.toSet
+    assert(got == expected)
+    assert(got.size < rows.size) // the quota must actually subsample
+  }
+
   test("charStats fuzz: matches a scalar reference over random ASCII corpora") {
     val rnd = new scala.util.Random(4242)
     // biased alphabet (realistic skew) + degenerate single-char and
