@@ -110,6 +110,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "corpus side must not shuffle")
   }
 
+  test("q13/q14/q32: grouping constructs are one Expand + one partial-aggregated shuffle") {
+    // rollup/cube/grouping-sets must all plan as a single Expand feeding
+    // a partial+final aggregate pair — the replicate-then-aggregate shape
+    // whose shuffle carries pre-combined rows. A plan that lost the
+    // partial aggregate would shuffle |grouping sets| x |input| rows.
+    Seq("q13_rollup", "q14_cube", "q32_grouping_sets").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert("Expand".r.findAllIn(plan).length == 1,
+        s"$name: expected exactly one Expand\n$plan")
+      val hashAggs = "HashAggregate".r.findAllIn(plan).length
+      assert(hashAggs >= 2, s"$name: expected partial+final HashAggregate\n$plan")
+    }
+  }
+
   test("d2/d4/d8: bucketed candidate joins stay hash-joinable (no nested-loop degeneration)") {
     // same failure mode the d3/d5 audit pins, for the other bucketed
     // dedup families: d2's shingle inverted-index self-join, d4's
