@@ -104,6 +104,26 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** string → struct(total, n_distinct, sumsq, entropy_fp) — the t12
+    * one-pass character-distribution kernel ([[HashKernels.charStats]]);
+    * makes the char-stats operator a pure map-side projection.
+    */
+  case class CharStats(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("total", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("sumsq", LongType, nullable = false),
+      StructField("entropy_fp", LongType, nullable = false)))
+    override def prettyName: String = "graft_char_stats"
+    protected override def nullSafeEval(input: Any): Any =
+      HashKernels.charStats(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.charStats($c)")
+    override protected def withNewChildInternal(newChild: Expression): CharStats =
+      copy(child = newChild)
+  }
+
   // --- Column API -----------------------------------------------------------
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
@@ -115,4 +135,5 @@ object HashExpressions {
   def cosine(a: Column, b: Column): Column = col(CosineSimilarity(expr(a), expr(b)))
   def hyperplaneSig(emb: Column, table: Int, nPlanes: Int): Column =
     col(HyperplaneSignature(expr(emb), table, nPlanes))
+  def charStats(text: Column): Column = col(CharStats(expr(text)))
 }

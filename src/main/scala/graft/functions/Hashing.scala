@@ -194,4 +194,49 @@ object HashKernels {
     }
     bits
   }
+
+  /** One-pass per-document character-distribution statistics:
+    * (total, n_distinct, Σn², entropy_fp) over CODE POINTS — the t12
+    * kernel. Replaces an explode-one-row-per-character Generate + two
+    * aggregations with a single in-loop histogram, so t12 becomes a
+    * map-only projection (no shuffle at all; the histogram is bounded
+    * by the alphabet, not the document).
+    *
+    * Bit-parity contract with the previous column formulation (and so
+    * with the committed DuckDB oracle): `total` is the code-point count
+    * (Spark's length()/split("") semantics), Σn and Σn² are exact
+    * BIGINTs, and each Shannon term quantizes to the 1e6 grid through
+    * the IDENTICAL double sequence — `-p * StrictMath.log(p) /
+    * StrictMath.log(2.0) * 1e6 + 0.5`, floored. StrictMath, not Math:
+    * Spark's own `log` codegen calls java.lang.StrictMath.log
+    * (UnaryLogExpression), and Math.log is allowed to differ by 1 ulp
+    * under intrinsics — this kernel must reproduce the engine's bits.
+    * The BIGINT term sum is order-independent, so the histogram's
+    * iteration order cannot move the result.
+    */
+  def charStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var total = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      total += 1
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1L)) else slot(0) += 1
+    }
+    var sumsq = 0L
+    var entFp = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val n = it.next()(0)
+      sumsq += n * n
+      val p = n.toDouble / total.toDouble
+      entFp += math.floor(-p * StrictMath.log(p) / StrictMath.log(2.0)
+        * 1000000.0 + 0.5).toLong
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, counts.size.toLong, sumsq, entFp))
+  }
 }

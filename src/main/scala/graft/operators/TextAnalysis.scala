@@ -296,11 +296,17 @@ object TextAnalysis {
     * accumulation whose merge order could change the bits (the a5/a7
     * rule).
     *
-    * Scale posture: the alphabet is bounded, so the (doc, char) partial
-    * aggregate collapses each partition to ≤|alphabet| rows per doc
-    * before its shuffle and the per-doc rollup aggregates ≤|alphabet|
-    * rows — both exchanges carry id+char+counts, never text. One corpus
-    * scan total.
+    * Scale posture: ZERO shuffle. The histogram is computed per row by
+    * a custom codegen expression ([[graft.functions.HashKernels
+    * .charStats]]) — one in-loop pass per document, bounded by the
+    * alphabet — so the operator is a pure projection riding the corpus
+    * scan, like a4. (The first formulation exploded one row per
+    * character into two bounded-alphabet aggregations; correct, but a
+    * Generate fan-out and two exchanges that the kernel makes
+    * unnecessary.) Output values are BIT-IDENTICAL to that
+    * formulation — the kernel replays the same double sequence per
+    * Shannon term, using StrictMath.log because that is what Spark's
+    * own log codegen calls.
     *
     * Unicode contract: "character" means a CODE POINT. Spark's
     * `length`/`split(text, "")` operate on UTF8String code points
@@ -311,27 +317,18 @@ object TextAnalysis {
     * restriction.
     */
   def charStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                textCol: String): org.apache.spark.sql.DataFrame = {
-    val counts = docs
-      .select(col(idCol).as("doc_id"), length(col(textCol)).cast("long").as("total"),
-        explode(split(col(textCol), "")).as("ch"))
-      // empty docs are excluded rather than divided by: split("") still
-      // yields one (empty) element, and p = n/0 would NaN the log chain
-      .filter(col("total") > 0)
-      .groupBy("doc_id", "ch")
-      .agg(count(lit(1)).as("n"), max("total").as("total"))
-    val p = col("n").cast("double") / col("total").cast("double")
-    val termFp = floor(-p * log(p) / log(lit(2.0)) * lit(1000000.0) + lit(0.5)).cast("long")
-    counts
-      .groupBy("doc_id")
-      .agg(max("total").as("n_chars"),
-        count(lit(1)).as("n_distinct"),
-        sum(col("n") * col("n")).as("__sumsq"),
-        sum(termFp).as("entropy_fp"))
-      .withColumn("simpson_fp",
-        floor((lit(1.0) - col("__sumsq").cast("double") / col("n_chars").cast("double")
-          / col("n_chars").cast("double")) * lit(1000000.0) + lit(0.5)).cast("long"))
-      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
-        col("simpson_fp"), col("entropy_fp"))
-  }
+                textCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.HashExpressions.charStats(col(textCol)).as("__cs"))
+      // empty docs are excluded, not divided by: the kernel reports
+      // total = 0 and the entropy/diversity of nothing is undefined
+      .filter(col("__cs.total") > 0)
+      .select(col("doc_id"),
+        col("__cs.total").as("n_chars"),
+        col("__cs.n_distinct").as("n_distinct"),
+        floor((lit(1.0) - col("__cs.sumsq").cast("double") / col("__cs.total").cast("double")
+          / col("__cs.total").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("simpson_fp"),
+        col("__cs.entropy_fp").as("entropy_fp"))
 }

@@ -186,6 +186,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("t12: char stats is a pure projection — no Generate fan-out, no shuffle") {
+    // the one-pass codegen kernel must keep t12 riding the corpus scan:
+    // an explode-per-character formulation would show a Generate and
+    // two aggregation exchanges here (the r12 first cut did)
+    val plan = graft.operators.TextAnalysis
+      .charStats(graft.sources.Tables.documents(spark, sfDir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Generate"), plan)
+    assert(plan.contains("graft_char_stats"), plan)
+  }
+
   test("a4: int8 quantization is a pure projection — no shuffle at all") {
     val df = SparkEntry.queries("a4_embed_quantize")(spark, sfDir)
     // strip the final orderBy (presentation-only in the query wrapper):
