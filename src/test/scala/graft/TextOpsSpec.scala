@@ -151,6 +151,34 @@ class TextOpsSpec extends SparkSpec {
     assert(b == Seq(1L, 2L, 3L))
   }
 
+  test("repetitionScore fuzz: random repetitive corpora match a scalar n-gram count") {
+    val rnd = new scala.util.Random(777)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val n = 3
+    val docs = (0 until 60).map { i =>
+      val len = rnd.nextInt(12) // includes len < n (guard path)
+      val toks = (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, toks.mkString(" "))
+    }.filter(_._2.nonEmpty)
+    val (total, distinct, rep) =
+      TextAnalysis.repetitionScore(TextAnalysis.wsTokens(col("text")), n)
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), total.as("t"), distinct.as("d"), rep.as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      .sortBy(_._1)
+    val expected = docs.sortBy(_._1).map { case (id, text) =>
+      val toks = text.split(" ")
+      if (toks.length < n) (id, 0L, 0L, 0.0)
+      else {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+        (id, grams.size.toLong, grams.distinct.size.toLong,
+          1.0 - grams.distinct.size.toDouble / grams.size)
+      }
+    }
+    assert(got == expected)
+    assert(expected.exists(_._4 > 0.0), "fixture must contain repeated n-grams")
+  }
+
   test("sequencePack fuzz: per-group cumulative packing matches a scalar fold") {
     // random groups + token counts (incl. docs larger than the budget,
     // which must span pack boundaries starting where their cumsum says)
