@@ -248,6 +248,36 @@ class DedupSpec extends SparkSpec {
     assert(bloomed == exact && exact == Seq((1L, 2L)))
   }
 
+  test("decontamination fuzz: d7 and d9 both match a scalar distinct-gram intersection") {
+    // random corpora with deliberately shared phrase fragments; the
+    // scalar reference computes |distinct n-grams(doc) ∩ distinct
+    // n-grams(eval)| directly, and BOTH decontamination realizations
+    // (broadcast grams, bloom prefilter + verify) must reproduce it
+    val rnd = new scala.util.Random(13579)
+    val vocab = Vector("one", "two", "three", "four", "five", "six")
+    val n = 3
+    def doc(): String =
+      (0 until 6 + rnd.nextInt(10)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpus = (0L until 40L).map(i => (i, doc()))
+    val bench = (100L until 110L).map(i => (i, doc()))
+    val cdf = corpus.toDF("doc_id", "text")
+    val bdf = bench.toDF("doc_id", "text")
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val benchGrams = bench.flatMap(b => grams(b._2)).toSet
+    val expected = corpus
+      .map { case (id, t) => id -> grams(t).count(benchGrams) }
+      .filter(_._2 > 0).toMap
+    Seq(
+      Dedup.benchmarkContamination(cdf, bdf, "doc_id", "text", n),
+      Dedup.bloomDecontaminate(cdf, bdf, "doc_id", "text", n)
+    ).foreach { out =>
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected.map { case (k, v) => k -> v.toLong })
+    }
+    assert(expected.nonEmpty, "fixture must contain contaminated docs")
+  }
+
   test("bloomDecontaminate with an empty eval set flags nothing") {
     val corpus = Seq((1L, "one two three four five six seven eight nine"))
       .toDF("doc_id", "text")
