@@ -319,11 +319,19 @@ object TextAnalysis {
   def charStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String): org.apache.spark.sql.DataFrame =
     docs
+      // empty docs are excluded, not divided by — and the exclusion
+      // filters on the RAW column, BEFORE the kernel projection: a
+      // filter on __cs.total would be alias-substituted below the
+      // Project (PushPredicateThroughNonJoin) and evaluate the whole
+      // histogram kernel TWICE per row (caught by the r12 review; the
+      // length() predicate instead pushes to the parquet scan).
+      // Precondition: one row per id — this is a per-DOCUMENT statistic
+      // (a projection cannot, and should not, merge histograms of rows
+      // that share an id; the previous aggregate formulation silently
+      // did, which made duplicate-id corruption look like one long doc).
+      .filter(length(col(textCol)) > 0)
       .select(col(idCol).as("doc_id"),
         graft.functions.HashExpressions.charStats(col(textCol)).as("__cs"))
-      // empty docs are excluded, not divided by: the kernel reports
-      // total = 0 and the entropy/diversity of nothing is undefined
-      .filter(col("__cs.total") > 0)
       .select(col("doc_id"),
         col("__cs.total").as("n_chars"),
         col("__cs.n_distinct").as("n_distinct"),

@@ -195,7 +195,12 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Generate"), plan)
-    assert(plan.contains("graft_char_stats"), plan)
+    // exactly ONE kernel call per row: a filter phrased on the struct
+    // output gets alias-substituted below the Project and evaluates the
+    // histogram twice (the r12 review catch — the empty-doc exclusion
+    // must stay on the raw length() predicate)
+    assert("graft_char_stats".r.findAllIn(plan).length == 1,
+      s"t12 kernel must appear exactly once in the plan\n$plan")
   }
 
   test("a4: int8 quantization is a pure projection — no shuffle at all") {

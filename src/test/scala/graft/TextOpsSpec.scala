@@ -122,7 +122,9 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     def termFp(n: Long, total: Long): Long = {
       val p = n.toDouble / total.toDouble
-      math.floor(-p * math.log(p) / math.log(2.0) * 1000000.0 + 0.5).toLong
+      // StrictMath, not math.log: the kernel contract is "Spark's own
+      // log bits", and Math.log intrinsics may differ by 1 ulp
+      math.floor(-p * StrictMath.log(p) / StrictMath.log(2.0) * 1000000.0 + 0.5).toLong
     }
     val h3 = termFp(2, 3) + termFp(1, 3) // ~918296 (0.918296 bits)
     val s3 = math.floor((1.0 - 5.0 / 9.0) * 1000000.0 + 0.5).toLong
@@ -246,7 +248,8 @@ class TextOpsSpec extends SparkSpec {
       val sumsq = counts.values.map(n => n * n).sum
       val ent = counts.values.toSeq.sorted.map { n =>
         val p = n.toDouble / total.toDouble
-        math.floor(-p * math.log(p) / math.log(2.0) * 1000000.0 + 0.5).toLong
+        // StrictMath mirrors the kernel (Math.log intrinsics may differ by 1 ulp)
+        math.floor(-p * StrictMath.log(p) / StrictMath.log(2.0) * 1000000.0 + 0.5).toLong
       }.sum
       val simp = math.floor((1.0 - sumsq.toDouble / total.toDouble / total.toDouble)
         * 1000000.0 + 0.5).toLong
