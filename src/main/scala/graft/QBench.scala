@@ -25,7 +25,12 @@ object QBench {
       if (explain) fn(spark, sfDir).explain("formatted")
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
-        val cnt = fn(spark, sfDir).count()
+        // toRdd.count(), not count(): count() re-plans through a fresh
+        // Aggregate and column-pruning then deletes map-only projections
+        // (t12 kernel, a4 quantize) from the timed run entirely — the
+        // profile would measure the parquet scan, not the kernel.
+        // toRdd materializes every row of the plan as built. (r12 ADVICE.)
+        val cnt = fn(spark, sfDir).queryExecution.toRdd.count()
         println(f"[qbench] $n rep $r: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$cnt")
       }
     }

@@ -124,6 +124,65 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** array<float> → struct(n_dims, scale_fp, q_sum, q_l2, q_min, q_max)
+    * — the whole a4 int8-quantization summary in one O(d) codegen pass
+    * ([[HashKernels.int8Stats]]); consumed t12-style (struct alias +
+    * field extraction, so the kernel runs once per row).
+    */
+  case class Int8Stats(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_dims", LongType, nullable = false),
+      StructField("scale_fp", LongType, nullable = false),
+      StructField("q_sum", LongType, nullable = true),
+      StructField("q_l2", LongType, nullable = true),
+      StructField("q_min", LongType, nullable = true),
+      StructField("q_max", LongType, nullable = true)))
+    override def prettyName: String = "graft_int8_stats"
+    protected override def nullSafeEval(input: Any): Any =
+      HashKernels.int8Stats(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.int8Stats($c)")
+    override protected def withNewChildInternal(newChild: Expression): Int8Stats =
+      copy(child = newChild)
+  }
+
+  /** array<float> → array<long> int8 code array (scale computed
+    * in-kernel — [[HashKernels.int8Codes]]).
+    */
+  case class Int8Codes(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def prettyName: String = "graft_int8_codes"
+    protected override def nullSafeEval(input: Any): Any =
+      HashKernels.int8Codes(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.int8Codes($c)")
+    override protected def withNewChildInternal(newChild: Expression): Int8Codes =
+      copy(child = newChild)
+  }
+
+  /** (array<long>, array<long>) → exact BIGINT dot product; null on
+    * length mismatch or null element (the zip_with+aggregate contract),
+    * hence the explicit nullable + boxed-return codegen.
+    */
+  case class LongDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_long_dot"
+    protected override def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.longDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Long ${ev.value}_r = graft.functions.HashKernels.longDot($a, $b);
+        if (${ev.value}_r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${ev.value}_r.longValue(); }
+      """)
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongDot =
+      copy(left = newLeft, right = newRight)
+  }
+
   // --- Column API -----------------------------------------------------------
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
@@ -136,4 +195,7 @@ object HashExpressions {
   def hyperplaneSig(emb: Column, table: Int, nPlanes: Int): Column =
     col(HyperplaneSignature(expr(emb), table, nPlanes))
   def charStats(text: Column): Column = col(CharStats(expr(text)))
+  def int8Stats(vec: Column): Column = col(Int8Stats(expr(vec)))
+  def int8Codes(vec: Column): Column = col(Int8Codes(expr(vec)))
+  def longDot(a: Column, b: Column): Column = col(LongDot(expr(a), expr(b)))
 }

@@ -254,4 +254,113 @@ object HashKernels {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](total, distinct, sumsq, entFp))
   }
+
+  // --- int8 scalar quantization (the a4/a8 storage kernel) ------------------
+
+  /** Per-vector int8 scale: 127/max|x| clamped at 1e12, 0 for empty/zero/
+    * all-null/NaN-containing vectors. Bit-parity contract with the
+    * column formulation the DuckDB oracle replays:
+    * `when(array_max(transform(v, abs(cast double))) > 0,
+    *  least(127.0/mx, 1e12)).otherwise(0.0)` — max skips null elements
+    * and ranks NaN greatest (java.lang.Double.compare, Spark's double
+    * ordering), `NaN > 0` is false so a NaN component zeroes the scale,
+    * and the clamp keeps scale_fp = floor(scale·1e6 + 0.5) inside int64
+    * in every engine (unclamped, max|x| < ~1.3e-10 would saturate
+    * Spark's cast where DuckDB raises).
+    */
+  private def int8ScaleOf(vec: ArrayData): Double = {
+    val n = vec.numElements()
+    var mx = 0.0
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i)) {
+        val v = math.abs(vec.getFloat(i).toDouble)
+        if (!any || java.lang.Double.compare(v, mx) > 0) mx = v
+        any = true
+      }
+      i += 1
+    }
+    if (any && mx > 0.0) math.min(127.0 / mx, 1.0e12) else 0.0
+  }
+
+  /** One-pass a4 quantization summary:
+    * (n_dims, scale_fp, q_sum, q_l2, q_min, q_max) with
+    * code_i = floor(x_i·scale + 0.5) as long. Replaces a column
+    * formulation that nested the scale subtree inside the per-element
+    * transform lambda — Catalyst's higher-order functions re-evaluate
+    * the whole captured subtree per ELEMENT, so the projection cost was
+    * O(d²)/row interpreted; this kernel is O(d) inside whole-stage
+    * codegen. Arithmetic is replayed bit-for-bit: codes via the same
+    * double sequence (float→double, ·scale, +0.5, Math.floor, long cast
+    * — NaN casts to 0 like Spark's Cast), q_sum/q_l2 null iff any
+    * element is null (the aggregate-over-null contract), q_min/q_max
+    * skip null elements and are null when no element survives
+    * (array_min/array_max contract), and the empty vector yields
+    * (0, 0, 0, 0, null, null).
+    */
+  def int8Stats(vec: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = vec.numElements()
+    val scale = int8ScaleOf(vec)
+    val scaleFp = math.floor(scale * 1000000.0 + 0.5).toLong
+    var qSum = 0L; var qL2 = 0L
+    var qMin = Long.MaxValue; var qMax = Long.MinValue
+    var sawCode = false; var nullElem = false
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) nullElem = true
+      else {
+        val c = math.floor(vec.getFloat(i).toDouble * scale + 0.5).toLong
+        qSum += c; qL2 += c * c
+        if (c < qMin) qMin = c
+        if (c > qMax) qMax = c
+        sawCode = true
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      n.toLong, scaleFp,
+      if (nullElem) null else qSum,
+      if (nullElem) null else qL2,
+      if (sawCode) qMin else null,
+      if (sawCode) qMax else null))
+  }
+
+  /** array<float> → array<long> int8 code array under [[int8ScaleOf]] —
+    * the a8 storage representation, same per-element double sequence as
+    * [[int8Stats]]; null elements stay null.
+    */
+  def int8Codes(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    val scale = int8ScaleOf(vec)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (vec.isNullAt(i)) null
+        else java.lang.Long.valueOf(
+          math.floor(vec.getFloat(i).toDouble * scale + 0.5).toLong)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Exact BIGINT dot product of two long arrays (order-independent, so
+    * no fold-order caveat). Mirrors the zip_with+aggregate column twin:
+    * null if the lengths differ (zip_with pads with null) or any element
+    * is null. Boxed return: null signals those cases to the codegen
+    * null-check.
+    */
+  def longDot(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
 }

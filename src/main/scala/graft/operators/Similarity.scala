@@ -42,23 +42,6 @@ object Similarity {
     df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
       .orderBy(md5(col(idAs).cast("string")), col(idAs)).limit(n)
 
-  /** The a4 scalar-quantization rule — scale = min(127/max|x|, 1e12),
-    * 0 for a zero vector — shared by [[quantizeInt8]] (storage summary)
-    * and [[sqAdcTopK]] (compressed-domain search) so the two can never
-    * drift from the documented "a4-rule code arrays" contract; the
-    * DuckDB twins replay exactly this arithmetic.
-    */
-  private[operators] def int8Scale(vec: Column): Column = {
-    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
-    when(mx > 0, least(lit(127.0) / mx, lit(1.0e12))).otherwise(lit(0.0))
-  }
-
-  /** int8 code array under [[int8Scale]]: floor(x·scale + 0.5) per
-    * component (floor(x+0.5), not round() — see [[quantizeInt8]]).
-    */
-  private[operators] def int8Codes(vec: Column, scale: Column): Column =
-    transform(vec, x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
-
   /** SQL-expressible double-fold cosine (kept in sync with the DuckDB
     * oracle in DocumentSuite — same left-to-right accumulation order).
     */
@@ -136,17 +119,26 @@ object Similarity {
     * sides bit-identical over the full double domain instead of
     * diverging on pathological vectors.
     */
-  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val scale = int8Scale(col(vecCol))
-    val q = int8Codes(col(vecCol), scale)
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    // One O(d) codegen kernel pass per row (HashKernels.int8Stats),
+    // consumed t12-style: struct alias in its own projection, fields
+    // extracted in the next (the non-cheap multi-referenced alias keeps
+    // CollapseProject from inlining the kernel per field). The previous
+    // column formulation nested the scale subtree inside the transform
+    // lambda — higher-order functions re-evaluate captured subtrees per
+    // ELEMENT, so it cost O(d²)/row interpreted and recomputed the code
+    // array once per summary column on top (r13: 4.2 s → ~0.2 s at
+    // sf0.1; at production dims the gap is the difference between
+    // riding the scan and dominating it).
     emb.select(col(idCol).as("vec_id"),
-      size(col(vecCol)).cast("long").as("n_dims"),
-      floor(scale * lit(1000000.0) + lit(0.5)).cast("long").as("scale_fp"),
-      aggregate(q, lit(0L), (a, b) => a + b).as("q_sum"),
-      aggregate(q, lit(0L), (a, b) => a + b * b).as("q_l2"),
-      array_min(q).as("q_min"),
-      array_max(q).as("q_max"))
-  }
+        HashExpressions.int8Stats(col(vecCol)).as("__s"))
+      .select(col("vec_id"),
+        col("__s.n_dims").as("n_dims"),
+        col("__s.scale_fp").as("scale_fp"),
+        col("__s.q_sum").as("q_sum"),
+        col("__s.q_l2").as("q_l2"),
+        col("__s.q_min").as("q_min"),
+        col("__s.q_max").as("q_max"))
 
   /** Per-label embedding centroids with FIXED-POINT accumulation: each
     * component is first quantized to an exact integer grid
@@ -311,15 +303,16 @@ object Similarity {
     */
   def sqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int): DataFrame = {
-    def codes(df: DataFrame, idAs: String, codeAs: String, n2As: String): DataFrame = {
-      val q = int8Codes(col(vecCol), int8Scale(col(vecCol)))
-      df.select(col(idCol).as(idAs), q.as(codeAs))
-        .withColumn(n2As, aggregate(col(codeAs), lit(0L), (a, b) => a + b * b))
-    }
+    // the code array comes from the one-pass int8Codes kernel (scale
+    // computed in-kernel — the old lambda-captured scale subtree cost
+    // O(d²)/row, see quantizeInt8), and both the squared norm and the
+    // per-pair dot run the exact-BIGINT longDot kernel inside codegen
+    def codes(df: DataFrame, idAs: String, codeAs: String, n2As: String): DataFrame =
+      df.select(col(idCol).as(idAs), HashExpressions.int8Codes(col(vecCol)).as(codeAs))
+        .withColumn(n2As, HashExpressions.longDot(col(codeAs), col(codeAs)))
     val qs = codes(queries, "query_id", "qq", "n2q")
     val cs = codes(corpus, "neighbor_id", "cq", "n2c")
-    val dot = aggregate(zip_with(col("qq"), col("cq"), (p, q) => p * q),
-      lit(0L), (a, b) => a + b)
+    val dot = HashExpressions.longDot(col("qq"), col("cq"))
     val scored = cs.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_fp",
         when(col("n2q") > 0 && col("n2c") > 0,

@@ -153,6 +153,15 @@ class PlanAuditSpec extends SparkSpec {
     // stay an equi-join: budget 2 for d10 — a degeneration adds a third
     // — and 0 for d3/d5.
     val bnljBudget = Map("d10_dedup_semantic" -> 2).withDefaultValue(0)
+    // the candidate join's equi-keys per operator: a degeneration that
+    // hides under the BNLJ budget (e.g. if the optimizer ever dedupes
+    // d10's twice-printed assignment subtree, freeing a budget slot)
+    // still fails the POSITIVE check below — some hash-join line must
+    // carry every bucket key AND the salt (r12 ADVICE).
+    val joinKeys = Map(
+      "d3_dedup_minhash_lsh" -> Seq("band#", "bh#", "salt#"),
+      "d5_dedup_embedding" -> Seq("tbl#", "bucket#", "salt#"),
+      "d10_dedup_semantic" -> Seq("cid#", "salt#"))
     Seq("d3_dedup_minhash_lsh", "d5_dedup_embedding",
         "d10_dedup_semantic").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -163,6 +172,12 @@ class PlanAuditSpec extends SparkSpec {
       val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
       assert(bnlj <= bnljBudget(name) && !plan.contains("CartesianProduct"),
         s"$name: salted join degenerated ($bnlj nested-loop joins)\n$plan")
+      val hashJoinLines = plan.linesIterator.filter(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+          l.contains("BroadcastHashJoin")).toSeq
+      assert(hashJoinLines.exists(l => joinKeys(name).forall(l.contains)),
+        s"$name: no hash join keyed on ${joinKeys(name).mkString("+")} — " +
+          s"candidate join lost its equi-keys\n$plan")
       // singleton-bucket pruning: the window count runs BEFORE the
       // 16-way salt explode so empty buckets are never replicated (plans
       // print top-down, so upstream window text appears AFTER the

@@ -39,6 +39,72 @@ class SimilaritySpec extends SparkSpec {
     // floor(x+0.5) rounding: -0.5*127 = -63.5 -> floor(-63) = -63
   }
 
+  test("int8 kernels fuzz-match the column-formulation twin the oracle replays") {
+    // The r13 O(d) codegen kernels (Int8Stats / Int8Codes) replaced a
+    // functions._ column formulation whose arithmetic the DuckDB oracle
+    // still replays verbatim — so that formulation, evaluated by
+    // Spark's own higher-order-function interpreter, is the
+    // independent twin here. Random dims/magnitudes plus the edge
+    // cases: zero vector, one-element, denormal-small max (the 1e12
+    // scale clamp), sign-flips, exact-half rounding boundaries.
+    val rnd = new scala.util.Random(2024)
+    val vecs = (0L until 40L).map { i =>
+      val d = 1 + rnd.nextInt(9)
+      val mag = math.pow(10.0, rnd.nextInt(26) - 13).toFloat
+      (i, Array.fill(d)((rnd.nextFloat() * 2 - 1) * mag))
+    } ++ Seq(
+      (40L, Array(0.0f, 0.0f)),          // zero vector: scale 0
+      (41L, Array(1.0e-13f)),            // clamp: 127/mx > 1e12
+      (42L, Array(0.5f, -0.5f, 1.0f)),   // ±63.5 half boundaries
+      (43L, Array(-0.0f)))               // negative zero: scale 0
+    val df = vecs.toDF("vec_id", "embedding")
+    val twinScale = {
+      val mx = array_max(transform($"embedding", x => abs(x.cast("double"))))
+      when(mx > 0, least(lit(127.0) / mx, lit(1.0e12))).otherwise(lit(0.0))
+    }
+    val twinQ = transform($"embedding",
+      x => floor(x.cast("double") * twinScale + lit(0.5)).cast("long"))
+    val twin = df.select($"vec_id",
+      size($"embedding").cast("long").as("n_dims"),
+      floor(twinScale * lit(1000000.0) + lit(0.5)).cast("long").as("scale_fp"),
+      aggregate(twinQ, lit(0L), (a, b) => a + b).as("q_sum"),
+      aggregate(twinQ, lit(0L), (a, b) => a + b * b).as("q_l2"),
+      array_min(twinQ).as("q_min"),
+      array_max(twinQ).as("q_max")).orderBy("vec_id").collect().toSeq
+    val got = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect().toSeq
+    assert(got.map(_.toSeq) == twin.map(_.toSeq))
+    // the a8 code arrays and BIGINT dot against the same twin
+    val codesTwin = df.select($"vec_id", twinQ.as("q")).orderBy("vec_id")
+      .collect().map(_.getSeq[Long](1)).toSeq
+    val codesGot = df.select($"vec_id",
+        graft.functions.HashExpressions.int8Codes($"embedding").as("q"))
+      .orderBy("vec_id").collect().map(_.getSeq[Long](1)).toSeq
+    assert(codesGot == codesTwin)
+    val dotTwin = df.as("a").join(df.as("b"), $"a.vec_id" < $"b.vec_id")
+      .filter(size($"a.embedding") === size($"b.embedding"))
+      .select($"a.vec_id", $"b.vec_id",
+        aggregate(zip_with(
+            graft.functions.HashExpressions.int8Codes($"a.embedding"),
+            graft.functions.HashExpressions.int8Codes($"b.embedding"),
+            (p, q) => p * q), lit(0L), (acc, v) => acc + v).as("dot"),
+        graft.functions.HashExpressions.longDot(
+          graft.functions.HashExpressions.int8Codes($"a.embedding"),
+          graft.functions.HashExpressions.int8Codes($"b.embedding")).as("kdot"))
+      .collect()
+    assert(dotTwin.nonEmpty)
+    dotTwin.foreach(r => assert(r.getLong(2) == r.getLong(3), r.toString))
+    // length mismatch: zip_with pads with null → null; longDot must agree
+    val mm = df.filter($"vec_id".isin(41L, 42L))
+      .agg(collect_list(struct($"vec_id", $"embedding")).as("vs"))
+      .select(
+        graft.functions.HashExpressions.longDot(
+          graft.functions.HashExpressions.int8Codes(element_at($"vs", 1)("embedding")),
+          graft.functions.HashExpressions.int8Codes(element_at($"vs", 2)("embedding"))).as("d"))
+      .collect()
+    assert(mm.head.isNullAt(0))
+  }
+
   test("labelCentroids computes exact fixed-point means per label and position") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 7),
