@@ -124,6 +124,25 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** array<string> tokens → struct(total, n_distinct) space-joined
+    * n-gram repetition counts — the t6 kernel
+    * ([[HashKernels.ngramStats]]); exact distinct, one pass.
+    */
+  case class NgramStats(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n > 0, s"ngram n=$n must be positive")
+    override def dataType: DataType = StructType(Seq(
+      StructField("total", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false)))
+    override def prettyName: String = "graft_ngram_stats"
+    protected override def nullSafeEval(input: Any): Any =
+      HashKernels.ngramStats(input.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.ngramStats($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): NgramStats =
+      copy(child = newChild)
+  }
+
   /** array<float> → struct(n_dims, scale_fp, q_sum, q_l2, q_min, q_max)
     * — the whole a4 int8-quantization summary in one O(d) codegen pass
     * ([[HashKernels.int8Stats]]); consumed t12-style (struct alias +
@@ -195,6 +214,7 @@ object HashExpressions {
   def hyperplaneSig(emb: Column, table: Int, nPlanes: Int): Column =
     col(HyperplaneSignature(expr(emb), table, nPlanes))
   def charStats(text: Column): Column = col(CharStats(expr(text)))
+  def ngramStats(tokens: Column, n: Int): Column = col(NgramStats(expr(tokens), n))
   def int8Stats(vec: Column): Column = col(Int8Stats(expr(vec)))
   def int8Codes(vec: Column): Column = col(Int8Codes(expr(vec)))
   def longDot(a: Column, b: Column): Column = col(LongDot(expr(a), expr(b)))
