@@ -19,6 +19,14 @@ object QBench {
     val explain = sys.env.get("QBENCH_EXPLAIN").contains("1")
     val spark = GraftSession.local()
     spark.range(1000000).selectExpr("sum(id)").collect() // JIT/codegen warm
+    // Spark's own codegen metrics (Janino source-compile wall, generated
+    // class/method bytecode sizes) — deltas per rep attribute how much
+    // of a cold first run is one-shot code generation vs real work
+    def codegenMs(): (Long, Long) = {
+      val m = org.apache.spark.metrics.source.CodegenMetrics
+      (m.METRIC_COMPILATION_TIME.getCount,
+        m.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum)
+    }
     names.foreach { n =>
       val fn = SparkEntry.queries.getOrElse(n,
         sys.error(s"unknown query '$n'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
@@ -30,8 +38,11 @@ object QBench {
         // (t12 kernel, a4 quantize) from the timed run entirely — the
         // profile would measure the parquet scan, not the kernel.
         // toRdd materializes every row of the plan as built. (r12 ADVICE.)
+        val (c0, ms0) = codegenMs()
         val cnt = fn(spark, sfDir).queryExecution.toRdd.count()
-        println(f"[qbench] $n rep $r: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$cnt")
+        val (c1, ms1) = codegenMs()
+        println(f"[qbench] $n rep $r: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$cnt " +
+          f"codegen=${c1 - c0} compiles/${ms1 - ms0}ms")
       }
     }
     spark.stop()

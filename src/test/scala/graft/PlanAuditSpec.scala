@@ -110,6 +110,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "corpus side must not shuffle")
   }
 
+  test("d9: past the broadcast ceiling the verify join flips to shuffle and stays exact") {
+    // The unhinted verify join is the POINT of d9 — the gate's small
+    // eval set always lands broadcast, so the motivating branch (a
+    // too-large gram spool flipping the join to shuffle over the
+    // prefiltered sliver) was untested until r13. Force the flip by
+    // zeroing both broadcast thresholds (planner + AQE) and assert the
+    // join runs as a shuffle join WITH the bloom probe still in front,
+    // and that the output is bit-identical to the broadcast branch's
+    // (d9 at its own 13-gram window — not d7, whose window is 8).
+    val broadcastBranch = SparkEntry.queries("d9_bloom_decontaminate")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val df = SparkEntry.queries("d9_bloom_decontaminate")(spark, sfDir)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == broadcastBranch,
+        "shuffle-branch d9 diverged from the broadcast branch's exact result")
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(plan.contains("might_contain"), "bloom probe missing from the shuffle branch")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"verify join did not flip to shuffle\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"a broadcast join survived threshold -1\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q13/q14/q32: grouping constructs are one Expand + one partial-aggregated shuffle") {
     // rollup/cube/grouping-sets must all plan as a single Expand feeding
     // a partial+final aggregate pair — the replicate-then-aggregate shape

@@ -76,4 +76,121 @@ class RelationalFuzzSpec extends SparkSpec {
       grp.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(quota)).toSet
     assert(got == expected)
   }
+
+  // --- grouping constructs (q13 rollup / q14 cube / q32 grouping sets) ------
+  //
+  // Scalar reference: a grouping construct is exactly the concatenation
+  // of one plain GROUP BY per grouping set, with the columns outside the
+  // set masked to NULL. The reference computes that multiset directly —
+  // including the case the oracle data never exercises: an input key
+  // that is ITSELF null produces a (null, …) group row that coexists
+  // with the subtotal row of the same shape (they differ only by
+  // grouping_id, which the q13/q14/q32 outputs drop), so the comparison
+  // must be a multiset, never a set or a map.
+  private def groupingRef(rows: Seq[(Option[String], Option[String], Long)],
+                          sets: Seq[Seq[Int]]): Map[(Option[String], Option[String]), Seq[(Long, Long)]] =
+    sets.flatMap { set =>
+      rows.groupBy(r => (if (set.contains(0)) r._1 else None,
+          if (set.contains(1)) r._2 else None))
+        .map { case (k, grp) => (k, (grp.size.toLong, grp.map(_._3).sum)) }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+
+  private def groupingFuzzRows(seed: Int): Seq[(Option[String], Option[String], Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until 300).map { _ =>
+      val a = if (rnd.nextInt(10) == 0) None else Some(s"a${rnd.nextInt(3)}")
+      val b = if (rnd.nextInt(10) == 0) None else Some(s"b${rnd.nextInt(4)}")
+      (a, b, rnd.nextInt(1000).toLong)
+    }
+  }
+
+  private def collectGrouping(df: org.apache.spark.sql.DataFrame): Map[(Option[String], Option[String]), Seq[(Long, Long)]] =
+    df.collect().toSeq
+      .map(r => ((Option(r.getString(0)), Option(r.getString(1))),
+        (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+
+  test("rollup/cube/grouping-sets fuzz: subtotal lattice matches a scalar per-set group-by") {
+    val rows = groupingFuzzRows(1313)
+    val df = rows.map(r => (r._1.orNull, r._2.orNull, r._3)).toDF("a", "b", "v")
+    // rollup(a, b): {(a,b), (a), ()}
+    assert(collectGrouping(
+      df.rollup("a", "b").agg(count(lit(1)).as("n"), sum("v").as("s"))) ==
+      groupingRef(rows, Seq(Seq(0, 1), Seq(0), Seq.empty)), "rollup")
+    // cube(a, b): the full lattice
+    assert(collectGrouping(
+      df.cube("a", "b").agg(count(lit(1)).as("n"), sum("v").as("s"))) ==
+      groupingRef(rows, Seq(Seq(0, 1), Seq(0), Seq(1), Seq.empty)), "cube")
+    // the q32 shape: ((a,b), (b), ()) — neither a rollup chain nor a cube
+    assert(collectGrouping(
+      df.groupingSets(Seq(Seq(col("a"), col("b")), Seq(col("b")), Seq.empty),
+          col("a"), col("b"))
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))) ==
+      groupingRef(rows, Seq(Seq(0, 1), Seq(1), Seq.empty)), "groupingSets")
+    // the null-key-vs-subtotal collision must actually occur in the fixture
+    assert(rows.exists(_._1.isEmpty) && rows.exists(_._2.isEmpty),
+      "fixture must contain null input keys")
+  }
+
+  test("range-join fuzz: half-open bucket classification matches a scalar scan") {
+    // q26's construct: fact ⋈ broadcast(ranges) ON v >= lo AND v < hi.
+    // Buckets deliberately OVERLAP (a value can land in two) and leave
+    // GAPS (a value can land in none → row drops out of the inner
+    // join); a third of the values sit exactly ON a boundary so the
+    // >=lo / <hi half-open contract is pinned, not assumed.
+    val rnd = new scala.util.Random(2626)
+    val bounds = Seq(0L, 100L, 250L, 400L, 700L)
+    val ranges = Seq(
+      ("r0", 0L, 250L), ("r1", 100L, 400L), // overlap on [100, 250)
+      ("r2", 500L, 700L))                   // gap on [400, 500)
+    val rows = (0 until 400).map { i =>
+      val v = rnd.nextInt(3) match {
+        case 0 => bounds(rnd.nextInt(bounds.size))       // exactly on an edge
+        case _ => rnd.nextInt(800).toLong
+      }
+      (i.toLong, v)
+    }
+    val got = rows.toDF("id", "v")
+      .join(broadcast(ranges.toDF("bucket", "lo", "hi")),
+        col("v") >= col("lo") && col("v") < col("hi"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = ranges.map { case (b, lo, hi) =>
+      val in = rows.filter(r => r._2 >= lo && r._2 < hi)
+      (b, in.size.toLong, in.map(_._2).sum)
+    }.filter(_._2 > 0).toSet
+    assert(got == expected)
+    val assigned = rows.count(r => ranges.exists(g => r._2 >= g._2 && r._2 < g._3))
+    assert(assigned < rows.size, "fixture must drop some rows (gap)")
+    assert(rows.map(r => ranges.count(g => r._2 >= g._2 && r._2 < g._3)).max == 2,
+      "fixture must double-assign some rows (overlap)")
+  }
+
+  test("rangeBetween fuzz: value-window frames match a scalar peer-inclusive sum") {
+    // q28's construct: sum over RANGE BETWEEN -G AND CURRENT ROW per
+    // key. The frame is VALUE-based: all peers (equal ordering value)
+    // of the current row join its frame — duplicated ordering values
+    // are generated on purpose, as are rows exactly G apart (frame
+    // edge inclusive on both ends).
+    val rnd = new scala.util.Random(2828)
+    val G = 10L
+    val rows = (0 until 300).map { i =>
+      val key = rnd.nextInt(4)
+      // coarse grid ⇒ many exact ties and many exactly-G gaps
+      val ord = (rnd.nextInt(12) * 5).toLong
+      (i.toLong, key, ord, rnd.nextInt(100).toLong)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("ord")).rangeBetween(-G, 0)
+    val got = rows.toDF("id", "key", "ord", "v")
+      .withColumn("roll", sum("v").over(w))
+      .select("id", "roll").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = rows.map { case (id, key, ord, _) =>
+      id -> rows.filter(r => r._2 == key && r._3 >= ord - G && r._3 <= ord)
+        .map(_._4).sum
+    }.toMap
+    assert(got == expected)
+    assert(rows.groupBy(r => (r._2, r._3)).values.exists(_.size > 1),
+      "fixture must contain peer rows")
+  }
 }
