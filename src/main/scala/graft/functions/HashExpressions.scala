@@ -124,6 +124,25 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** string → struct(s_de, s_en, …) per-language stopword hit counts
+    * ([[HashKernels.langScores]]) — the t1/t2 kernel; field order is
+    * [[HashKernels.stopwords]] order.
+    */
+  case class LangScores(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(
+      HashKernels.stopwords.map { case (lang, _) =>
+        StructField(s"s_$lang", LongType, nullable = false)
+      })
+    override def prettyName: String = "graft_lang_scores"
+    protected override def nullSafeEval(input: Any): Any =
+      HashKernels.langScores(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.langScores($c)")
+    override protected def withNewChildInternal(newChild: Expression): LangScores =
+      copy(child = newChild)
+  }
+
   /** array<string> tokens → struct(total, n_distinct) space-joined
     * n-gram repetition counts — the t6 kernel
     * ([[HashKernels.ngramStats]]); exact distinct, one pass.
@@ -214,6 +233,7 @@ object HashExpressions {
   def hyperplaneSig(emb: Column, table: Int, nPlanes: Int): Column =
     col(HyperplaneSignature(expr(emb), table, nPlanes))
   def charStats(text: Column): Column = col(CharStats(expr(text)))
+  def langScores(text: Column): Column = col(LangScores(expr(text)))
   def ngramStats(tokens: Column, n: Int): Column = col(NgramStats(expr(tokens), n))
   def int8Stats(vec: Column): Column = col(Int8Stats(expr(vec)))
   def int8Codes(vec: Column): Column = col(Int8Codes(expr(vec)))

@@ -255,6 +255,64 @@ object HashKernels {
       Array[Any](total, distinct, sumsq, entFp))
   }
 
+  /** Canonical per-language stopword lists for the t1 language-ID
+    * heuristic (alphabetical language order = the tie-break order).
+    * Lives here so the one-pass [[langScores]] kernel and the Column
+    * API ([[graft.operators.TextAnalysis.stopwords]] aliases this) can
+    * never drift.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有"))
+
+  // word → bitmask of the languages whose list contains it ("la" is
+  // both es and fr; "de"/"en" are words in other languages' lists)
+  private[this] val stopMask: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    stopwords.zipWithIndex.foreach { case ((_, words), i) =>
+      words.foreach { w =>
+        m.merge(w, Integer.valueOf(1 << i), (a, b) =>
+          Integer.valueOf(a.intValue() | b.intValue()))
+      }
+    }
+    m
+  }
+
+  /** One-pass per-language stopword hit counts over the single-space
+    * token split — the t1/t2 kernel. Exactly
+    * `size(filter(split(text, " "), t => t.isin(words)))` per language,
+    * in one token scan instead of one interpreted higher-order filter
+    * per language (split(" ") matches the literal space; empty tokens
+    * from runs of spaces are never stopwords, so they cannot affect
+    * the counts).
+    */
+  def langScores(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val counts = new Array[Long](stopwords.size)
+    var start = 0
+    while (start <= s.length) {
+      var end = s.indexOf(' ', start)
+      if (end < 0) end = s.length
+      if (end > start) {
+        val m = stopMask.get(s.substring(start, end))
+        if (m != null) {
+          var mask = m.intValue()
+          while (mask != 0) {
+            val i = Integer.numberOfTrailingZeros(mask)
+            counts(i) += 1
+            mask &= mask - 1
+          }
+        }
+      }
+      start = end + 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      counts.map(c => c: Any))
+  }
+
   /** One-pass within-document n-gram repetition counts:
     * (total, distinct) over space-joined token n-grams — the t6 kernel.
     * Replaces a column formulation that materialized the gram array via

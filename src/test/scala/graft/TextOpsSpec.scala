@@ -153,6 +153,40 @@ class TextOpsSpec extends SparkSpec {
     assert(b == Seq(1L, 2L, 3L))
   }
 
+  test("langScores kernel fuzz: hit counts match the stopHits column twin per language") {
+    // random token soup drawn from every language's stopwords, shared
+    // words ("la" is es AND fr; "de"/"en" appear in other languages'
+    // lists), non-stopwords, runs of spaces (empty tokens) and CJK
+    // glyphs; the kernel's struct fields must equal the interpreted
+    // filter+isin twin for every language, and langId must equal the
+    // earliest-max scalar argmax
+    val rnd = new scala.util.Random(515)
+    val langs = graft.operators.TextAnalysis.stopwords
+    val pool = langs.flatMap(_._2) ++ Seq("zzz", "qqq", "la", "de", "")
+    val docs = (0 until 120).map { i =>
+      val toks = (0 until rnd.nextInt(30)).map(_ => pool(rnd.nextInt(pool.size)))
+      (i.toLong, toks.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val kernel = graft.functions.HashExpressions.langScores(col("text"))
+    val twinCols = langs.map { case (lang, words) =>
+      graft.operators.TextAnalysis.stopHits(col("text"), words).as(s"t_$lang") }
+    val rows = df.select(
+        Seq(col("doc_id")) ++ langs.map { case (l, _) => kernel.getField(s"s_$l").as(s"k_$l") } ++
+          twinCols ++ Seq(graft.operators.TextAnalysis.langId(col("text")).as("lang")): _*)
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      val ks = langs.indices.map(i => r.getLong(1 + i))
+      val ts = langs.indices.map(i => r.getLong(1 + langs.size + i))
+      assert(ks == ts, s"kernel vs twin diverged on doc ${r.getLong(0)}")
+      // earliest-max argmax (the CASE chain's >= tie-break)
+      val best = langs.indices.minBy(i => (-ks(i), i))
+      assert(r.getString(1 + 2 * langs.size) == langs(best)._1,
+        s"langId tie-break diverged on doc ${r.getLong(0)}")
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("repetitionScore fuzz: random repetitive corpora match a scalar n-gram count") {
     val rnd = new scala.util.Random(777)
     val vocab = Vector("aa", "bb", "cc", "dd")
