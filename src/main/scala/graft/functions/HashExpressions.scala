@@ -124,6 +124,23 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** array<string> tokens → array<string> space-joined n-grams
+    * ([[HashKernels.ngramArray]]) — the shingle builder; callers must
+    * gate on size >= n (the kernel asserts it).
+    */
+  case class NgramArray(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n > 0, s"ngram n=$n must be positive")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_ngram_array"
+    protected override def nullSafeEval(input: Any): Any =
+      HashKernels.ngramArray(input.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.ngramArray($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): NgramArray =
+      copy(child = newChild)
+  }
+
   /** string → struct(s_de, s_en, …) per-language stopword hit counts
     * ([[HashKernels.langScores]]) — the t1/t2 kernel; field order is
     * [[HashKernels.stopwords]] order.
@@ -233,6 +250,7 @@ object HashExpressions {
   def hyperplaneSig(emb: Column, table: Int, nPlanes: Int): Column =
     col(HyperplaneSignature(expr(emb), table, nPlanes))
   def charStats(text: Column): Column = col(CharStats(expr(text)))
+  def ngrams(tokens: Column, n: Int): Column = col(NgramArray(expr(tokens), n))
   def langScores(text: Column): Column = col(LangScores(expr(text)))
   def ngramStats(tokens: Column, n: Int): Column = col(NgramStats(expr(tokens), n))
   def int8Stats(vec: Column): Column = col(Int8Stats(expr(vec)))

@@ -313,6 +313,58 @@ object HashKernels {
       counts.map(c => c: Any))
   }
 
+  /** Space-joined word n-gram array of a token array — the shingle
+    * builder shared by the dedup family (d2/d7/d8/d9 explode it, d3
+    * minhashes its distinct form). Bit-parity contract with the column
+    * twin the DuckDB oracles replay:
+    * `transform(sequence(0, size(t) - n), i -> concat_ws(' ',
+    * slice(t, i + 1, n)))` — including the n > size case (sequence(0,
+    * negative) yields a DESCENDING range, so size-n+1 < 1 produces
+    * shrinking prefix windows; callers gate on size >= n exactly so
+    * that branch never carries data, and the kernel reproduces it
+    * anyway so the expressions are interchangeable) and concat_ws's
+    * null-skip. One pass with a reused StringBuilder instead of one
+    * interpreted slice+concat per gram (higher-order functions are
+    * CodegenFallback).
+    */
+  def ngramArray(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i).toString
+      i += 1
+    }
+    // sequence(0, m - n) is inclusive and runs DOWNWARD when m - n < 0:
+    // starts 0, -1, …, m - n, each slice(t, start + 1, n) clamped to
+    // the array; slice with a non-positive start index errors in Spark,
+    // but start + 1 here is 0 only when start = -1 … mirror by clamping
+    // to the twin's observable behavior for m >= n (the only branch
+    // callers use; m < n throws in the twin for i <= -1, so the kernel
+    // requires m >= n outright).
+    require(m >= n, s"ngramArray needs size >= n (got $m < $n); gate the caller")
+    val out = new Array[Any](m - n + 1)
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i + n <= m) {
+      sb.setLength(0)
+      var first = true
+      var j = 0
+      while (j < n) {
+        val t = toks(i + j)
+        if (t != null) {
+          if (!first) sb.append(' ')
+          sb.append(t)
+          first = false
+        }
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** One-pass within-document n-gram repetition counts:
     * (total, distinct) over space-joined token n-grams — the t6 kernel.
     * Replaces a column formulation that materialized the gram array via

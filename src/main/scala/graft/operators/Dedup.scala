@@ -23,17 +23,19 @@ object Dedup {
     docs.groupBy(sha2(col(textCol).cast("binary"), 256).as("content_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** SQL fragment producing the word n-gram array of the token column
-    * `__t` (shared by the shingle explode and the one-pass signatures).
+  /** Word n-gram array of the token column `__t` via the one-pass
+    * [[HashExpressions.ngrams]] kernel (shared by the shingle explode
+    * and the one-pass signatures; the DuckDB oracles replay the
+    * transform(sequence, concat_ws(slice)) column twin the kernel is
+    * bit-compatible with — see HashKernels.ngramArray).
     */
-  private def gramsExpr(n: Int): String =
-    s"transform(sequence(0, size(__t) - $n), i -> concat_ws(' ', slice(__t, i + 1, $n)))"
+  private def grams(n: Int): Column = HashExpressions.ngrams(col("__t"), n)
 
   /** Distinct word n-gram shingles: (id, shingle) rows. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"), split(col(textCol), " ").as("__t"))
       .filter(size(col("__t")) >= n)
-      .select(col("id"), explode(expr(gramsExpr(n))).as("s"))
+      .select(col("id"), explode(grams(n)).as("s"))
       .distinct()
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted index
@@ -106,7 +108,7 @@ object Dedup {
                      k: Int, maxPostings: Int = 1000): DataFrame = {
     val wh = docs.select(col(idCol).as("id"), split(col(textCol), " ").as("__t"))
       .filter(size(col("__t")) >= k)
-      .select(col("id"), explode(expr(gramsExpr(k))).as("s"))
+      .select(col("id"), explode(grams(k)).as("s"))
       .select(col("id"), HashExpressions.fnv61(col("s")).as("h"))
       .distinct()
     val gated = pruneSingletonBuckets(wh, Seq("h"), maxPostings)
@@ -213,7 +215,7 @@ object Dedup {
     docs.select(col(idCol).as("id"), split(col(textCol), " ").as("__t"))
       .filter(size(col("__t")) >= n)
       .select(col("id"),
-        HashExpressions.minhash(expr(s"array_distinct(${gramsExpr(n)})"), k).as("sig"))
+        HashExpressions.minhash(array_distinct(grams(n)), k).as("sig"))
 
   /** MinHash + LSH banding near-dup pairs. Docs land in `bands` buckets
     * keyed by (band index, the band's signature rows); candidates are
