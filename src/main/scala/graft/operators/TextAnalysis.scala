@@ -210,11 +210,15 @@ object TextAnalysis {
     */
   def bigramCollocations(docs: org.apache.spark.sql.DataFrame, idCol: String,
                          textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
-    val toks = wsTokens(col(textCol))
-    val n1 = greatest(size(toks) - 1, lit(0))
-    val grams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
-      (a, b) => concat(a, lit(" "), b))
-    docs.select(col(idCol).as("__doc"), explode(grams).as("gram"))
+    // adjacent pairs are the n=2 case of the shingle kernel (identical
+    // strings: tokens are never null, so concat(a, ' ', b) and the
+    // kernel's concat_ws agree); the size gate only drops docs that
+    // contributed zero grams anyway, replacing the interpreted
+    // slice+zip_with+concat chain with one codegen pass
+    docs.select(col(idCol).as("__doc"), wsTokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("__doc"),
+        explode(graft.functions.HashExpressions.ngrams(col("__t"), 2)).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("n"), countDistinct(col("__doc")).as("n_docs"))
       .orderBy(col("n").desc, col("gram").asc)
