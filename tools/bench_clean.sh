@@ -18,8 +18,14 @@ VMPID=$!
 steal0=$(awk '/^cpu /{print $9}' /proc/stat)
 total0=$(awk '/^cpu /{s=0; for(i=2;i<=NF;i++) s+=$i; print s}' /proc/stat)
 TIMEFORMAT='real %3R user %3U sys %3S'
+# -Xmx8g + UTC: the SAME JVM the sbt gate forks (build.sbt javaOptions).
+# r13 finding: the script's old -Xmx100g heap measured 15-25% SLOWER
+# query-sums with 2-4x the sys time and pathological single-query
+# outliers (s9 29 s, s6 12 s) — first-touch page faults and huge-heap
+# GC geometry, not the plans. Benchmark the heap the gate actually uses.
 { time SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_PARTIAL="$OUT.partial.json" \
-    java -Xmx100g $ADD_OPENS -Dspark.ui.enabled=false \
+    java -Xmx"${SPARK_DRIVER_MEM:-8g}" $ADD_OPENS -Dspark.ui.enabled=false \
+    -Dspark.sql.session.timeZone=UTC \
     -cp "$CP" graft.Bench \
     > "$OUT.json" 2> "$OUT.benchlog" ; } 2> "$OUT.time"
 RC=$?
