@@ -217,6 +217,27 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** (array<float>, array<float>) → left-to-right-folded squared L2
+    * ([[HashKernels.sqL2F]]); null on length mismatch or null element
+    * (the zip_with+aggregate contract), hence the boxed-return codegen.
+    */
+  case class SqL2F(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_sql2f"
+    protected override def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.sqL2F(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Double ${ev.value}_r = graft.functions.HashKernels.sqL2F($a, $b);
+        if (${ev.value}_r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+      """)
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SqL2F =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** (array<long>, array<long>) → exact BIGINT dot product; null on
     * length mismatch or null element (the zip_with+aggregate contract),
     * hence the explicit nullable + boxed-return codegen.
@@ -256,4 +277,5 @@ object HashExpressions {
   def int8Stats(vec: Column): Column = col(Int8Stats(expr(vec)))
   def int8Codes(vec: Column): Column = col(Int8Codes(expr(vec)))
   def longDot(a: Column, b: Column): Column = col(LongDot(expr(a), expr(b)))
+  def sqL2F(a: Column, b: Column): Column = col(SqL2F(expr(a), expr(b)))
 }

@@ -504,6 +504,26 @@ object HashKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Squared-L2 between two float arrays, folded LEFT-TO-RIGHT in
+    * doubles — bit-identical to the zip_with+aggregate column twin the
+    * PQ oracles replay ((p−q)·(p−q) per element, acc+v in index
+    * order), including its null contract: null on length mismatch
+    * (zip_with pads with null) or any null element.
+    */
+  def sqL2F(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
   /** Exact BIGINT dot product of two long arrays (order-independent, so
     * no fold-order caveat). Mirrors the zip_with+aggregate column twin:
     * null if the lengths differ (zip_with pads with null) or any element

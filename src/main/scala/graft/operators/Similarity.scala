@@ -225,12 +225,12 @@ object Similarity {
         expr(s"slice(v, sub * (size(v) div $m) + 1, size(v) div $m)").as("vs"))
 
   /** Squared-L2 between two float subvectors, folded left-to-right in
-    * doubles — the exact order the DuckDB twins replay.
+    * doubles — the exact order the DuckDB twins replay. One codegen
+    * kernel pass (HashKernels.sqL2F, bit-identical to the
+    * zip_with+aggregate twin) instead of an interpreted lambda per
+    * (row × codebook-entry) pair.
     */
-  private def sqL2(a: Column, b: Column): Column = aggregate(
-    zip_with(a, b, (p, q) =>
-      (p.cast("double") - q.cast("double")) * (p.cast("double") - q.cast("double"))),
-    lit(0.0), (acc, v) => acc + v)
+  private def sqL2(a: Column, b: Column): Column = HashExpressions.sqL2F(a, b)
 
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                m: Int, kCodes: Int): DataFrame =
