@@ -77,6 +77,77 @@ class RelationalFuzzSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("window-family fuzz: running sums, top-k, lag flags and sequence numbers match scalar folds") {
+    // one random keyed event stream exercises the q8/q9/q10/q11/q20
+    // window constructs against scalar per-key folds. The ordering
+    // column is a TOTAL order within each key (the q8 rule: every
+    // window query orders by a tie-broken column list), values repeat
+    // across rows so top-k ties are real and lag sees genuine runs.
+    val rnd = new scala.util.Random(8888)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, rnd.nextInt(5).toLong, // id, key
+        Seq("a", "b", "c")(rnd.nextInt(3)), // type
+        rnd.nextInt(20).toLong) // qty (repeats => rank ties)
+    }
+    val df = rows.toDF("id", "key", "typ", "qty")
+    val byKey = rows.groupBy(_._2).view.mapValues(_.sortBy(_._1)).toMap
+
+    // q8: running sum over rowsBetween(unboundedPreceding, current)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val running = df.withColumn("r", sum("qty").over(wRun))
+      .select("id", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val runningRef = byKey.values.flatMap { es =>
+      es.scanLeft(((-1L), 0L)) { case ((_, acc), e) => (e._1, acc + e._4) }.drop(1)
+    }.toMap
+    assert(running == runningRef, "q8 running sum")
+
+    // q9: top-3 per key by (qty desc, id asc) — rank AND membership
+    val topk = Relational.topKPerGroup(df, Seq(col("key")),
+        Seq(col("qty").desc, col("id").asc), 3)
+      .select("key", "id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val topkRef = byKey.flatMap { case (k, es) =>
+      es.sortBy(e => (-e._4, e._1)).take(3).zipWithIndex
+        .map { case (e, i) => (k, e._1, i + 1) }
+    }.toSet
+    assert(topk == topkRef, "q9 top-k")
+
+    // q10: lag-change flag (first row of a key is 0)
+    val changed = df.withColumn("c",
+        when(lag(col("typ"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy("id")).isNull, lit(0L))
+          .when(lag(col("typ"), 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("key").orderBy("id")) =!= col("typ"), lit(1L))
+          .otherwise(lit(0L)))
+      .select("id", "c").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val changedRef = byKey.values.flatMap { es =>
+      es.zip(None +: es.map(e => Some(e._3))).map { case (e, prev) =>
+        e._1 -> (if (prev.exists(_ != e._3)) 1L else 0L)
+      }
+    }.toMap
+    assert(changed == changedRef, "q10 lag change")
+
+    // q11: conditional running count of type 'a'
+    val appear = df.withColumn("n",
+        sum(when(col("typ") === "a", 1L).otherwise(0L)).over(wRun))
+      .select("id", "n").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val appearRef = byKey.values.flatMap { es =>
+      es.scanLeft(((-1L), 0L)) { case ((_, acc), e) =>
+        (e._1, acc + (if (e._3 == "a") 1L else 0L))
+      }.drop(1)
+    }.toMap
+    assert(appear == appearRef, "q11 appearance counter")
+
+    // q20: 0-based sequence numbers per key
+    val seqn = Relational.sequenceNumber(df, Seq(col("key")), Seq(col("id")), "sn")
+      .select("id", "sn").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val seqRef = byKey.values.flatMap(es => es.zipWithIndex.map { case (e, i) => e._1 -> i }).toMap
+    assert(seqn == seqRef, "q20 sequence number")
+    assert(byKey.values.exists(_.size > 10), "fixture must have deep keys")
+  }
+
   // --- grouping constructs (q13 rollup / q14 cube / q32 grouping sets) ------
   //
   // Scalar reference: a grouping construct is exactly the concatenation
