@@ -202,7 +202,6 @@ object Crawl {
     val edgeDeg = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
     val base = (15L * RankScale / 100L) / n
-    var ranks = nodes.select(col("name_id"), lit(RankScale / n).as("r"))
     // Unlike d6, the round count is FIXED — no per-round convergence
     // action is needed, so rounds stay LAZY and stack into one plan the
     // caller's action evaluates once, with exchange reuse deduplicating
@@ -214,22 +213,42 @@ object Crawl {
     // dir) truncates every 5th round, so failure replay and plan depth
     // stay bounded for deep custom iteration counts while the default
     // shallow case pays no eager barrier at all.
-    var iter = 0
-    while (iter < iters) {
-      val sums = edgeDeg
-        .join(ranks.withColumnRenamed("name_id", "src"), "src")
-        .select(col("dst").as("name_id"), expr("r div odeg").as("c"))
+    //
+    // r13 restructure: rounds iterate on the IN-FLOW SUMS s_k rather
+    // than the rank table — r_k(u) = base + (85·coalesce(s_{k-1}(u),0))
+    // div 100 is re-derived inline where a round consumes it (same
+    // integer ops, same composition, so the fixed point is
+    // bit-identical and the unrolled DuckDB oracle replays unchanged).
+    // This drops the per-round `nodes` left join the rank table needed
+    // (dangling sources now fall out of the LEFT edge join's coalesce),
+    // and round 1 — whose input rank is the uniform constant — needs no
+    // join at all: one join + one aggregation per remaining round, ~40%
+    // fewer stages, and at cluster scale one less |nodes|-size join per
+    // iteration. The node set re-enters once at the end to give
+    // rank to nodes nothing links to.
+    if (iters == 0) {
+      nodes.select(col("name_id"), lit(RankScale / n).as("rank_fp"))
+    } else {
+      val rPrev = s"(CAST($base AS BIGINT) + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100)"
+      var sums = edgeDeg
+        .select(col("dst").as("name_id"),
+          expr(s"CAST(${RankScale / n} AS BIGINT) div odeg").as("c"))
         .groupBy("name_id").agg(sum(col("c")).as("s"))
-      ranks = nodes.join(sums, Seq("name_id"), "left")
-        .select(col("name_id"),
-          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
-      iter += 1
-      if (iters > 10 && iter % 5 == 0 && iter < iters)
-        ranks =
-          if (spark.sparkContext.getCheckpointDir.isDefined) ranks.checkpoint()
-          else ranks.localCheckpoint()
+      var iter = 1
+      while (iter < iters) {
+        sums = edgeDeg
+          .join(sums.withColumnRenamed("name_id", "src"), Seq("src"), "left")
+          .select(col("dst").as("name_id"), expr(s"$rPrev div odeg").as("c"))
+          .groupBy("name_id").agg(sum(col("c")).as("s"))
+        iter += 1
+        if (iters > 10 && iter % 5 == 0 && iter < iters)
+          sums =
+            if (spark.sparkContext.getCheckpointDir.isDefined) sums.checkpoint()
+            else sums.localCheckpoint()
+      }
+      nodes.join(sums, Seq("name_id"), "left")
+        .select(col("name_id"), expr(rPrev).as("rank_fp"))
     }
-    ranks.select(col("name_id"), col("r").as("rank_fp"))
   }
 
   /** Expand the frontier from the cache's schedule pages. Returns the
