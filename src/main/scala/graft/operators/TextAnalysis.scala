@@ -71,6 +71,48 @@ object TextAnalysis {
     df.withColumn("__sr", row_number().over(w)).filter(col("__sr") <= quota).drop("__sr")
   }
 
+  /** Corpus-trained unigram-LM quality score — the CCNet-style
+    * language-model filtering axis (Wenzek et al. 2020 filter CommonCrawl
+    * by LM perplexity; the unigram model is its self-contained,
+    * engine-replayable core): per document, the summed and averaged
+    * negative log-probability of its tokens under the corpus's own
+    * unigram distribution. Low avg −log p ⇒ stereotypical/boilerplate
+    * text; high ⇒ rare-token soup — both tails are what the filter
+    * trims. Output: (doc_id, n_tokens, sum_lp_fp, avg_lp_fp).
+    *
+    * Exactness: each DISTINCT token's −ln(c/N) is quantized to the
+    * 6-decimal fixed-point grid ONCE (Spark's `log` codegen calls
+    * StrictMath.log, the bits DuckDB's ln reproduces — the t12
+    * precedent), and everything after is BIGINT: per-doc sums weight
+    * lp_fp by the exact term frequency, the average is integer `div`.
+    * No floating-point accumulation order exists anywhere.
+    *
+    * Scale posture (the t9 plan family): one (doc, token) partial-agg
+    * shuffle; the vocabulary table derives from it via an exchange-
+    * reused token shuffle; N is a one-row broadcast; the score join is
+    * unhinted (AQE broadcasts a small vocabulary, shuffles a 100 TB
+    * corpus's web-scale one); final per-doc aggregation is the only
+    * other exchange. The corpus is scanned once.
+    */
+  def unigramLogprob(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(wsTokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val c = tf.groupBy("tok").agg(sum("tf").as("c"))
+    val n = c.agg(sum("c").as("n"))
+    val lp = c.crossJoin(broadcast(n))
+      .select(col("tok"),
+        floor(-log(col("c").cast("double") / col("n").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("lp_fp"))
+    tf.join(lp, "tok")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("lp_fp")).as("sum_lp_fp"))
+      .withColumn("avg_lp_fp", expr("sum_lp_fp div n_tokens"))
+      .select("doc_id", "n_tokens", "sum_lp_fp", "avg_lp_fp")
+  }
+
   /** Within-document n-gram repetition (the Gopher/C4 family of
     * repetition quality rules): the fraction of a document's word
     * n-grams that are repeats of an earlier n-gram —

@@ -113,6 +113,11 @@ object DocumentSuite {
         .orderBy("doc_id", "rnk")
     }),
 
+    "t14_unigram_logprob" -> ((s, d) => {
+      TextAnalysis.unigramLogprob(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "t10_bigram_colloc" -> ((s, d) => {
       TextAnalysis.bigramCollocations(Tables.documents(s, d), "doc_id", "text", 100)
         .orderBy(col("n").desc, col("gram"))
@@ -483,6 +488,24 @@ object DocumentSuite {
       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // each distinct token's -ln(c/N) hits the 1e6 fixed-point grid ONCE
+    // (DuckDB ln == StrictMath.log bits, the t12 precedent); everything
+    // downstream is BIGINT (tf-weighted sums, integer div average)
+    "t14_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.tok FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |c AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+        |lp AS (SELECT tok,
+        |         CAST(FLOOR(-ln(c::DOUBLE / n.n::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS lp_fp
+        |       FROM c, n),
+        |s AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |        CAST(SUM(tf * lp_fp) AS BIGINT) AS sum_lp_fp
+        |      FROM tf JOIN lp USING (tok) GROUP BY 1)
+        |SELECT doc_id, n_tokens, sum_lp_fp, sum_lp_fp // n_tokens AS avg_lp_fp
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "t1_lang_id" -> {
       val scores = TextAnalysis.stopwords
         .map { case (lang, words) => s"${hits(words)} AS s_$lang" }.mkString(",\n  ")

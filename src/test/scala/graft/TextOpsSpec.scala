@@ -187,6 +187,42 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("unigramLogprob fuzz: corpus-trained scores match a scalar reference exactly") {
+    // random zipf-ish corpus (few common tokens, a long tail, repeated
+    // tokens within docs); the scalar reference replays the exact
+    // arithmetic — per-token -StrictMath.log(c/N) (Spark's log codegen
+    // calls StrictMath.log) quantized to the 1e6 grid once, tf-weighted
+    // BIGINT sums, integer-div average — so the compare is == on longs
+    val rnd = new scala.util.Random(1414)
+    val vocab = Vector("the", "of", "and", "rare1", "rare2", "x9", "qq", "zz")
+    val docs = (0 until 80).map { i =>
+      val len = 1 + rnd.nextInt(25)
+      val toks = (0 until len).map { _ =>
+        // skewed draw: heavy head, light tail
+        val r = rnd.nextInt(10)
+        vocab(if (r < 5) r % 3 else 3 + rnd.nextInt(5))
+      }
+      (i.toLong, toks.mkString(" "))
+    }
+    val got = graft.operators.TextAnalysis.unigramLogprob(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val allToks = docs.flatMap(_._2.split(" ", -1))
+    val counts = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = allToks.size.toDouble
+    val lpFp = counts.map { case (t, c) =>
+      t -> math.floor(-StrictMath.log(c.toDouble / n) * 1000000.0 + 0.5).toLong
+    }
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val sum = toks.map(lpFp).sum
+      (id, toks.length.toLong, sum, sum / toks.length)
+    }
+    assert(got == expected)
+    assert(expected.map(_._4).distinct.size > 5, "fixture must spread the scores")
+  }
+
   test("repetitionScore fuzz: random repetitive corpora match a scalar n-gram count") {
     val rnd = new scala.util.Random(777)
     val vocab = Vector("aa", "bb", "cc", "dd")
