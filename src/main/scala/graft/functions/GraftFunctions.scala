@@ -58,6 +58,32 @@ object GraftFunctions {
       HyperplaneSignature(args.head,
         intLit(args, 1, "graft_hyperplane_sig", "table"),
         intLit(args, 2, "graft_hyperplane_sig", "nPlanes"))
+    },
+    "graft_char_stats" -> { args =>
+      arity("graft_char_stats", args, 1); CharStats(args.head)
+    },
+    "graft_ngrams" -> { args =>
+      arity("graft_ngrams", args, 2)
+      NgramArray(args.head, intLit(args, 1, "graft_ngrams", "n"))
+    },
+    "graft_ngram_stats" -> { args =>
+      arity("graft_ngram_stats", args, 2)
+      NgramStats(args.head, intLit(args, 1, "graft_ngram_stats", "n"))
+    },
+    "graft_lang_scores" -> { args =>
+      arity("graft_lang_scores", args, 1); LangScores(args.head)
+    },
+    "graft_int8_stats" -> { args =>
+      arity("graft_int8_stats", args, 1); Int8Stats(args.head)
+    },
+    "graft_int8_codes" -> { args =>
+      arity("graft_int8_codes", args, 1); Int8Codes(args.head)
+    },
+    "graft_long_dot" -> { args =>
+      arity("graft_long_dot", args, 2); LongDot(args(0), args(1))
+    },
+    "graft_sql2" -> { args =>
+      arity("graft_sql2", args, 2); SqL2F(args(0), args(1))
     })
 
   /** Register every graft function as a session-scoped temp function. */

@@ -30,6 +30,28 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getAs[Long]("h") == viaColumn)
   }
 
+  test("r13 kernel functions resolve in SQL and match their Column twins") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_char_stats('aab').total AS ct,
+        |       graft_ngrams(array('a', 'b', 'c'), 2) AS ng,
+        |       graft_ngram_stats(array('a', 'b', 'a', 'b'), 2) AS ns,
+        |       graft_lang_scores('the the der').s_en AS sen,
+        |       graft_int8_stats(array(1.0F, -0.5F)).q_max AS qmax,
+        |       graft_int8_codes(array(1.0F, -0.5F)) AS codes,
+        |       graft_long_dot(array(2L, 3L), array(4L, 5L)) AS dot,
+        |       graft_sql2(array(1.0F, 0.0F), array(0.0F, 0.0F)) AS sl
+        |""".stripMargin).head()
+    assert(r.getAs[Long]("ct") == 3L)
+    assert(r.getAs[scala.collection.Seq[String]]("ng") == Seq("a b", "b c"))
+    assert(r.getAs[org.apache.spark.sql.Row]("ns").getLong(1) == 2L) // distinct
+    assert(r.getAs[Long]("sen") == 2L)
+    assert(r.getAs[Long]("qmax") == 127L)
+    assert(r.getAs[scala.collection.Seq[Long]]("codes") == Seq(127L, -63L))
+    assert(r.getAs[Long]("dot") == 23L)
+    assert(r.getAs[Double]("sl") == 1.0)
+  }
+
   test("SQL functions stay inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val df = spark.sql("SELECT graft_fnv61(CAST(id AS STRING)) AS h FROM range(10)")
