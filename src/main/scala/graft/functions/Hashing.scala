@@ -457,6 +457,14 @@ object HashKernels {
     * skip null elements and are null when no element survives
     * (array_min/array_max contract), and the empty vector yields
     * (0, 0, 0, 0, null, null).
+    *
+    * One DELIBERATE divergence from the twin, unreachable on real
+    * embeddings: a NaN component zeroes the scale (both sides agree),
+    * and its code is floor(NaN·0 + 0.5) = NaN — the kernel's long cast
+    * yields 0 where the column twin's ANSI cast (Spark 4 default)
+    * would fail the job. A quality/storage operator must not kill a
+    * 100 TB pass over one pathological vector; the oracle data cannot
+    * contain NaN, so the gate cannot see the difference.
     */
   def int8Stats(vec: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val n = vec.numElements()
