@@ -142,6 +142,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t14: one corpus scan, exchange-reused vocabulary, 1-row N broadcast") {
+    val df = SparkEntry.queries("t14_unigram_logprob")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the corpus is tokenized ONCE: the vocabulary (token counts) and N
+    // both derive from reused exchanges of the (doc, token) aggregate,
+    // not from re-scanning documents
+    assert("FileScan".r.findAllIn(plan).length == 1,
+      s"t14 must scan the corpus once\n$plan")
+    assert("ReusedExchange".r.findAllIn(plan).length >= 2,
+      s"t14 vocabulary/N derivation lost exchange reuse\n$plan")
+    // the only nested-loop is the deliberate 1-row N cross-broadcast;
+    // the score join itself must stay a hash equi-join on the token
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1,
+      s"t14: unexpected nested-loop count\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) && l.contains("tok#")),
+      s"t14 score join lost its token equi-key\n$plan")
+  }
+
   test("q13/q14/q32: grouping constructs are one Expand + one partial-aggregated shuffle") {
     // rollup/cube/grouping-sets must all plan as a single Expand feeding
     // a partial+final aggregate pair — the replicate-then-aggregate shape
