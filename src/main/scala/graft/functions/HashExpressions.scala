@@ -217,6 +217,27 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** (array<float>, array<float>) → raw cosine, NO zero-norm branch
+    * ([[HashKernels.cosineRawF]] — zero vectors yield NaN like the
+    * column twin); null on length mismatch or null element.
+    */
+  case class CosineRaw(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_cosine_raw"
+    protected override def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.cosineRawF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Double ${ev.value}_r = graft.functions.HashKernels.cosineRawF($a, $b);
+        if (${ev.value}_r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+      """)
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineRaw =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** (array<float>, array<float>) → left-to-right-folded squared L2
     * ([[HashKernels.sqL2F]]); null on length mismatch or null element
     * (the zip_with+aggregate contract), hence the boxed-return codegen.
@@ -278,4 +299,5 @@ object HashExpressions {
   def int8Codes(vec: Column): Column = col(Int8Codes(expr(vec)))
   def longDot(a: Column, b: Column): Column = col(LongDot(expr(a), expr(b)))
   def sqL2F(a: Column, b: Column): Column = col(SqL2F(expr(a), expr(b)))
+  def cosineRaw(a: Column, b: Column): Column = col(CosineRaw(expr(a), expr(b)))
 }

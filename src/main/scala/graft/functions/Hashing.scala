@@ -512,6 +512,29 @@ object HashKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Raw cosine between two float arrays with NO zero-norm branch —
+    * the a1 scoring kernel, bit-identical to the three-fold column twin
+    * `dot(a,b) / (sqrt(dot(a,a)) · sqrt(dot(b,b)))` the DuckDB oracle
+    * replays: each accumulator folds left-to-right in its own double
+    * sequence, zero vectors divide through to NaN exactly like the
+    * twin (unlike [[cosineF]], whose zero branch returns 0), and the
+    * zip_with null/length contract maps to a null result.
+    */
+  def cosineRawF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
   /** Squared-L2 between two float arrays, folded LEFT-TO-RIGHT in
     * doubles — bit-identical to the zip_with+aggregate column twin the
     * PQ oracles replay ((p−q)·(p−q) per element, acc+v in index

@@ -43,14 +43,12 @@ object Similarity {
       .orderBy(md5(col(idAs).cast("string")), col(idAs)).limit(n)
 
   /** SQL-expressible double-fold cosine (kept in sync with the DuckDB
-    * oracle in DocumentSuite — same left-to-right accumulation order).
+    * oracle in DocumentSuite — same left-to-right accumulation order,
+    * no zero-norm branch so zero vectors divide through to NaN).
+    * Executes as the one-pass cosineRawF codegen kernel, bit-identical
+    * to the three interpreted zip_with+aggregate folds it replaced.
     */
-  def cosineSql(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosineSql(a: Column, b: Column): Column = HashExpressions.cosineRaw(a, b)
 
   /** Exact cosine top-k: queries (small) are broadcast against the corpus,
     * so the fact side never shuffles for the join; the only shuffle is the
