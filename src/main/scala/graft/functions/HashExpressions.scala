@@ -259,6 +259,27 @@ object HashExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** (array<long>, array<long>) → count of equal positions
+    * ([[HashKernels.longEqCount]]); null on length mismatch or null
+    * element (the zip_with contract).
+    */
+  case class LongEqCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_long_eq_count"
+    protected override def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.longEqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Long ${ev.value}_r = graft.functions.HashKernels.longEqCount($a, $b);
+        if (${ev.value}_r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${ev.value}_r.longValue(); }
+      """)
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongEqCount =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** (array<long>, array<long>) → exact BIGINT dot product; null on
     * length mismatch or null element (the zip_with+aggregate contract),
     * hence the explicit nullable + boxed-return codegen.
@@ -300,4 +321,5 @@ object HashExpressions {
   def longDot(a: Column, b: Column): Column = col(LongDot(expr(a), expr(b)))
   def sqL2F(a: Column, b: Column): Column = col(SqL2F(expr(a), expr(b)))
   def cosineRaw(a: Column, b: Column): Column = col(CosineRaw(expr(a), expr(b)))
+  def longEqCount(a: Column, b: Column): Column = col(LongEqCount(expr(a), expr(b)))
 }

@@ -555,6 +555,24 @@ object HashKernels {
     java.lang.Double.valueOf(s)
   }
 
+  /** Count of positions where two long arrays hold equal values — the
+    * d3 signature-agreement kernel. Mirrors
+    * `aggregate(zip_with(a, b, IF(x = y, 1, 0)), 0, acc + v)`: null on
+    * length mismatch (zip_with pads) or null element.
+    */
+  def longEqCount(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    java.lang.Long.valueOf(c)
+  }
+
   /** Exact BIGINT dot product of two long arrays (order-independent, so
     * no fold-order caveat). Mirrors the zip_with+aggregate column twin:
     * null if the lengths differ (zip_with pads with null) or any element

@@ -239,7 +239,9 @@ object Dedup {
     cand.join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
       .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
       .withColumn("est_jaccard",
-        expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+        // one codegen pass (longEqCount) — same integer count as the
+        // aggregate(zip_with(IF =)) twin the DuckDB oracle replays
+        HashExpressions.longEqCount(col("sig_a"), col("sig_b"))
           .cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
