@@ -84,6 +84,12 @@ object GraftFunctions {
     },
     "graft_sql2" -> { args =>
       arity("graft_sql2", args, 2); SqL2F(args(0), args(1))
+    },
+    "graft_cosine_raw" -> { args =>
+      arity("graft_cosine_raw", args, 2); CosineRaw(args(0), args(1))
+    },
+    "graft_long_eq_count" -> { args =>
+      arity("graft_long_eq_count", args, 2); LongEqCount(args(0), args(1))
     })
 
   /** Register every graft function as a session-scoped temp function. */

@@ -40,7 +40,9 @@ class GraftFunctionsSpec extends SparkSpec {
         |       graft_int8_stats(array(1.0F, -0.5F)).q_max AS qmax,
         |       graft_int8_codes(array(1.0F, -0.5F)) AS codes,
         |       graft_long_dot(array(2L, 3L), array(4L, 5L)) AS dot,
-        |       graft_sql2(array(1.0F, 0.0F), array(0.0F, 0.0F)) AS sl
+        |       graft_sql2(array(1.0F, 0.0F), array(0.0F, 0.0F)) AS sl,
+        |       graft_cosine_raw(array(3.0F, 4.0F), array(3.0F, 4.0F)) AS cr,
+        |       graft_long_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS eq
         |""".stripMargin).head()
     assert(r.getAs[Long]("ct") == 3L)
     assert(r.getAs[scala.collection.Seq[String]]("ng") == Seq("a b", "b c"))
@@ -50,6 +52,8 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[Long]]("codes") == Seq(127L, -63L))
     assert(r.getAs[Long]("dot") == 23L)
     assert(r.getAs[Double]("sl") == 1.0)
+    assert(r.getAs[Double]("cr") == 1.0)
+    assert(r.getAs[Long]("eq") == 2L)
   }
 
   test("SQL functions stay inside whole-stage codegen") {
