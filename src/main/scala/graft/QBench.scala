@@ -19,9 +19,13 @@ object QBench {
     val explain = sys.env.get("QBENCH_EXPLAIN").contains("1")
     val spark = GraftSession.local()
     spark.range(1000000).selectExpr("sum(id)").collect() // JIT/codegen warm
-    // Spark's own codegen metrics (Janino source-compile wall, generated
-    // class/method bytecode sizes) — deltas per rep attribute how much
-    // of a cold first run is one-shot code generation vs real work
+    // Spark's own codegen metrics — deltas per rep attribute how much of
+    // a cold first run is one-shot code generation vs real work. The
+    // count is a monotonic Counter; the ms figure sums a Dropwizard
+    // HISTOGRAM snapshot, whose exponentially-decaying reservoir holds
+    // 1028 samples — past ~1028 total compiles in the JVM the delta is
+    // approximate (and clamped at 0 below), so treat ms as indicative
+    // and the compile COUNT as exact.
     def codegenMs(): (Long, Long) = {
       val m = org.apache.spark.metrics.source.CodegenMetrics
       (m.METRIC_COMPILATION_TIME.getCount,
@@ -42,7 +46,7 @@ object QBench {
         val cnt = fn(spark, sfDir).queryExecution.toRdd.count()
         val (c1, ms1) = codegenMs()
         println(f"[qbench] $n rep $r: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$cnt " +
-          f"codegen=${c1 - c0} compiles/${ms1 - ms0}ms")
+          f"codegen=${c1 - c0} compiles/${math.max(ms1 - ms0, 0)}ms")
       }
     }
     spark.stop()

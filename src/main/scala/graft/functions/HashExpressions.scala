@@ -132,7 +132,7 @@ object HashExpressions {
       extends UnaryExpression {
     require(n > 0, s"ngram n=$n must be positive")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def prettyName: String = "graft_ngram_array"
+    override def prettyName: String = "graft_ngrams" // matches the registered SQL name
     protected override def nullSafeEval(input: Any): Any =
       HashKernels.ngramArray(input.asInstanceOf[ArrayData], n)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -246,7 +246,7 @@ object HashExpressions {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
-    override def prettyName: String = "graft_sql2f"
+    override def prettyName: String = "graft_sql2"
     protected override def nullSafeEval(a: Any, b: Any): Any =
       HashKernels.sqL2F(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -259,23 +259,19 @@ object HashExpressions {
       copy(left = newLeft, right = newRight)
   }
 
-  /** (array<long>, array<long>) → count of equal positions
-    * ([[HashKernels.longEqCount]]); null on length mismatch or null
-    * element (the zip_with contract).
+  /** (array<long>, array<long>) → count of equal non-null positions in
+    * the overlap ([[HashKernels.longEqCount]] — the exact
+    * zip_with+IF twin semantics: null elements and padded tails count 0,
+    * the result is never null for non-null arrays).
     */
   case class LongEqCount(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = LongType
-    override def nullable: Boolean = true
     override def prettyName: String = "graft_long_eq_count"
     protected override def nullSafeEval(a: Any, b: Any): Any =
       HashKernels.longEqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        java.lang.Long ${ev.value}_r = graft.functions.HashKernels.longEqCount($a, $b);
-        if (${ev.value}_r == null) { ${ev.isNull} = true; }
-        else { ${ev.value} = ${ev.value}_r.longValue(); }
-      """)
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.longEqCount($a, $b)")
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongEqCount =
       copy(left = newLeft, right = newRight)
   }

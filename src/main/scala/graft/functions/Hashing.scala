@@ -327,7 +327,12 @@ object HashKernels {
     * interpreted slice+concat per gram (higher-order functions are
     * CodegenFallback).
     */
-  def ngramArray(tokens: ArrayData, n: Int): ArrayData = {
+  // ONE definition of the gram-window text shared by ngramArray and
+  // ngramStats (r13 review: two hand-rolled copies could drift apart
+  // and silently break the d2/d7/d8/d9-vs-t6 oracle parity): decode the
+  // token array once, then concat_ws(" ", window) semantics — null
+  // tokens skipped, single-space separator between surviving parts.
+  private def decodeTokens(tokens: ArrayData): Array[String] = {
     val m = tokens.numElements()
     val toks = new Array[String](m)
     var i = 0
@@ -335,6 +340,28 @@ object HashKernels {
       toks(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i).toString
       i += 1
     }
+    toks
+  }
+
+  private def joinWindow(toks: Array[String], start: Int, n: Int,
+                         sb: java.lang.StringBuilder): String = {
+    sb.setLength(0)
+    var first = true
+    var j = 0
+    while (j < n) {
+      val t = toks(start + j)
+      if (t != null) {
+        if (!first) sb.append(' ')
+        sb.append(t)
+        first = false
+      }
+      j += 1
+    }
+    sb.toString
+  }
+
+  def ngramArray(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
     // sequence(0, m - n) is inclusive and runs DOWNWARD when m - n < 0:
     // starts 0, -1, …, m - n, each slice(t, start + 1, n) clamped to
     // the array; slice with a non-positive start index errors in Spark,
@@ -343,23 +370,12 @@ object HashKernels {
     // callers use; m < n throws in the twin for i <= -1, so the kernel
     // requires m >= n outright).
     require(m >= n, s"ngramArray needs size >= n (got $m < $n); gate the caller")
+    val toks = decodeTokens(tokens)
     val out = new Array[Any](m - n + 1)
     val sb = new java.lang.StringBuilder
-    i = 0
+    var i = 0
     while (i + n <= m) {
-      sb.setLength(0)
-      var first = true
-      var j = 0
-      while (j < n) {
-        val t = toks(i + j)
-        if (t != null) {
-          if (!first) sb.append(' ')
-          sb.append(t)
-          first = false
-        }
-        j += 1
-      }
-      out(i) = UTF8String.fromString(sb.toString)
+      out(i) = UTF8String.fromString(joinWindow(toks, i, n, sb))
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -383,29 +399,12 @@ object HashKernels {
     val total = math.max(m - (n - 1), 0).toLong
     var distinct = 0L
     if (m >= n) {
-      val toks = new Array[String](m)
-      var i = 0
-      while (i < m) {
-        toks(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i).toString
-        i += 1
-      }
+      val toks = decodeTokens(tokens)
       val seen = new java.util.HashSet[String]()
       val sb = new java.lang.StringBuilder
-      i = 0
+      var i = 0
       while (i + n <= m) {
-        sb.setLength(0)
-        var j = 0
-        var first = true
-        while (j < n) {
-          val t = toks(i + j)
-          if (t != null) {
-            if (!first) sb.append(' ')
-            sb.append(t)
-            first = false
-          }
-          j += 1
-        }
-        seen.add(sb.toString)
+        seen.add(joinWindow(toks, i, n, sb))
         i += 1
       }
       distinct = seen.size.toLong
@@ -557,20 +556,22 @@ object HashKernels {
 
   /** Count of positions where two long arrays hold equal values — the
     * d3 signature-agreement kernel. Mirrors
-    * `aggregate(zip_with(a, b, IF(x = y, 1, 0)), 0, acc + v)`: null on
-    * length mismatch (zip_with pads) or null element.
+    * `aggregate(zip_with(a, b, (x, y) -> IF(x = y, 1, 0)), 0, acc + v)`
+    * EXACTLY, including its null behavior (r13 review): `x = y` with a
+    * null side is null, IF(null, …) takes the ELSE, so a null element
+    * contributes 0 — and zip_with pads the shorter array with nulls, so
+    * a length mismatch counts only overlap matches. The twin never
+    * returns null for non-null arrays, and neither does this.
     */
-  def longEqCount(a: ArrayData, b: ArrayData): java.lang.Long = {
-    val n = a.numElements()
-    if (n != b.numElements()) return null
+  def longEqCount(a: ArrayData, b: ArrayData): Long = {
+    val overlap = math.min(a.numElements(), b.numElements())
     var c = 0L
     var i = 0
-    while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      if (a.getLong(i) == b.getLong(i)) c += 1
+    while (i < overlap) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
       i += 1
     }
-    java.lang.Long.valueOf(c)
+    c
   }
 
   /** Exact BIGINT dot product of two long arrays (order-independent, so

@@ -226,7 +226,9 @@ object Crawl {
     // fewer stages, and at cluster scale one less |nodes|-size join per
     // iteration. The node set re-enters once at the end to give
     // rank to nodes nothing links to.
-    if (iters == 0) {
+    if (iters <= 0) {
+      // zero (or nonsensical negative) rounds: the uniform start, the
+      // same answer the pre-r13 while-loop formulation returned
       nodes.select(col("name_id"), lit(RankScale / n).as("rank_fp"))
     } else {
       val rPrev = s"(CAST($base AS BIGINT) + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100)"

@@ -56,6 +56,28 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getAs[Long]("eq") == 2L)
   }
 
+  test("longEqCount mirrors the zip_with+IF twin on null elements and ragged lengths") {
+    // r13 review: IF(x = y, …) with a null side takes the ELSE (0), and
+    // zip_with pads the shorter array — the twin never returns null for
+    // non-null arrays. Evaluate BOTH side by side on the pathological
+    // shapes and require equality.
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT graft_long_eq_count(a, b) AS k,
+        |       aggregate(zip_with(a, b, (x, y) -> IF(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v) AS t
+        |FROM VALUES
+        |  (array(1L, NULL, 3L), array(1L, NULL, 3L)),
+        |  (array(1L, 2L),       array(1L, 2L, 9L)),
+        |  (array(CAST(NULL AS BIGINT)), array(CAST(NULL AS BIGINT))),
+        |  (array(1L, 2L, 3L),   array(3L, 2L, 1L))
+        |AS v(a, b)""".stripMargin).collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1) && r.getLong(0) == r.getLong(1),
+        s"kernel/twin diverged: $r")
+    }
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 2L, 0L, 1L))
+  }
+
   test("SQL functions stay inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val df = spark.sql("SELECT graft_fnv61(CAST(id AS STRING)) AS h FROM range(10)")
