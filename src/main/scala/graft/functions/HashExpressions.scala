@@ -125,8 +125,9 @@ object HashExpressions {
   }
 
   /** array<string> tokens → array<string> space-joined n-grams
-    * ([[HashKernels.ngramArray]]) — the shingle builder; callers must
-    * gate on size >= n (the kernel asserts it).
+    * ([[HashKernels.ngramArray]]) — the shingle builder; callers gate
+    * on size >= n (size < n returns an empty array, see the kernel's
+    * carve-out scaladoc).
     */
   case class NgramArray(child: Expression, n: Int)
       extends UnaryExpression {

@@ -318,12 +318,16 @@ object HashKernels {
     * minhashes its distinct form). Bit-parity contract with the column
     * twin the DuckDB oracles replay:
     * `transform(sequence(0, size(t) - n), i -> concat_ws(' ',
-    * slice(t, i + 1, n)))` — including the n > size case (sequence(0,
-    * negative) yields a DESCENDING range, so size-n+1 < 1 produces
-    * shrinking prefix windows; callers gate on size >= n exactly so
-    * that branch never carries data, and the kernel reproduces it
-    * anyway so the expressions are interchangeable) and concat_ws's
-    * null-skip. One pass with a reused StringBuilder instead of one
+    * slice(t, i + 1, n)))` for the size >= n branch only, including
+    * concat_ws's null-skip. Documented carve-out for n > size: the
+    * twin there evaluates sequence(0, negative) — a DESCENDING range
+    * whose shrinking prefix windows eventually hit slice's
+    * non-positive-start error — while the kernel returns an EMPTY
+    * array. Every repo caller gates with filter(size >= n), so the
+    * branch never carries data internally; the empty array exists so
+    * that ungated ad-hoc calls through the registered `graft_ngrams`
+    * SQL function degrade to zero shingles instead of failing the
+    * job. One pass with a reused StringBuilder instead of one
     * interpreted slice+concat per gram (higher-order functions are
     * CodegenFallback).
     */
@@ -362,14 +366,11 @@ object HashKernels {
 
   def ngramArray(tokens: ArrayData, n: Int): ArrayData = {
     val m = tokens.numElements()
-    // sequence(0, m - n) is inclusive and runs DOWNWARD when m - n < 0:
-    // starts 0, -1, …, m - n, each slice(t, start + 1, n) clamped to
-    // the array; slice with a non-positive start index errors in Spark,
-    // but start + 1 here is 0 only when start = -1 … mirror by clamping
-    // to the twin's observable behavior for m >= n (the only branch
-    // callers use; m < n throws in the twin for i <= -1, so the kernel
-    // requires m >= n outright).
-    require(m >= n, s"ngramArray needs size >= n (got $m < $n); gate the caller")
+    // m < n: the column twin's sequence(0, m - n) runs DOWNWARD and its
+    // slice(t, i + 1, n) errors at i = -1, so no gated caller can reach
+    // this branch with data; return [] so the public SQL surface is
+    // total (see the contract carve-out in the scaladoc above).
+    if (m < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
     val toks = decodeTokens(tokens)
     val out = new Array[Any](m - n + 1)
     val sb = new java.lang.StringBuilder

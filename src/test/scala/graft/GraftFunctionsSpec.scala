@@ -56,6 +56,23 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getAs[Long]("eq") == 2L)
   }
 
+  test("graft_ngrams is total on the SQL surface: size < n yields an empty array") {
+    // r13 ADVICE: the registered SQL function must not fail the job on
+    // an ungated short array. The column twin errors on that branch
+    // (descending sequence → non-positive slice start), so internal
+    // callers still gate with size >= n; the public surface degrades
+    // to zero shingles instead.
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_ngrams(array('a'), 3) AS short,
+        |       graft_ngrams(array(), 2) AS empty,
+        |       graft_ngrams(array('a', 'b', 'c'), 3) AS exact
+        |""".stripMargin).head()
+    assert(r.getAs[scala.collection.Seq[String]]("short").isEmpty)
+    assert(r.getAs[scala.collection.Seq[String]]("empty").isEmpty)
+    assert(r.getAs[scala.collection.Seq[String]]("exact") == Seq("a b c"))
+  }
+
   test("longEqCount mirrors the zip_with+IF twin on null elements and ragged lengths") {
     // r13 review: IF(x = y, …) with a null side takes the ELSE (0), and
     // zip_with pads the shorter array — the twin never returns null for
