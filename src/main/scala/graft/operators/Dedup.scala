@@ -249,80 +249,122 @@ object Dedup {
 
   /** Connected components over a near-dup pair list: every document in a
     * component gets the component's minimum id as its cluster id (the
-    * canonical survivor). Iterative min-label propagation — each round is
-    * one join + one aggregation keyed on the node id, so a round costs
-    * O(|edges|) shuffled once; rounds needed = graph diameter (near-dup
-    * clusters are shallow, so a handful). This is the standard scalable
-    * construction (no driver-side union-find).
+    * canonical survivor). Alternating large-star / small-star edge
+    * rewriting (the Connected Components in MapReduce construction,
+    * Kiveris et al. 2014): each round contracts every path toward the
+    * component minimum from BOTH ends, so convergence is O(log diameter)
+    * rounds where one-hop min-label propagation needs O(diameter) — the
+    * difference between a handful and hundreds of shuffle barriers when
+    * a 100 TB corpus chains templated near-dups into long paths. A round
+    * is two window-aggregated map phases over the edge list (no joins,
+    * no driver-side union-find); at the fixed point the edge list IS the
+    * component forest: a star (v → component-min) per component.
     */
+  /** Rounds the most recent [[dedupClusters]] call took to converge —
+    * observability for the O(log diameter) claim (tests and the bench
+    * ledger read it; not part of the operator contract).
+    */
+  @volatile private[graft] var lastClusterRounds: Int = 0
+
   def dedupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                     maxIter: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
     // both edge directions in ONE pass over the (possibly expensive)
-    // pair source — a union of two selects would compute it twice
-    val edges = pairs.select(explode(array(
+    // pair source — a union of two selects would compute it twice. The
+    // undirected closure also yields the node inventory (every endpoint
+    // appears as `a`), which the final labeling needs because star
+    // rewriting drops rows that stop carrying connectivity (roots,
+    // self-loops).
+    val raw = pairs.select(explode(array(
         struct(col(idA).as("a"), col(idB).as("b")),
         struct(col(idB).as("a"), col(idA).as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct().cache()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
-    var pin = labels // the round's persisted handle (labels may project it)
-    var converged = false
+    val nodes = raw.select(col("a").as("id")).distinct()
+    // working set: canonical larger→smaller orientation (self-loops
+    // carry no connectivity; `nodes` keeps them for the output)
+    var edges = raw.filter(col("a") > col("b")).cache()
+    var edgeCnt = edges.count() // materializes the cache (and raw's)
+    var converged = edgeCnt == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = edges.join(labels, edges("b") === labels("id"))
-        .groupBy(col("a").as("id2")).agg(min("label").as("nmin"))
-      // carry the previous label as `old` through the round output: the
-      // convergence check is then a scan of THIS round's cached rows
-      // instead of a second labels⋈labels join job per round
-      val updated = labels.withColumnRenamed("label", "old")
-        .join(neighborMin, col("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("old"), coalesce(col("nmin"), col("old"))).as("label"),
-          col("old"))
-        .cache()
-      // The changed-count is a FULL scan of this round's rows — it is
-      // both the convergence check and the materialization barrier: every
-      // partition of `updated` is in the cache before the previous pin is
-      // released below. A partial action here (limit(1) touches one
-      // partition; skipping round 0 runs none) would let later rounds
-      // recompute the whole lineage chain back to the last checkpoint
-      // through an already-dropped cache.
-      val changed = updated.filter(col("label") =!= col("old")).count()
-      pin.unpersist()
+      // large-star: per node u, link every LARGER neighbor to
+      // m = min(Γ(u) ∪ {u}). The window aggregate reuses the
+      // partition-by-u shuffle for both the min and the emit — no
+      // neighborhood self-join.
+      val nbrs = edges.select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      // the mid-round distinct keeps duplicate (v, m) rows — emitted once
+      // per same-cluster neighbor — out of small-star's window shuffle;
+      // measured faster than skipping it (dup expansion outweighs the
+      // extra exchange)
+      val large = nbrs
+        .withColumn("m", least(col("u"), min("v").over(w)))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .distinct()
+      // small-star: orient each edge to its larger endpoint, then link
+      // that endpoint and all its (smaller) neighbors to the group
+      // minimum. large's output is already (larger, smaller) —
+      // m = min(Γ⁻(u) ∪ {u}) = min(v) since every v < u.
+      val small = large.select(col("a").as("u"), col("b").as("v"))
+        .withColumn("m", min("v").over(w))
+        .select(explode(array(col("u"), col("v"))).as("x"), col("m"))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("a"), col("m").as("b"))
+        .distinct().cache()
+      // Convergence = exact fixed point of the round map. The count is
+      // also the materialization barrier: every partition of `small` is
+      // in the cache before the previous pin is released below (a
+      // partial action would let later rounds recompute the whole
+      // lineage chain through an already-dropped cache). The except jobs
+      // run only when the counts agree — a strict subset check then
+      // decides set equality.
+      val newCnt = small.count()
+      converged = newCnt == edgeCnt && small.except(edges).isEmpty
+      edges.unpersist()
       // Cap the logical lineage: each round's plan nests the previous
-      // round's join+agg, so by round N a task failure recomputes an
-      // N-deep chain (and the plan itself grows). Every 5th round,
-      // truncate the plan with an eager checkpoint — RELIABLE (written to
-      // the configured checkpoint dir, survives executor loss) when the
-      // session has one, local otherwise (rows live on executors: lost
-      // with one like any cached partition, but recomputed-from-nothing
-      // is no longer possible either way). The right trade for an
-      // iterative refinement whose rounds are cheap to re-enter from the
-      // last checkpoint but expensive to replay end-to-end through a
-      // deepening plan.
-      if ((iter + 1) % 5 == 0) {
-        val base = updated.select("id", "label")
+      // round's two window phases, so by round N a task failure
+      // recomputes an N-deep chain (and the plan itself grows). Every
+      // 3rd round, truncate the plan with an eager checkpoint —
+      // RELIABLE (written to the configured checkpoint dir, survives
+      // executor loss) when the session has one, local otherwise (rows
+      // live on executors: lost with one like any cached partition, but
+      // recomputed-from-nothing is no longer possible either way). The
+      // interval is 3 (not the label-propagation 5) because star rounds
+      // are both heavier (two windows + distinct each) and fewer.
+      if (!converged && (iter + 1) % 3 == 0) {
         val cp =
           if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
-            base.checkpoint() // eager, reliable
-          else base.localCheckpoint() // eager
-        updated.unpersist(blocking = false)
-        pin = cp
-        labels = cp
+            small.checkpoint() // eager, reliable
+          else small.localCheckpoint() // eager
+        small.unpersist(blocking = false)
+        edges = cp
       } else {
-        pin = updated
-        labels = updated.select("id", "label")
+        edges = small
       }
-      converged = changed == 0
+      edgeCnt = newCnt
       iter += 1
     }
-    edges.unpersist()
     // fail loudly rather than return silently-wrong labels for a
     // deeper-than-expected component chain
     require(converged,
-      s"dedupClusters did not converge in $maxIter rounds — raise maxIter (component diameter exceeds it)")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      s"dedupClusters did not converge in $maxIter rounds — raise maxIter (2^$maxIter-diameter components?)")
+    lastClusterRounds = iter
+    // At the fixed point every non-root node has exactly one outgoing
+    // edge — to its component minimum (min() is a no-op safeguard);
+    // roots and self-loop-only nodes label themselves.
+    val parents = edges.groupBy(col("a").as("id")).agg(min("b").as("parent"))
+    val out = nodes.join(parents, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("parent"), col("id")).as("cluster_id"))
+      .cache()
+    out.count() // materialize before releasing the inputs it reads
+    raw.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
   }
 
   // --- shared candidate-join machinery (d2/d3/d4/d5) ------------------------

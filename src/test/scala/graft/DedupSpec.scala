@@ -327,33 +327,35 @@ class DedupSpec extends SparkSpec {
   }
 
   test("dedupClusters: deep component chains converge with bounded lineage") {
-    // a 12-hop path needs 12 label-propagation rounds (min label moves
-    // one hop per round) — past two checkpoint intervals, so the result's
-    // physical lineage must hang off the round-10 localCheckpoint, not
-    // replay all 12 rounds of join+agg
-    val path = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // a 200-hop path would need 200 one-hop label-propagation rounds;
+    // star rewriting must close it in O(log) rounds, with the every-3rd-
+    // round checkpoint keeping the result's physical lineage anchored at
+    // the last truncation instead of replaying every round's windows
+    val path = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val out = Dedup.dedupClusters(path, maxIter = 20)
     val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == (0L to 12L).map(_ -> 0L).toMap)
+    assert(got == (0L to 200L).map(_ -> 0L).toMap)
+    assert(Dedup.lastClusterRounds <= 12,
+      s"200-hop path took ${Dedup.lastClusterRounds} star rounds — not log-convergent")
     // a round contributes ~15 RDD nodes; the checkpoint interval caps the
-    // chain at <=4 rounds past the last checkpoint (~60 observed) where
-    // the full 13-round replay would be ~200
+    // chain at <=3 rounds past the last truncation
     val depth = out.rdd.toDebugString.linesIterator.size
     assert(depth < 120,
       s"result lineage spans $depth RDDs — checkpointing is not truncating it:\n${out.rdd.toDebugString}")
   }
 
   test("dedupClusters uses a RELIABLE checkpoint when the session has a checkpoint dir") {
-    // with a checkpoint dir configured, the every-5th-round truncation
+    // with a checkpoint dir configured, the every-3rd-round truncation
     // must write through it (surviving executor loss) instead of
     // localCheckpoint — observable as RDD checkpoint files in the dir
+    // (the 60-hop path needs >3 star rounds, so the branch fires)
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     try {
-      val path = (0L until 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val path = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
       val got = Dedup.dedupClusters(path, maxIter = 20).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == (0L to 7L).map(_ -> 0L).toMap)
+      assert(got == (0L to 60L).map(_ -> 0L).toMap)
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .filter(p => java.nio.file.Files.isRegularFile(p)).count()
       assert(wrote > 0, s"no checkpoint files under $dir")
