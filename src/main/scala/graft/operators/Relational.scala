@@ -198,6 +198,36 @@ object Relational {
       .groupBy(key)
       .agg(sum(col("__ps")).as(sumName), sum(col("__pc")).as(cntName))
 
+  /** Per-group percentile summary over `(column, quantile, outName)`
+    * specs, with an explicit exact/approximate split:
+    *
+    *  - `exact = true` — Spark's `percentile`: a TypedImperativeAggregate
+    *    whose buffer holds EVERY distinct group value, so per-group state
+    *    is O(group cardinality). That is the oracle twin (DuckDB
+    *    quantile_cont is the same sort-based definition) and is correct
+    *    at verification scale — and it is NOT a 100 TB operator: a hot
+    *    group's value set must fit one aggregation buffer.
+    *  - `exact = false` — the scale path: `percentile_approx`
+    *    (Greenwald–Khanna quantile sketch; rank error bounded by
+    *    1/accuracy, buffer bounded by O(accuracy · log n)), same output
+    *    shape. Partial aggregation composes, so the map-side combine
+    *    rides the scan like any algebraic aggregate.
+    *
+    * PlanAuditSpec pins that the scale path plans `approx_percentile`
+    * and never the exact aggregate, so no 100 TB posture query can
+    * silently pick up the unbounded-buffer variant.
+    */
+  def percentileSummary(df: DataFrame, groupCol: String,
+                        specs: Seq[(String, Double, String)],
+                        exact: Boolean, accuracy: Int = 10000): DataFrame = {
+    val aggs = specs.map { case (c, q, name) =>
+      val agg = if (exact) expr(s"percentile($c, $q)")
+                else expr(s"percentile_approx($c, $q, $accuracy)")
+      round(agg, 4).as(name)
+    } :+ count(lit(1)).as("n")
+    df.groupBy(groupCol).agg(aggs.head, aggs.tail: _*).orderBy(groupCol)
+  }
+
   /** Exact-money aggregation column: sum in DECIMAL (associativity-exact,
     * so any partialization / AQE re-plan yields the same value), surfaced
     * as DOUBLE for a stable cross-engine compare.

@@ -270,14 +270,13 @@ object RelationalSuite {
         .orderBy("bucket_s", "event_type")
     }),
 
+    // exact = true is the oracle twin (DuckDB quantile_cont); the 100 TB
+    // posture path is percentileSummary(..., exact = false) — see the
+    // operator scaladoc and the PlanAuditSpec pin
     "q24_percentiles" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag")
+      percentileSummary(Tables.lineitem(s, d), "l_returnflag",
+        Seq(("l_quantity", 0.5, "med_qty"), ("l_extendedprice", 0.9, "p90_price")),
+        exact = true)
     }),
 
     "q25_conditional_agg" -> ((s, d) => {

@@ -282,6 +282,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("q24: the scale-posture percentile path plans the bounded sketch, never the exact aggregate") {
+    // exact `percentile` buffers every distinct group value (O(group)
+    // state — an oracle-scale tool, not a 100 TB aggregate); the posture
+    // path must plan Greenwald–Khanna approx_percentile with a partial
+    // phase riding the scan
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val specs = Seq(("l_quantity", 0.5, "med_qty"), ("l_extendedprice", 0.9, "p90_price"))
+    val approx = graft.operators.Relational
+      .percentileSummary(li, "l_returnflag", specs, exact = false)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(plan.contains("percentile_approx"), s"scale path must sketch:\n$plan")
+    // the exact aggregate prints as `percentile(` — a substring the
+    // sketch's `percentile_approx(` can never produce
+    assert(!plan.contains("percentile("),
+      s"exact percentile must not appear in the scale-posture plan:\n$plan")
+    assert(plan.contains("partial_"), s"sketch must partial-aggregate map-side:\n$plan")
+    // the sketch at default accuracy stays within a tight rank tolerance
+    // of the exact twin on the fixture
+    val ex = graft.operators.Relational
+      .percentileSummary(li, "l_returnflag", specs, exact = true)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    approx.collect().foreach { r =>
+      val (m, p) = ex(r.getString(0))
+      assert(math.abs(r.getDouble(1) - m) / math.max(m, 1.0) < 0.02, s"median drift: $r vs $m")
+      assert(math.abs(r.getDouble(2) - p) / math.max(p, 1.0) < 0.02, s"p90 drift: $r vs $p")
+    }
+  }
+
   test("a6: PQ codebook broadcasts and the argmin is partial-aggregated before the shuffle") {
     val df = SparkEntry.queries("a6_pq_encode")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
