@@ -253,9 +253,13 @@ object RelationalSuite {
         .orderBy("user_id", "session_id")
     }),
 
+    // try_cast, not cast: under ANSI mode a string-typed `k` in one
+    // document would fail the whole corpus scan — web-scale JSON always
+    // contains type garbage, so the posture is null-on-mismatch (the
+    // DuckDB oracle TRY_CASTs identically; fuzz drives the garbage shapes)
     "q22_json_extract" -> ((s, d) => {
       Tables.events(s, d)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k", get_json_object(col("props"), "$.k").try_cast("long"))
         .groupBy("event_type")
         .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
         .withColumn("avg_k", col("sum_k").cast("double") / col("n"))
@@ -527,9 +531,9 @@ object RelationalSuite {
          |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
 
     "q22_json_extract" ->
-      """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      """SELECT event_type, CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE / COUNT(*) AS avg_k
+        |  SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE / COUNT(*) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q23_time_bucket_agg" ->

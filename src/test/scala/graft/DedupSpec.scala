@@ -386,6 +386,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("multimodal fuzz: frame sampling and resize planning match scalar references") {
+    // the stub decoder's VALUES are fake; the frame/resize arithmetic
+    // around it is the real deliverable — fuzz it against independent
+    // scalar folds (md5 via MessageDigest, floor math in BigDecimal-free
+    // doubles mirroring the column expressions)
+    val rnd = new scala.util.Random(4242)
+    val decodedRows = (0 until 120).map { i =>
+      (i.toLong, 1 + rnd.nextInt(2048), 1 + rnd.nextInt(2048), 1 + rnd.nextInt(24), 0.5)
+    }
+    val decoded = decodedRows.toDF("doc_id", "width", "height", "n_frames", "mean_luma")
+
+    Seq(1, 2, 3, 7).foreach { k =>
+      val got = Multimodal.sampleFrames(decoded, everyKth = k).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expected = decodedRows.flatMap { case (id, w, h, nf, _) =>
+        (0 until nf by k).map { fi =>
+          val hex = md.digest(s"$id:$fi:$w:$h".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (id, fi) -> java.lang.Long.parseLong(hex.take(15), 16)
+        }
+      }.toMap
+      assert(got == expected, s"k=$k")
+    }
+
+    val boxes = Seq(64, 333, 1024)
+    boxes.foreach { box =>
+      val got = Multimodal.resizePlan(decoded, "width", "height", box)
+        .select("doc_id", "out_w", "out_h").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      decodedRows.foreach { case (id, w, h, _, _) =>
+        val scale = math.min(math.min(box.toDouble / w, box.toDouble / h), 1.0)
+        val (ow, oh) = (math.floor(w * scale).toLong, math.floor(h * scale).toLong)
+        assert(got(id) == (ow, oh), s"box=$box dims=${(w, h)}")
+        assert(ow <= box && oh <= box, s"box=$box overflow: ${got(id)}")
+        assert(ow <= w && oh <= h, s"box=$box upscaled: ${got(id)}")
+      }
+    }
+  }
+
   test("multimodal stub decode is deterministic and preserves row count") {
     val withPayload = Multimodal.withPayloadMeta(docs, "doc_id", "text")
     val out = Multimodal.decodeBatch(withPayload, "doc_id", "payload")

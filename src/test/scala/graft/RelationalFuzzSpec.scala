@@ -264,4 +264,87 @@ class RelationalFuzzSpec extends SparkSpec {
     assert(rows.groupBy(r => (r._2, r._3)).values.exists(_.size > 1),
       "fixture must contain peer rows")
   }
+
+  test("pivot fuzz: random group×status grids match a scalar per-cell sum (absent cells null)") {
+    val rnd = new scala.util.Random(1515)
+    val statuses = Seq("F", "O", "X")
+    (1 to 3).foreach { trial =>
+      // deterministic hole (g0 never draws X) plus random fill — the
+      // pivot must surface the empty cell as null, not 0
+      val rows = (0 until 150).map { _ =>
+        val flag = s"g${rnd.nextInt(4)}"
+        val st = statuses(rnd.nextInt(3))
+        (flag, if (flag == "g0" && st == "X") "F" else st, rnd.nextInt(1000).toLong)
+      }
+      val got = rows.toDF("flag", "status", "v")
+        .groupBy("flag").pivot("status", statuses).agg(sum("v"))
+        .collect()
+        .map(r => r.getString(0) ->
+          statuses.indices.map(i => if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1))))
+        .toMap
+      val expected = rows.map(_._1).distinct.map { f =>
+        f -> statuses.map { st =>
+          val cell = rows.filter(r => r._1 == f && r._2 == st).map(_._3)
+          if (cell.isEmpty) None else Some(cell.sum)
+        }
+      }.toMap
+      assert(got == expected, s"trial $trial")
+      assert(expected.values.exists(_.contains(None)), s"trial $trial: no empty cell exercised")
+    }
+  }
+
+  test("json-extract fuzz: adversarial props shapes match a scalar extraction reference") {
+    val rnd = new scala.util.Random(2222)
+    // every shape get_json_object meets in the wild: present key, missing
+    // key, string-typed value (long cast → null), nested object value
+    // (cast → null), malformed document, null column
+    val rows = (0 until 200).map { i =>
+      val t = s"t${rnd.nextInt(3)}"
+      rnd.nextInt(6) match {
+        case 0 | 1 => val v = rnd.nextInt(1000).toLong
+          (i.toLong, t, s"""{"k": $v, "pad": ${rnd.nextInt(9)}}""", Some(v))
+        case 2 => (i.toLong, t, s"""{"x": ${rnd.nextInt(1000)}}""", None)
+        case 3 => (i.toLong, t, s"""{"k": "s${rnd.nextInt(9)}"}""", None)
+        case 4 => (i.toLong, t, s"""{"k": {"inner": 1}}""", None)
+        case _ => (i.toLong, t, """{broken""", None)
+      }
+    }
+    // the same null-on-mismatch extraction q22 ships (ANSI cast would
+    // fail the scan on the string-typed shape)
+    val got = rows.map(r => (r._1, r._2, r._3)).toDF("id", "event_type", "props")
+      .withColumn("k", get_json_object(col("props"), "$.k").try_cast("long"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = rows.groupBy(_._2).map { case (t, grp) =>
+      t -> (grp.flatMap(_._4).sum, grp.size.toLong)
+    }
+    assert(got == expected)
+    assert(rows.exists(_._4.isEmpty) && rows.exists(_._4.isDefined),
+      "fixture must mix extractable and null shapes")
+  }
+
+  test("time-bucket fuzz: tumbling hourly windows match a scalar epoch floor") {
+    val rnd = new scala.util.Random(3333)
+    // second-offset draws hug the bucket edges (0 and 3599 inclusive)
+    val rows = (0 until 300).map { i =>
+      val bucket = rnd.nextInt(8).toLong * 3600L
+      val sec = rnd.nextInt(4) match {
+        case 0 => 0L
+        case 1 => 3599L
+        case _ => rnd.nextInt(3600).toLong
+      }
+      (i.toLong, new java.sql.Timestamp((bucket + sec) * 1000L), rnd.nextInt(100).toLong)
+    }
+    val got = rows.toDF("id", "ts", "v")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .select(unix_timestamp(col("w.start")).as("b"), col("n"), col("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = rows.groupBy(r => (r._2.getTime / 1000L) / 3600L * 3600L)
+      .map { case (b, grp) => b -> (grp.size.toLong, grp.map(_._3).sum) }
+    assert(got == expected)
+    assert(rows.exists(_._2.getTime % 3600000L == 0L),
+      "fixture must exercise the exact bucket-start edge")
+  }
 }
