@@ -38,38 +38,59 @@ object Dedup {
       .select(col("id"), explode(grams(n)).as("s"))
       .distinct()
 
-  /** Exact n-gram Jaccard near-dup pairs via an inverted index
-    * (shingle → ids) self-join. The shingle is the shuffle key, so
-    * candidate generation is proportional to Σ |postings|² per shingle —
-    * bounded in practice by stopword-free shingles; LSH (below) is the
-    * scale path when that bound is too loose.
+  /** Exact n-gram Jaccard near-dup pairs: global-rarity prefix filtering
+    * (the prefix filtering principle of SSJoin/PPJoin — Chaudhuri et al.
+    * ICDE'06, Xiao et al. WWW'08) over an inverted index, then an exact
+    * count-based intersection on the surviving candidates only.
     *
-    * Measured note: a PPJoin-style prefix-filtered variant (index only
-    * the first |s|-ceil(t|s|)+1 shingles, verify via array_intersect)
-    * was 2x SLOWER here — with short shingle sets the count-based
-    * intersection (ids-only shuffle) beats shuffling set payloads to
-    * candidates, despite ~4x more candidate pairs. Revisit only for
-    * corpora with large per-doc sets and high thresholds.
+    * Why not the plain postings self-join (the r2–r13 form): its pair
+    * expansion is Σ df(s)² over EVERY shingle, and the r14 sf0.1→sf1
+    * scale run measured it at exponent ~1.4 (df grows with the corpus,
+    * so the quadratic term wins). Prefix filtering is the published
+    * exact fix: J(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉, so under any global
+    * total order the first |A| − ⌈t·|A|⌉ + 1 shingles of A and the
+    * corresponding prefix of B must share an element — indexing ONLY
+    * prefixes loses no qualifying pair. Ordering the prefix by ascending
+    * document frequency (rarest first, shingle text tie-break) puts the
+    * LOW-df shingles in the index, collapsing the Σ df² term to the rare
+    * tail. The earlier PPJoin attempt here shuffled whole shingle-set
+    * payloads for an array_intersect verify and measured 2x slower; this
+    * variant keeps the ids-only count-based verify (re-join the full
+    * postings on the candidate pairs), which is the part that made the
+    * old form fast at small scale.
+    *
+    * Residual bound: a corpus whose every shingle is common (closed
+    * tiny vocabulary) still degenerates — no exact algorithm avoids
+    * candidates that genuinely share prefix shingles. There the answer
+    * is the LSH tier (d3), as before.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    // no cache: the three consumers below share the shingle shuffle via
+    // no cache: the consumers below share the shingle shuffle via
     // Spark's exchange reuse within one execution, and a cache here
     // would pin executor storage for the caller's whole session
     val sh = shingles(docs, idCol, textCol, n)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    // Measured negative result #2 (like the PPJoin note above): routing
-    // this join through the salted+singleton-pruned machinery the LSH
-    // tiers use was 1.8x SLOWER here (3.2s -> 5.9s at sf0.1) — natural
-    // shingles repeat across documents, so the prune removes little
-    // while its window sort and the 16x left-side replication are pure
-    // overhead on a join whose OUTPUT (one row per shared shingle) is
-    // the payload, not a candidate set to verify. Skew in this tier is
-    // governed by shingle entropy; when that bound is too loose the
-    // answer is the LSH tier, not salting the exact one.
-    val common = sh.as("a").join(sh.as("b"),
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val wId = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("s"))
+    // prefix length |S| - ceil(t|S|) + 1 in GLOBAL (df, s) order
+    val prefix = sh.join(dfreq, "s")
+      .join(sizes, "id")
+      .withColumn("rk", row_number().over(wId))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + lit(1))
+      .select("id", "s")
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact |A∩B| for candidates only: fan each candidate out over A's
+    // full shingle set (ids-only rows), then equi-join (id_b, s) against
+    // the postings to count the matches
+    val common = cand
+      .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
@@ -449,11 +470,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Sign-bit count for corpus-size-scaled hyperplane LSH: buckets halve
+    * in expected population per added plane, so `ceil(log2(n / target))`
+    * bits hold the expected bucket population near `target` as the
+    * corpus grows — the knob that keeps the |bucket|² candidate space
+    * LINEAR in n instead of quadratic (r14 scale validation measured the
+    * fixed-4-plane configuration at exponent 2.1 on a 10× clustered
+    * corpus: 1.8 s → 235 s). Clamped to [4, 20]: 4 preserves recall (and
+    * every existing oracle result) on verification-scale corpora, 20
+    * (1M buckets/table) covers ~10^8 vectors at target 128 — past that,
+    * the IVF family (a3/d10) is the intended geometry. The DuckDB d5
+    * oracle replays this formula verbatim.
+    */
+  def lshPlanesFor(n: Long, target: Int = 128): Int =
+    math.max(4, math.min(20,
+      math.ceil(math.log(math.max(n, 1L).toDouble / target) / math.log(2.0)).toInt))
+
+  /** Voronoi cell count for corpus-size-scaled semantic dedup (the IVF
+    * sizing rule): `ceil(n / target)` cells keep the expected cell
+    * population near `target`, so the in-cell pair space stays linear in
+    * n. Floor 16 preserves verification-scale behavior (and oracle
+    * results) on small corpora. The DuckDB d10 oracle replays this
+    * formula verbatim.
+    */
+  def ivfCellsFor(n: Long, target: Int = 128): Int =
+    math.max(16, math.ceil(math.max(n, 1L).toDouble / target).toInt)
+
+  /** Corpus-size-scaled variant of the parameterized overload below:
+    * one scalar count sizes the plane count by [[lshPlanesFor]]. The
+    * count is a columnless parquet-footer scan — O(files) driver work,
+    * the same sanctioned-scalar class as tfidf's corpus count.
+    */
+  def embeddingDedupPairs(embs: DataFrame, idCol: String, vecCol: String,
+                          tables: Int, threshold: Double): DataFrame =
+    embeddingDedupPairs(embs, idCol, vecCol, tables,
+      lshPlanesFor(embs.count()), threshold)
+
   /** Embedding cosine near-dup pairs via random-hyperplane LSH: `tables`
     * independent bucketings of `planes` sign bits each; same-bucket pairs
     * in any table are candidates; exact cosine (double) verifies. Bucket
     * id is the shuffle key; per-bucket work is |bucket|², controlled by
-    * `planes` and split 16 ways by the candidate salt.
+    * `planes` and split 16 ways by the candidate salt. Fixed `planes` is
+    * a per-corpus tuning knob — prefer the sizing overload above, which
+    * scales it with the corpus.
     */
   def embeddingDedupPairs(embs: DataFrame, idCol: String, vecCol: String,
                           tables: Int, planes: Int, threshold: Double): DataFrame = {
@@ -504,6 +563,14 @@ object Dedup {
     * nCentroids ∝ corpus size (the IVF sizing rule), and the salt keeps
     * a degenerate cell from serializing into one task.
     */
+  /** Corpus-size-scaled variant: one scalar count sizes the cell count
+    * by [[ivfCellsFor]] (see [[embeddingDedupPairs]]'s sizing overload
+    * for the sanctioned-scalar rationale).
+    */
+  def semanticDedupPairs(embs: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame =
+    semanticDedupPairs(embs, idCol, vecCol, ivfCellsFor(embs.count()), threshold)
+
   def semanticDedupPairs(embs: DataFrame, idCol: String, vecCol: String,
                          nCentroids: Int, threshold: Double): DataFrame = {
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))

@@ -173,9 +173,13 @@ object DocumentSuite {
         .orderBy("id_a", "id_b")
     }),
 
+    // plane count scales with the corpus (Dedup.lshPlanesFor — the
+    // oracle replays the same formula), keeping per-bucket pair space
+    // bounded as n grows; at the verification scales it resolves to the
+    // historical 4 planes
     "d5_dedup_embedding" -> ((s, d) => {
       Dedup.embeddingDedupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        tables = 8, planes = 4, threshold = 0.4)
+        tables = 8, threshold = 0.4)
         .orderBy("id_a", "id_b")
     }),
 
@@ -214,9 +218,12 @@ object DocumentSuite {
     // SemDeDup: nearest-centroid cells (the a3 coarse quantizer) with
     // in-cell exact-cosine verify — the geometric complement to d5's
     // hyperplane buckets
+    // cell count scales with the corpus (Dedup.ivfCellsFor — the oracle
+    // replays the same formula); resolves to the historical 16 cells at
+    // the verification scales
     "d10_dedup_semantic" -> ((s, d) => {
       Dedup.semanticDedupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        nCentroids = 16, threshold = 0.4)
+        threshold = 0.4)
         .orderBy("id_a", "id_b")
     }),
 
@@ -334,6 +341,18 @@ object DocumentSuite {
   private def centsSampleSql(n: Int): String =
     s"""(SELECT vec_id AS cid, embedding::DOUBLE[] AS cw FROM embeddings
        |  ORDER BY ${md5OrderSql("vec_id")} LIMIT $n)""".stripMargin
+
+  /** [[centsSampleSql]] with the cell count computed from the corpus
+    * size — the exact [[graft.operators.Dedup.ivfCellsFor]] formula
+    * (GREATEST(16, CEIL(n / 128))), the d10 twin at every scale.
+    */
+  private def centsSampleSqlSized: String =
+    s"""(SELECT cid, cw FROM (
+       |    SELECT vec_id AS cid, embedding::DOUBLE[] AS cw,
+       |      ROW_NUMBER() OVER (ORDER BY ${md5OrderSql("vec_id")}) AS __rn,
+       |      COUNT(*) OVER () AS __n
+       |    FROM embeddings)
+       |  WHERE __rn <= GREATEST(16, CEIL(__n / 128.0)))""".stripMargin
   // Same left-to-right double fold as Similarity.cosineSql /
   // HashKernels.cosineF, so cosines are bit-identical across engines.
   private def dotSql(a: String, b: String) =
@@ -387,6 +406,23 @@ object DocumentSuite {
        |  SELECT id, tbl,
        |    CAST(SUM(CASE WHEN ${dotSql("e.v", "pl.w")} >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
        |  FROM e, planes pl GROUP BY id, tbl)""".stripMargin
+
+  /** [[lshSigsCte]] with the plane count computed from the corpus size —
+    * the exact [[graft.operators.Dedup.lshPlanesFor]] formula
+    * (GREATEST(4, LEAST(20, CEIL(LOG2(n / 128))))), so the d5 oracle
+    * stays the Spark side's twin at EVERY scale, not just the one the
+    * gate runs. Plane components are emitted to the clamp ceiling and
+    * gated by `p < np.v`.
+    */
+  private def lshSigsCteSized(tables: Int): String =
+    s"""${planesCte(tables, 20)},
+       |np AS (SELECT CAST(GREATEST(4, LEAST(20,
+       |    CEIL(LOG2(COUNT(*) / 128.0)))) AS INT) AS v FROM embeddings),
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sigs AS (
+       |  SELECT id, tbl,
+       |    CAST(SUM(CASE WHEN ${dotSql("e.v", "pl.w")} >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+       |  FROM e, planes pl, np WHERE pl.p < np.v GROUP BY id, tbl)""".stripMargin
 
   // --- FNV-1a-in-SQL machinery for the signature oracles ------------------
   // DuckDB's BIGINT arithmetic is overflow-checked, so the wrapping
@@ -975,7 +1011,7 @@ object DocumentSuite {
          |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "d5_dedup_embedding" ->
-      s"""WITH ${lshSigsCte(tables = 8, planes = 4)},
+      s"""WITH ${lshSigsCteSized(tables = 8)},
          |cand AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id),
@@ -989,7 +1025,7 @@ object DocumentSuite {
     // the salt on the Spark side only re-buckets tasks, never the pair
     // set, so the oracle joins cells directly
     "d10_dedup_semantic" ->
-      s"""WITH cents AS ${centsSampleSql(16)},
+      s"""WITH cents AS ${centsSampleSqlSized},
          |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          |assign AS ${ivfAssignCte("", keep = 1, "id", "v")},
          |scored AS (
