@@ -298,8 +298,15 @@ object EventStreams {
     * emits exactly the sessions whose end the final watermark passed —
     * deterministic and SQL-expressible, so st7 is oracle-checked.
     */
-  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventStream(spark, dir)
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    drain(sessionWindowAggPlan(spark, dir), OutputMode.Append())
+
+  /** The un-drained st7 plan (see [[sessionizePlan]] for why plans are
+    * exposed separately; StreamScale drives it at larger key scale).
+    */
+  def sessionWindowAggPlan(spark: SparkSession, dir: String,
+                           maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    eventStream(spark, dir, maxFilesPerTrigger)
       .withWatermark("ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))
@@ -307,8 +314,6 @@ object EventStreams {
         unix_millis(col("w.start")).as("start_ms"),
         unix_millis(col("w.end")).as("end_ms"),
         col("n_events"))
-    drain(agg, OutputMode.Append())
-  }
 
   /** Stream-static join: the unbounded event stream joins a broadcast
     * static dimension (customer) with no stream-side state at all — the
