@@ -38,40 +38,79 @@ object Dedup {
       .select(col("id"), explode(grams(n)).as("s"))
       .distinct()
 
-  /** Exact n-gram Jaccard near-dup pairs: global-rarity prefix filtering
-    * (the prefix filtering principle of SSJoin/PPJoin — Chaudhuri et al.
-    * ICDE'06, Xiao et al. WWW'08) over an inverted index, then an exact
-    * count-based intersection on the surviving candidates only.
+  /** Exact n-gram Jaccard near-dup pairs, with the candidate strategy
+    * chosen ADAPTIVELY from the measured shingle df distribution. Both
+    * strategies are exact (identical output pair set); they differ only
+    * in which pair space they expand:
     *
-    * Why not the plain postings self-join (the r2–r13 form): its pair
-    * expansion is Σ df(s)² over EVERY shingle, and the r14 sf0.1→sf1
-    * scale run measured it at exponent ~1.4 (df grows with the corpus,
-    * so the quadratic term wins). Prefix filtering is the published
-    * exact fix: J(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉, so under any global
-    * total order the first |A| − ⌈t·|A|⌉ + 1 shingles of A and the
-    * corresponding prefix of B must share an element — indexing ONLY
-    * prefixes loses no qualifying pair. Ordering the prefix by ascending
-    * document frequency (rarest first, shingle text tie-break) puts the
-    * LOW-df shingles in the index, collapsing the Σ df² term to the rare
-    * tail. The earlier PPJoin attempt here shuffled whole shingle-set
-    * payloads for an array_intersect verify and measured 2x slower; this
-    * variant keeps the ids-only count-based verify (re-join the full
-    * postings on the candidate pairs), which is the part that made the
-    * old form fast at small scale.
+    *  - **direct** ([[jaccardDirect]], the r2–r13 form): postings
+    *    self-join — pair expansion Σ df(s)·(df(s)−1)/2 over every
+    *    shingle, one join + one count. Optimal when document
+    *    frequencies are modest (measured 2.4 s vs the prefix path's
+    *    11.6 s on the driver sf0.1 corpus, ratio ≈ 5 pair rows per
+    *    posting).
+    *  - **prefix** ([[jaccardPrefix]]): global-rarity prefix filtering
+    *    (SSJoin/PPJoin principle — Chaudhuri et al. ICDE'06, Xiao et
+    *    al. WWW'08). J(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉, so under any
+    *    global total order the first |A|−⌈t·|A|⌉+1 shingles of each
+    *    side must share an element — indexing ONLY the ascending-df
+    *    prefix drops the df² head without losing a qualifying pair,
+    *    then an ids-only count-based re-join verifies survivors.
+    *    Optimal when boilerplate/common shingles dominate: the r14
+    *    closed-vocabulary 10× scale run measured the direct form at
+    *    exponent 1.4 (2.1 s → 55.4 s) where prefix stayed ~linear.
     *
-    * Residual bound: a corpus whose every shingle is common (closed
-    * tiny vocabulary) still degenerates — no exact algorithm avoids
-    * candidates that genuinely share prefix shingles. There the answer
-    * is the LSH tier (d3), as before.
+    * The pre-pass computes Σ df² from the same df aggregate the prefix
+    * path needs anyway (one narrow agg + a scalar — the sanctioned
+    * class). Crossover at pairExpansion > 16 × postings: measured
+    * ratios are ~5 on both the driver fixture and a Heaps-law
+    * synthetic corpus (direct wins) and ~45+ on the degenerate
+    * closed-vocabulary corpus (prefix wins by 5×); 16 sits between
+    * with margin, and at web scale true boilerplate pushes the ratio
+    * to 10^3+ so the branch is unambiguous there. A randomized fuzz
+    * pins the two strategies bit-identical on both corpus shapes.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    // no cache: the consumers below share the shingle shuffle via
-    // Spark's exchange reuse within one execution, and a cache here
-    // would pin executor storage for the caller's whole session
+    // no cache: consumers share the shingle shuffle via exchange reuse
+    // within one execution; a cache here would pin executor storage
     val sh = shingles(docs, idCol, textCol, n)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val stats = dfreq.agg(
+      coalesce(sum(col("df")), lit(0L)).as("postings"),
+      coalesce(sum(col("df") * (col("df") - 1) / 2).cast("long"), lit(0L)).as("pairExp")).head()
+    val (postings, pairExp) = (stats.getLong(0), stats.getLong(1))
+    if (pairExp <= 16L * postings) jaccardDirect(sh, threshold)
+    else jaccardPrefix(sh, dfreq, threshold)
+  }
+
+  /** Direct postings self-join (see [[ngramJaccardPairs]]). `sh` is the
+    * distinct (id, s) shingle relation.
+    */
+  private[graft] def jaccardDirect(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // Measured negative result (r12, still true): routing this join
+    // through the salted+singleton-pruned machinery the LSH tiers use
+    // was 1.8x slower — natural shingles repeat across documents, so
+    // the prune removes little while its window sort and the 16x
+    // left-side replication are pure overhead on a join whose OUTPUT
+    // (one row per shared shingle) is the payload.
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    jaccardTail(common, sizes, threshold)
+  }
+
+  /** Global-rarity prefix filtering + candidate re-join verify (see
+    * [[ngramJaccardPairs]]). The earlier PPJoin attempt here shuffled
+    * whole shingle-set payloads for an array_intersect verify and
+    * measured 2x slower; this variant keeps the ids-only count-based
+    * verify, re-joining the full postings on surviving candidates only.
+    */
+  private[graft] def jaccardPrefix(sh: DataFrame, dfreq: DataFrame,
+                                       threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val wId = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("s"))
     // prefix length |S| - ceil(t|S|) + 1 in GLOBAL (df, s) order
@@ -85,13 +124,19 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // exact |A∩B| for candidates only: fan each candidate out over A's
-    // full shingle set (ids-only rows), then equi-join (id_b, s) against
-    // the postings to count the matches
+    // full shingle set (ids-only rows), then equi-join (id_b, s)
+    // against the postings to count the matches
     val common = cand
       .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common"))
+    jaccardTail(common, sizes, threshold)
+  }
+
+  /** Shared size-join + Jaccard-threshold tail of both strategies. */
+  private def jaccardTail(common: DataFrame, sizes: DataFrame,
+                          threshold: Double): DataFrame =
     common
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -99,7 +144,6 @@ object Dedup {
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** Exact-substring (span) near-dup pairs — the verbatim-run criterion
     * of Lee et al. 2021 ("Deduplicating Training Data Makes Language

@@ -35,6 +35,48 @@ class DedupSpec extends SparkSpec {
     assert(exact._3 == 1.0)
   }
 
+  test("jaccard strategy fuzz: direct and prefix-filtered paths are bit-identical on both corpus shapes") {
+    // the adaptive front door picks by measured df stats; this pins the
+    // exactness claim the branch rests on — BOTH strategies must produce
+    // the identical pair set on a rare-tail corpus (prefix's home turf)
+    // and a closed-tiny-vocab corpus (direct's), against a scalar
+    // Jaccard reference
+    val rnd = new scala.util.Random(7171)
+    Seq(("closed", 8), ("heaps", 4000)).foreach { case (shape, vocabSize) =>
+      val docs2 = {
+        // every 10th doc is a near-copy of its predecessor so qualifying
+        // pairs exist in both shapes
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, String)]
+        (0 until 60).foreach { i =>
+          val nw = 6 + rnd.nextInt(20)
+          val base = (0 until nw).map(_ => s"w${rnd.nextInt(vocabSize)}").mkString(" ")
+          buf += ((i.toLong, if (i % 10 == 9 && buf.nonEmpty) buf(i - 1)._2 + " tail" else base))
+        }
+        buf.toSeq.toDF("doc_id", "text")
+      }
+      val sh = Dedup.shingles(docs2, "doc_id", "text", 2)
+      val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val direct = norm(Dedup.jaccardDirect(sh, 0.5))
+      val prefix = norm(Dedup.jaccardPrefix(sh, dfreq, 0.5))
+      assert(direct == prefix, s"shape=$shape strategies diverged")
+      // scalar reference over the same distinct-bigram sets
+      val sets = docs2.collect().map { r =>
+        val t = r.getString(1).split(" ")
+        r.getLong(0) -> t.sliding(2).map(_.mkString(" ")).toSet
+      }.toMap
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size
+        j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+        if j >= 0.5
+      } yield (a, b, math.rint(j * 10000) / 10000)).toSet
+      assert(direct == expected, s"shape=$shape vs scalar reference")
+      assert(expected.nonEmpty, s"shape=$shape produced no qualifying pairs")
+    }
+  }
+
   test("minhashLshPairs recovers the same duplicate pairs as exact Jaccard") {
     val got = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, k = 64,
         bands = 16, threshold = 0.5)
