@@ -35,6 +35,23 @@ class DedupSpec extends SparkSpec {
     assert(exact._3 == 1.0)
   }
 
+  test("corpus sizing rules: lshPlanesFor / ivfCellsFor clamp, grow, and match the oracle formulas") {
+    // the exact formulas the d5/d10 DuckDB oracles replay — a drift here
+    // desynchronizes the engines at non-gate scales
+    assert(Dedup.lshPlanesFor(0) == 4 && Dedup.lshPlanesFor(200) == 4)
+    assert(Dedup.lshPlanesFor(2000) == 4)      // gate scales: historical 4
+    assert(Dedup.lshPlanesFor(20000) == 8)     // 10x: bucket pop pinned ~128
+    assert(Dedup.lshPlanesFor(1L << 40) == 20) // clamp ceiling
+    // monotone non-decreasing over a wide sweep
+    val planes = (1 to 30).map(e => Dedup.lshPlanesFor(1L << e))
+    assert(planes == planes.sorted)
+    assert(Dedup.ivfCellsFor(0) == 16 && Dedup.ivfCellsFor(200) == 16)
+    assert(Dedup.ivfCellsFor(2000) == 16)      // gate scales: historical 16
+    assert(Dedup.ivfCellsFor(20000) == 157)    // ceil(20000/128)
+    val cells = (1 to 30).map(e => Dedup.ivfCellsFor(1L << e))
+    assert(cells == cells.sorted)
+  }
+
   test("jaccard strategy fuzz: direct and prefix-filtered paths are bit-identical on both corpus shapes") {
     // the adaptive front door picks by measured df stats; this pins the
     // exactness claim the branch rests on — BOTH strategies must produce

@@ -53,4 +53,7 @@ def main() -> None:
           f"{math.log(tot1 / tot0) / math.log(ratio):7.2f}")
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # |head etc. closing stdout is fine
+        pass
