@@ -44,6 +44,35 @@ object GenData {
     df.repartition(math.max(1L, rows / 600000L).toInt)
       .write.mode("overwrite").parquet(out)
 
+  /** Write `df` as ONE parquet FILE at `dest` (not a directory): write
+    * single-partition to a sibling temp dir, move the part file over
+    * `dest`, clean up. Shared by GenData (events fixture layout) and
+    * StreamScale (arrival-sequence files). Streams are closed via
+    * toList-snapshots; a previous run's directory-shaped `dest` is
+    * cleared first (REPLACE_EXISTING replaces files, not non-empty
+    * directories).
+    */
+  def writeSingleParquetFile(dest: String)(df: DataFrame): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val destP = Paths.get(dest)
+    val tmp = destP.resolveSibling(s".${destP.getFileName}.tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    def ls(p: java.nio.file.Path): List[java.nio.file.Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    val part = ls(tmp).find(_.toString.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    if (Files.isDirectory(destP)) {
+      ls(destP).foreach(Files.delete(_))
+      Files.delete(destP)
+    }
+    Files.move(part, destP, StandardCopyOption.REPLACE_EXISTING)
+    ls(tmp).foreach(Files.delete(_))
+    Files.delete(tmp)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: GenData <outDir> <sf>")
     val outDir = args(0)
@@ -112,30 +141,11 @@ object GenData {
       ntzDays("1995-01-01", pmod(h(61, col("id")), lit(2500)) + 1).as("l_shipdate")),
       s"$outDir/lineitem.parquet", nLi)
 
+    val evTypes = Seq("view", "click", "purchase", "signup", "error")
     // events must land as a FILE named events.parquet (driver layout):
     // the streaming source globs leaf files as `events*.parquet`, and a
-    // directory's part-files would never match — write single-partition
-    // then flatten the part file up to the fixture name
-    def writeEventsFile(df: DataFrame): Unit = {
-      val tmp = s"$outDir/_events_tmp"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val p = java.nio.file.Paths.get(tmp)
-      val part = java.nio.file.Files.list(p).filter(_.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow()
-      // REPLACE_EXISTING replaces files but not non-empty directories —
-      // clear a previous run's directory-shaped events.parquet first
-      val dest = java.nio.file.Paths.get(s"$outDir/events.parquet")
-      if (java.nio.file.Files.isDirectory(dest)) {
-        java.nio.file.Files.list(dest).forEach(java.nio.file.Files.delete(_))
-        java.nio.file.Files.delete(dest)
-      }
-      java.nio.file.Files.move(part, dest,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.list(p).forEach(java.nio.file.Files.delete(_))
-      java.nio.file.Files.delete(p)
-    }
-    val evTypes = Seq("view", "click", "purchase", "signup", "error")
-    writeEventsFile(spark.range(nEv).select(
+    // directory's part-files would never match
+    writeSingleParquetFile(s"$outDir/events.parquet")(spark.range(nEv).select(
       col("id").as("event_id"),
       (unix_timestamp(lit("2024-01-01"), "yyyy-MM-dd") * 1000000L +
         (u01(71, col("id")) * 30.0 * 86400.0 * 1000000.0).cast("long")).as("ts_us"),

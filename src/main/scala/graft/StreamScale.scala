@@ -34,6 +34,11 @@ object StreamScale {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // recentProgress is ring-buffered (default 100); size it to the run
+    // or nFiles > ~100 silently truncates the per-batch evidence this
+    // tool exists to record
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (nFiles + 8).toString)
 
     // --- arrival sequence: nFiles time-ordered event files -----------------
     val work = Files.createTempDirectory("graft_streamscale").toString
@@ -44,16 +49,9 @@ object StreamScale {
     (0 until nFiles).foreach { i =>
       val lo = tsMin + i * span
       val hi = lo + span
-      val tmp = s"$work/_tmp_$i"
-      ev.filter(unix_micros(col("ts").cast("timestamp")) >= lo &&
-          unix_micros(col("ts").cast("timestamp")) < hi)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(_.toString.endsWith(".parquet")).findFirst().orElseThrow()
-      Files.move(part, Paths.get(f"$work/events_$i%03d.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      Files.list(Paths.get(tmp)).forEach(Files.delete(_))
-      Files.delete(Paths.get(tmp))
+      GenData.writeSingleParquetFile(f"$work/events_$i%03d.parquet")(
+        ev.filter(unix_micros(col("ts").cast("timestamp")) >= lo &&
+          unix_micros(col("ts").cast("timestamp")) < hi))
     }
     val nKeys = ev.select(countDistinct("user_id")).head().getLong(0)
     ev.unpersist()

@@ -46,7 +46,7 @@ object GraftSession {
   /** Local session as the driver harness runs it. A checkpoint directory
     * is always set (Spool-managed temp root, deleted on JVM exit) so the
     * RELIABLE-checkpoint branches of iterative operators — e.g.
-    * `Dedup.dedupClusters`'s every-5-rounds lineage truncation — engage
+    * `Dedup.dedupClusters`'s every-3-rounds lineage truncation — engage
     * under the harness exactly as they would on a cluster, instead of
     * silently falling back to `localCheckpoint` (which loses data on
     * executor failure). On a real cluster the deployer sets a shared-FS

@@ -60,28 +60,41 @@ object Dedup {
     *    closed-vocabulary 10× scale run measured the direct form at
     *    exponent 1.4 (2.1 s → 55.4 s) where prefix stayed ~linear.
     *
-    * The pre-pass computes Σ df² from the same df aggregate the prefix
-    * path needs anyway (one narrow agg + a scalar — the sanctioned
-    * class). Crossover at pairExpansion > 16 × postings: measured
-    * ratios are ~5 on both the driver fixture and a Heaps-law
-    * synthetic corpus (direct wins) and ~45+ on the degenerate
-    * closed-vocabulary corpus (prefix wins by 5×); 16 sits between
-    * with margin, and at web scale true boilerplate pushes the ratio
-    * to 10^3+ so the branch is unambiguous there. A randomized fuzz
-    * pins the two strategies bit-identical on both corpus shapes.
+    * The decision pre-pass measures the ratio on a deterministic 10%
+    * document sample (hash-gated, one action over a tenth of the
+    * corpus — the strategy choice must not cost a full extra shingle
+    * scan, and the pair-expansion ratio of a p-sample estimates the
+    * full ratio as ratio_sample / p: large-df head shingles scale
+    * their df by p, while the rare tail contributes ~0 to both sides).
+    * Crossover at estimated pairExpansion > 16 × postings: measured
+    * full-corpus ratios are ~5 on both the driver fixture and a
+    * Heaps-law synthetic corpus (direct wins) and ~45+ on the
+    * degenerate closed-vocabulary corpus (prefix wins by 5×); 16 sits
+    * between with margin, and at web scale true boilerplate pushes the
+    * ratio to 10^3+ so the branch is unambiguous there. Sampling noise
+    * can only flip the branch near the crossover, where both
+    * strategies cost about the same — the OUTPUT is identical either
+    * way (a randomized fuzz pins the two strategies bit-identical on
+    * both corpus shapes).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
     // no cache: consumers share the shingle shuffle via exchange reuse
     // within one execution; a cache here would pin executor storage
     val sh = shingles(docs, idCol, textCol, n)
-    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val stats = dfreq.agg(
-      coalesce(sum(col("df")), lit(0L)).as("postings"),
-      coalesce(sum(col("df") * (col("df") - 1) / 2).cast("long"), lit(0L)).as("pairExp")).head()
+    val p = 10 // sample 1-in-p documents for the strategy estimate
+    val sample = shingles(
+      docs.filter(pmod(xxhash64(col(idCol)), lit(p)) === 0), idCol, textCol, n)
+    val stats = sample.groupBy("s").agg(count(lit(1)).as("df"))
+      .agg(
+        coalesce(sum(col("df")), lit(0L)).as("postings"),
+        coalesce(sum(col("df") * (col("df") - 1) / 2).cast("long"), lit(0L)).as("pairExp"))
+      .head()
     val (postings, pairExp) = (stats.getLong(0), stats.getLong(1))
-    if (pairExp <= 16L * postings) jaccardDirect(sh, threshold)
-    else jaccardPrefix(sh, dfreq, threshold)
+    // estimated full ratio = (pairExp/postings) / (1/p); compare to 16
+    // in integer form: pairExp * p > 16 * postings
+    if (postings == 0L || pairExp * p <= 16L * postings) jaccardDirect(sh, threshold)
+    else jaccardPrefix(sh, sh.groupBy("s").agg(count(lit(1)).as("df")), threshold)
   }
 
   /** Direct postings self-join (see [[ngramJaccardPairs]]). `sh` is the

@@ -88,7 +88,9 @@ class DedupSpec extends SparkSpec {
         inter = (sets(a) & sets(b)).size
         j = inter.toDouble / (sets(a).size + sets(b).size - inter)
         if j >= 0.5
-      } yield (a, b, math.rint(j * 10000) / 10000)).toSet
+        // HALF_UP like Spark's round(col, 4); math.rint is HALF_EVEN and
+        // would spuriously diverge on exact .5 ties
+      } yield (a, b, BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
       assert(direct == expected, s"shape=$shape vs scalar reference")
       assert(expected.nonEmpty, s"shape=$shape produced no qualifying pairs")
     }

@@ -47,10 +47,17 @@ def main() -> None:
         es = f"{e:7.2f}" if e is not None else "      -"
         flag = "" if ok else "  FAILED"
         print(f"{k:28s}{t0:9.2f}{t1:9.2f}{es}  {tag}{flag}")
-    tot0 = sum(v["sec"] for v in qs.values())
-    tot1 = sum(v["sec"] for v in ql.values())
-    print(f"\n{'TOTAL':28s}{tot0:9.1f}{tot1:9.1f}"
+    # TOTAL over the shared ok-in-both queries only — summing each
+    # file's full set would let a query present (or failed-fast) in one
+    # run skew the headline exponent against the per-query table
+    shared = [k for k in qs if k in ql and qs[k]["ok"] and ql[k]["ok"]]
+    tot0 = sum(qs[k]["sec"] for k in shared)
+    tot1 = sum(ql[k]["sec"] for k in shared)
+    print(f"\n{'TOTAL (shared ok)':28s}{tot0:9.1f}{tot1:9.1f}"
           f"{math.log(tot1 / tot0) / math.log(ratio):7.2f}")
+    dropped = (set(qs) | set(ql)) - set(shared)
+    if dropped:
+        print(f"excluded from TOTAL (missing or failed in a run): {sorted(dropped)}")
 
 if __name__ == "__main__":
     try:
