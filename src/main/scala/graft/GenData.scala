@@ -74,9 +74,12 @@ object GenData {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: GenData <outDir> <sf>")
+    require(args.length >= 2,
+      "usage: GenData <outDir> <sf> [tableCsv] — tableCsv limits generation (e.g. 'events' for a streaming-only sweep)")
     val outDir = args(0)
     val sf = args(1).toDouble
+    val only: Option[Set[String]] = if (args.length > 2) Some(args(2).split(",").toSet) else None
+    def wants(t: String): Boolean = only.forall(_.contains(t))
     require(!outDir.startsWith("/root/testdata"), "never write into the driver's read-only testdata")
     val spark = GraftSession.local()
     import spark.implicits._
@@ -86,20 +89,20 @@ object GenData {
       (n(150000), n(10000), n(200000), n(1500000), n(6000000), n(1000000), n(50000), n(20000))
 
     // --- dims -------------------------------------------------------------
-    write(Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"), (4, "MIDDLE EAST"))
+    if (wants("region")) write(Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"), (4, "MIDDLE EAST"))
       .toDF("r_regionkey", "r_name"), s"$outDir/region.parquet", 5)
-    write((0 until 25).map(i => (i, s"NATION_$i", i % 5))
+    if (wants("nation")) write((0 until 25).map(i => (i, s"NATION_$i", i % 5))
       .toDF("n_nationkey", "n_name", "n_regionkey"), s"$outDir/nation.parquet", 25)
 
     val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
-    write(spark.range(nCust).select(
+    if (wants("customer")) write(spark.range(nCust).select(
       col("id").as("c_custkey"),
       format_string("Customer#%09d", col("id")).as("c_name"),
       pmod(h(11, col("id")), lit(25)).cast("int").as("c_nationkey"),
       round(u01(12, col("id")) * 10000.0, 2).as("c_acctbal"),
       pick(13, col("id"), segs).as("c_mktsegment")), s"$outDir/customer.parquet", nCust)
 
-    write(spark.range(nSupp).select(
+    if (wants("supplier")) write(spark.range(nSupp).select(
       col("id").as("s_suppkey"),
       format_string("Supplier#%09d", col("id")).as("s_name"),
       pmod(h(21, col("id")), lit(25)).cast("int").as("s_nationkey"),
@@ -107,7 +110,7 @@ object GenData {
 
     val adjs = Seq("large", "hot", "blue", "small", "dim", "spring", "metal", "plated")
     val nouns = Seq("ring", "bolt", "case", "tube", "disk", "panel", "cog", "strap")
-    write(spark.range(nPart).select(
+    if (wants("part")) write(spark.range(nPart).select(
       col("id").as("p_partkey"),
       concat_ws(" ", pick(31, col("id"), adjs), pick(32, col("id"), nouns)).as("p_name"),
       concat(lit("Brand#"), pmod(h(33, col("id")), lit(20)).cast("string")).as("p_brand"),
@@ -117,7 +120,7 @@ object GenData {
         .as("p_retailprice")), s"$outDir/part.parquet", nPart)
 
     // --- facts ------------------------------------------------------------
-    write(spark.range(nOrd).select(
+    if (wants("orders")) write(spark.range(nOrd).select(
       col("id").as("o_orderkey"),
       pmod(h(41, col("id")), lit(nCust)).as("o_custkey"),
       pick(42, col("id"), Seq("F", "O", "P")).as("o_orderstatus"),
@@ -127,7 +130,7 @@ object GenData {
         Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")).as("o_orderpriority")),
       s"$outDir/orders.parquet", nOrd)
 
-    write(spark.range(nLi).select(
+    if (wants("lineitem")) write(spark.range(nLi).select(
       pmod(h(51, col("id")), lit(nOrd)).as("l_orderkey"),
       pmod(h(52, col("id")), lit(nPart)).as("l_partkey"),
       pmod(h(53, col("id")), lit(nSupp)).as("l_suppkey"),
@@ -145,7 +148,7 @@ object GenData {
     // events must land as a FILE named events.parquet (driver layout):
     // the streaming source globs leaf files as `events*.parquet`, and a
     // directory's part-files would never match
-    writeSingleParquetFile(s"$outDir/events.parquet")(spark.range(nEv).select(
+    if (wants("events")) writeSingleParquetFile(s"$outDir/events.parquet")(spark.range(nEv).select(
       col("id").as("event_id"),
       (unix_timestamp(lit("2024-01-01"), "yyyy-MM-dd") * 1000000L +
         (u01(71, col("id")) * 30.0 * 86400.0 * 1000000.0).cast("long")).as("ts_us"),
@@ -189,7 +192,7 @@ object GenData {
       .otherwise(baseText)
     val lang = when(pmod(h(83, col("id")), lit(100)) < 40, lit("en"))
       .otherwise(pick(84, col("id"), Seq("de", "es", "zh", "fr")))
-    write(spark.range(nDoc).select(
+    if (wants("documents")) write(spark.range(nDoc).select(
       col("id").as("doc_id"), text.as("text"), lang.as("lang"),
       concat(lit("src"), pmod(h(85, col("id")), lit(20)).cast("string")).as("source"))
       .withColumn("n_chars", length(col("text")).cast("long")),
@@ -201,7 +204,7 @@ object GenData {
       (pmod(h(92, label * 64 + j), lit(2001)).cast("double") - 1000.0) / 1000.0 * 0.25 +
         (pmod(h(93, col("id") * 64L + j.cast("long")), lit(2001)).cast("double") - 1000.0) / 1000.0 * 0.12
       ).cast("float"))
-    write(spark.range(nEmb).select(
+    if (wants("embeddings")) write(spark.range(nEmb).select(
       col("id").as("vec_id"), emb.as("embedding"), label.as("label")),
       s"$outDir/embeddings.parquet", nEmb)
 
