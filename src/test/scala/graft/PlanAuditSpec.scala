@@ -282,6 +282,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("d2: the prefix-filtered strategy stays equi-joined — no cartesian, no payload in the candidate space") {
+    // the fixture's df stats route the adaptive front door to the direct
+    // path, so the prefix path's plan shape is pinned here explicitly:
+    // every join hash-joinable (the s-key candidate join, the ids-only
+    // re-join, the size joins), no BroadcastNestedLoopJoin/CartesianProduct
+    val sh = graft.operators.Dedup.shingles(
+      graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", 3)
+    val dfreq = sh.groupBy("s").agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df"))
+    val plan = graft.operators.Dedup.jaccardPrefix(sh, dfreq, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // candidate generation emits ids only — the shingle text must not
+    // survive past the prefix join into the distinct
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q24: the scale-posture percentile path plans the bounded sketch, never the exact aggregate") {
     // exact `percentile` buffers every distinct group value (O(group)
     // state — an oracle-scale tool, not a 100 TB aggregate); the posture
