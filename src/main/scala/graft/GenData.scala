@@ -73,12 +73,22 @@ object GenData {
     Files.delete(tmp)
   }
 
+  private val AllTables = Set("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: GenData <outDir> <sf> [tableCsv] — tableCsv limits generation (e.g. 'events' for a streaming-only sweep)")
+    require(args.length == 2 || args.length == 3,
+      "usage: GenData <outDir> <sf> [tableCsv] — tableCsv is ONE comma-separated arg (e.g. 'events' or 'events,documents')")
     val outDir = args(0)
     val sf = args(1).toDouble
-    val only: Option[Set[String]] = if (args.length > 2) Some(args(2).split(",").toSet) else None
+    val only: Option[Set[String]] = if (args.length == 3) Some(args(2).split(",").toSet) else None
+    // a typo'd table name must fail loudly, not silently generate nothing
+    // and print a success summary
+    only.foreach { ts =>
+      val unknown = ts -- AllTables
+      require(unknown.isEmpty,
+        s"unknown table(s) ${unknown.mkString(", ")}; known: ${AllTables.toSeq.sorted.mkString(", ")}")
+    }
     def wants(t: String): Boolean = only.forall(_.contains(t))
     require(!outDir.startsWith("/root/testdata"), "never write into the driver's read-only testdata")
     val spark = GraftSession.local()
@@ -208,7 +218,16 @@ object GenData {
       col("id").as("vec_id"), emb.as("embedding"), label.as("label")),
       s"$outDir/embeddings.parquet", nEmb)
 
-    println(s"""{"gen": "$outDir", "sf": $sf, "lineitem": $nLi, "events": $nEv, "documents": $nDoc, "embeddings": $nEmb}""")
+    // summary reports only what was actually written (a tableCsv filter
+    // must not print row counts for tables it skipped)
+    val written = Seq("lineitem" -> nLi, "events" -> nEv,
+        "documents" -> nDoc, "embeddings" -> nEmb)
+      .filter { case (t, _) => wants(t) }
+      .map { case (t, c) => s""""$t": $c""" }
+    val tablesField = only.map(ts =>
+      s""", "tables": "${ts.toSeq.sorted.mkString(",")}"""").getOrElse("")
+    println(s"""{"gen": "$outDir", "sf": $sf$tablesField${
+      if (written.nonEmpty) written.mkString(", ", ", ", "") else ""}}""")
     spark.stop()
   }
 }

@@ -296,10 +296,14 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    // candidate generation emits ids only — the shingle text must not
-    // survive past the prefix join into the distinct
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("BroadcastHashJoin"), plan)
+    // candidate generation emits ids only: the candidate dedup must be
+    // an aggregate keyed on exactly (id_a, id_b) — a regression that
+    // carries the shingle text (or any payload) into the distinct would
+    // change its grouping keys
+    assert("HashAggregate\\(keys=\\[id_a#\\d+L?, id_b#\\d+L?\\]".r.findFirstIn(plan).isDefined,
+      s"candidate distinct must key on ids only:\n$plan")
   }
 
   test("q24: the scale-posture percentile path plans the bounded sketch, never the exact aggregate") {
