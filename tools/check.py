@@ -17,7 +17,9 @@ oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
 con = duckdb.connect()
 for f in glob.glob(os.path.join(sf, "*.parquet")):
     name = os.path.basename(f)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    # driver testdata ships single files; GenData dirs are directory-shaped
+    src = os.path.join(f, "*.parquet") if os.path.isdir(f) else f
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 def canon(df):
     cols = sorted(df.columns)
