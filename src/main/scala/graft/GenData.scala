@@ -18,8 +18,16 @@ import graft.engine.GraftSession
   *
   * Everything is a pure column function of the row id hashed with a
   * fixed seed (xxhash64) — fully distributed generation, no driver-side
-  * RNG loops, and row i is identical at every scale that contains it,
-  * so a 10× set is a strict superset in distribution. File count grows
+  * RNG loops, and the generator is bit-deterministic: the same (sf,
+  * table) always produces the same rows. Cross-scale row IDENTITY holds
+  * only where no column depends on a table size: the dims
+  * (region/nation/customer/supplier/part) and embeddings (label and
+  * vector are functions of id alone) are strict supersets across
+  * scales, while orders/lineitem/events FK columns (mod a scale-
+  * dependent key space) and documents' open-vocabulary tail (id space ∝
+  * nDoc) re-draw with sf — the DISTRIBUTION is scale-stable but row i
+  * is not. The scaling benches only need same-generator determinism at
+  * each scale, which holds everywhere. File count grows
   * with rows (one output partition per ~600k rows) the way a real
   * partitioned landing would, so scan parallelism scales with the data
   * instead of being pinned at one file.
@@ -45,18 +53,23 @@ object GenData {
       .write.mode("overwrite").parquet(out)
 
   /** Write `df` as ONE parquet FILE at `dest` (not a directory): write
-    * single-partition to a sibling temp dir, move the part file over
-    * `dest`, clean up. Shared by GenData (events fixture layout) and
-    * StreamScale (arrival-sequence files). Streams are closed via
-    * toList-snapshots; a previous run's directory-shaped `dest` is
-    * cleared first (REPLACE_EXISTING replaces files, not non-empty
-    * directories).
+    * single-partition to a sibling temp dir, stage the part file as a
+    * sibling `.new`, then swap it into place. Shared by GenData (events
+    * fixture layout) and StreamScale (arrival-sequence files).
+    *
+    * Ordering is crash-tolerant: the NEW file is fully staged before the
+    * previous output is touched, so a crash mid-swap leaves either the
+    * old output or both (old + staged `.new`), never neither. A
+    * directory-shaped previous `dest` (e.g. a plain parquet write from
+    * an older run) is removed RECURSIVELY — `Files.move` replaces files,
+    * not non-empty directories.
     */
   def writeSingleParquetFile(dest: String)(df: DataFrame): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val destP = Paths.get(dest)
     val tmp = destP.resolveSibling(s".${destP.getFileName}.tmp")
+    val staged = destP.resolveSibling(s".${destP.getFileName}.new")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     def ls(p: java.nio.file.Path): List[java.nio.file.Path] = {
       val s = Files.list(p)
@@ -64,13 +77,10 @@ object GenData {
     }
     val part = ls(tmp).find(_.toString.endsWith(".parquet"))
       .getOrElse(sys.error(s"no part file written under $tmp"))
-    if (Files.isDirectory(destP)) {
-      ls(destP).foreach(Files.delete(_))
-      Files.delete(destP)
-    }
-    Files.move(part, destP, StandardCopyOption.REPLACE_EXISTING)
-    ls(tmp).foreach(Files.delete(_))
-    Files.delete(tmp)
+    Files.move(part, staged, StandardCopyOption.REPLACE_EXISTING)
+    if (Files.isDirectory(destP)) graft.sources.Spool.deleteRecursively(destP)
+    Files.move(staged, destP, StandardCopyOption.REPLACE_EXISTING)
+    graft.sources.Spool.deleteRecursively(tmp)
   }
 
   private val AllTables = Set("region", "nation", "customer", "supplier",

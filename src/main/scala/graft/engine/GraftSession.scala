@@ -59,6 +59,9 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     if (s.sparkContext.getCheckpointDir.isEmpty)
       s.sparkContext.setCheckpointDir(graft.sources.Spool.tempRoot("ckpt"))
+    // harvest the engine's observe() metrics (graft.Metrics) — a cluster
+    // deployment calls Metrics.enable on its own session the same way
+    graft.Metrics.enable(s)
     s
   }
 }

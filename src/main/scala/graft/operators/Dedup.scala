@@ -76,6 +76,15 @@ object Dedup {
     * strategies cost about the same — the OUTPUT is identical either
     * way (a randomized fuzz pins the two strategies bit-identical on
     * both corpus shapes).
+    *
+    * NOTE (construction-time eagerness): the decision pre-pass runs TWO
+    * Spark actions when this method is CALLED — the hash-gated sample
+    * scan and the one-row stats `head()` — so building the plan (for
+    * EXPLAIN, plan audits, or query registration) already launches jobs,
+    * and the strategy is frozen at build time against the input as it
+    * exists then, not at execution. Callers that need fully lazy
+    * construction should call [[jaccardDirect]]/[[jaccardPrefix]]
+    * directly with a strategy they chose themselves.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
@@ -189,7 +198,7 @@ object Dedup {
       .select(col("id"), explode(grams(k)).as("s"))
       .select(col("id"), HashExpressions.fnv61(col("s")).as("h"))
       .distinct()
-    val gated = pruneSingletonBuckets(wh, Seq("h"), maxPostings)
+    val gated = pruneSingletonBuckets(wh, Seq("h"), maxPostings, tag = "d8")
     gated.as("a").join(gated.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -313,7 +322,7 @@ object Dedup {
     val banded = sigs.select(col("id"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rows + 1, $rows))"))
           .as(Seq("band", "bh")))
-    val cand = saltedSelfCandidates(banded, Seq("band", "bh"))
+    val cand = saltedSelfCandidates(banded, Seq("band", "bh"), tag = "d3")
     cand.join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
       .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
       .withColumn("est_jaccard",
@@ -338,12 +347,6 @@ object Dedup {
     * no driver-side union-find); at the fixed point the edge list IS the
     * component forest: a star (v → component-min) per component.
     */
-  /** Rounds the most recent [[dedupClusters]] call took to converge —
-    * observability for the O(log diameter) claim (tests and the bench
-    * ledger read it; not part of the operator contract).
-    */
-  @volatile private[graft] var lastClusterRounds: Int = 0
-
   def dedupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                     maxIter: Int = 20): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
@@ -426,11 +429,15 @@ object Dedup {
       edgeCnt = newCnt
       iter += 1
     }
+    // record the round count BEFORE the convergence check so a
+    // non-converged run still leaves accurate (not stale) observability
+    // behind; Metrics is the queryable surface for the O(log diameter)
+    // claim (tests and the bench ledger read it; not operator output)
+    graft.Metrics.set("d6", "rounds" -> iter, "converged" -> converged)
     // fail loudly rather than return silently-wrong labels for a
     // deeper-than-expected component chain
     require(converged,
       s"dedupClusters did not converge in $maxIter rounds — raise maxIter (2^$maxIter-diameter components?)")
-    lastClusterRounds = iter
     // At the fixed point every non-root node has exactly one outgoing
     // edge — to its component minimum (min() is a no-op safeguard);
     // roots and self-loop-only nodes label themselves.
@@ -464,10 +471,18 @@ object Dedup {
     * silently lose true near-dup pairs instead of noise.
     */
   private def pruneSingletonBuckets(rel: DataFrame, bucketCols: Seq[String],
-                                    maxMembers: Int = Int.MaxValue): DataFrame = {
+                                    maxMembers: Int = Int.MaxValue,
+                                    tag: String = "bucket"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(bucketCols.map(col): _*)
     rel.withColumn("__n", count(lit(1)).over(w))
+      // observability (graft.Metrics): the bucket-population skew a
+      // cluster operator needs to see — one partial aggregate on rows
+      // already flowing past, harvested by the Metrics listener, no
+      // effect on row output
+      .observe(graft.Metrics.observeName(s"$tag.buckets"),
+        count(lit(1)).as("posting_rows"),
+        coalesce(max(col("__n")), lit(0L)).as("max_bucket"))
       .filter(col("__n") >= 2 && col("__n") <= maxMembers).drop("__n")
   }
 
@@ -477,8 +492,8 @@ object Dedup {
     * identical to the unsalted join — only task granularity changes.
     */
   private def saltedSelfJoin(rel: DataFrame, bucketCols: Seq[String],
-                             salts: Int = 16): DataFrame = {
-    val multi = pruneSingletonBuckets(rel, bucketCols)
+                             salts: Int = 16, tag: String = "cand"): DataFrame = {
+    val multi = pruneSingletonBuckets(rel, bucketCols, tag = tag)
     val aSide = multi.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
     val bSide = multi.withColumn("salt", pmod(xxhash64(col("id")), lit(salts)).cast("int"))
     aSide.as("a").join(bSide.as("b"),
@@ -486,11 +501,15 @@ object Dedup {
           .reduce(_ && _) && col("a.salt") === col("b.salt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      // candidate-pair volume pre-distinct: the number the quadratic-
+      // blowup alarms watch (graft.Metrics, same contract as above)
+      .observe(graft.Metrics.observeName(s"$tag.candidates"),
+        count(lit(1)).as("n_candidates"))
   }
 
   private def saltedSelfCandidates(rel: DataFrame, bucketCols: Seq[String],
-                                   salts: Int = 16): DataFrame =
-    saltedSelfJoin(rel, bucketCols, salts).distinct()
+                                   salts: Int = 16, tag: String = "cand"): DataFrame =
+    saltedSelfJoin(rel, bucketCols, salts, tag).distinct()
 
   /** SimHash near-dup pairs: 64-bit signature, split into `blocks` bit
     * blocks; any pair within `maxHamming` must share at least one exact
@@ -514,7 +533,7 @@ object Dedup {
     // corpora the losing candidates dominate and re-joining sigs to
     // verify them would cost more than carrying 8 bytes per row.
     val salts = 16
-    val multi = pruneSingletonBuckets(blocked, Seq("blk", "bv"))
+    val multi = pruneSingletonBuckets(blocked, Seq("blk", "bv"), tag = "d4")
     val aSide = multi.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
     val bSide = multi.withColumn("salt", pmod(xxhash64(col("id")), lit(salts)).cast("int"))
     aSide.as("a").join(bSide.as("b"),
@@ -579,7 +598,7 @@ object Dedup {
     val bucketed = base.select(col("id"),
       posexplode(array((0 until tables).map(t =>
         HashExpressions.hyperplaneSig(col("v"), t, planes)): _*)).as(Seq("tbl", "bucket")))
-    val cand = saltedSelfCandidates(bucketed, Seq("tbl", "bucket"))
+    val cand = saltedSelfCandidates(bucketed, Seq("tbl", "bucket"), tag = "d5")
     verifiedCosPairs(cand, base, threshold)
   }
 
@@ -643,7 +662,7 @@ object Dedup {
         HashExpressions.cosine(col("v"), col("cw")).as("__cc"))
       .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
       .select(col("id"), col("cid"))
-    val cand = saltedSelfCandidates(assigned, Seq("cid"))
+    val cand = saltedSelfCandidates(assigned, Seq("cid"), tag = "d10")
     verifiedCosPairs(cand, base, threshold)
   }
 }

@@ -396,8 +396,10 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.dedupClusters(path, maxIter = 20)
     val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 200L).map(_ -> 0L).toMap)
-    assert(Dedup.lastClusterRounds <= 12,
-      s"200-hop path took ${Dedup.lastClusterRounds} star rounds — not log-convergent")
+    val rounds = graft.Metrics.scalar("d6", "rounds")
+      .getOrElse(fail("dedupClusters left no d6 round count in graft.Metrics"))
+    assert(rounds <= 12,
+      s"200-hop path took $rounds star rounds — not log-convergent")
     // a round contributes ~15 RDD nodes; the checkpoint interval caps the
     // chain at <=3 rounds past the last truncation
     val depth = out.rdd.toDebugString.linesIterator.size

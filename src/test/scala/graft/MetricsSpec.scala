@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** The graft.Metrics observability surface (VERDICT r14 #5): executor-
+  * side observe() harvests and driver-side facts land in one queryable
+  * map, with NO effect on operator output.
+  */
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The QueryExecutionListener fires on the listener-bus thread, so a
+    * just-finished action's metrics land asynchronously — poll briefly.
+    */
+  private def awaitMetric(name: String, field: String,
+                          timeoutMs: Long = 10000): Long = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var v = Metrics.scalar(name, field)
+    while (v.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      v = Metrics.scalar(name, field)
+    }
+    v.getOrElse(fail(s"metric $name.$field never arrived"))
+  }
+
+  test("candidate machinery reports bucket max and candidate counts") {
+    Metrics.enable(spark)
+    Metrics.clear()
+    // two triplicated docs + singletons: known bucket structure
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "the quick brown fox jumps over the lazy dog again"),
+      (4L, "completely different text with no overlap at all here now"),
+      (5L, "another unrelated document body nothing shared with others x")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.5).collect()
+    // identical docs: all 3 pairs surface
+    assert(pairs.length == 3)
+    // the 3 identical docs share every band bucket; with 16 bands the
+    // max bucket has >= 3 members and candidate rows >= 16 bands * 3 pairs
+    assert(awaitMetric("d3.buckets", "max_bucket") >= 3L)
+    assert(awaitMetric("d3.buckets", "posting_rows") >= 16L * 5)
+    assert(awaitMetric("d3.candidates", "n_candidates") >= 16L * 3)
+  }
+
+  test("dedupClusters records rounds and convergence driver-side") {
+    val path = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    Dedup.dedupClusters(path, maxIter = 20).collect()
+    val rounds = Metrics.scalar("d6", "rounds")
+    assert(rounds.exists(r => r >= 1 && r <= 12), s"rounds=$rounds")
+    assert(Metrics.get("d6").exists(_("converged") == true))
+  }
+
+  test("observe instrumentation does not change operator output") {
+    // bit-parity against a hand-computed expectation: the observe nodes
+    // ride the plan but the pair set is exactly the unsalted algebra's
+    val docs = Seq(
+      (10L, "a b c d e f g h i j"),
+      (11L, "a b c d e f g h i j"),
+      (12L, "z y x w v u t s r q")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", blocks = 4, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 11L)))
+  }
+}
