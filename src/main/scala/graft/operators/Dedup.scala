@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashExpressions
@@ -319,20 +319,37 @@ object Dedup {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
     val sigs = minhashSignatures(docs, idCol, textCol, n, k) // exchange-reused, not cached
-    val banded = sigs.select(col("id"),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rows + 1, $rows))"))
-          .as(Seq("band", "bh")))
+    val banded = bandRows(sigs, bands, rows)
     val cand = saltedSelfCandidates(banded, Seq("band", "bh"), tag = "d3")
+    minhashVerify(cand, sigs, k, threshold)
+  }
+
+  /** Band rows (id, band, bh) for `sigs` = (id, sig): band `b` carries
+    * the signature SLICE rows [b·rows+1, b·rows+rows]. One definition
+    * shared by the self-join path ([[minhashLshPairs]]) and the landed-
+    * index path ([[landMinhashIndex]]/[[incrementalMinhashPairs]]) so
+    * the two bucketings can never drift.
+    */
+  private def bandRows(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rows + 1, $rows))"))
+        .as(Seq("band", "bh")))
+
+  /** Shared signature-verify tail: re-join (id, sig) onto ids-only
+    * candidates, estimate Jaccard as the matching-component fraction
+    * (one codegen pass, [[HashExpressions.longEqCount]] — same integer
+    * count as the aggregate(zip_with(IF =)) twin the DuckDB oracle
+    * replays), threshold, and report 4-dp rounded.
+    */
+  private def minhashVerify(cand: DataFrame, sigs: DataFrame, k: Int,
+                            threshold: Double): DataFrame =
     cand.join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
       .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
       .withColumn("est_jaccard",
-        // one codegen pass (longEqCount) — same integer count as the
-        // aggregate(zip_with(IF =)) twin the DuckDB oracle replays
         HashExpressions.longEqCount(col("sig_a"), col("sig_b"))
           .cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
-  }
 
   /** Connected components over a near-dup pair list: every document in a
     * component gets the component's minimum id as its cluster id (the
@@ -664,5 +681,139 @@ object Dedup {
       .select(col("id"), col("cid"))
     val cand = saltedSelfCandidates(assigned, Seq("cid"), tag = "d10")
     verifiedCosPairs(cand, base, threshold)
+  }
+
+  // --- incremental (arriving-batch-vs-landed-corpus) dedup (d11) -----------
+  // The production shape: a pipeline lands a 100 TB corpus ONCE as a
+  // queryable index, then every arriving batch probes that index without
+  // recomputing a single corpus signature. The reference's analog is the
+  // skip-existing anti-join of its ingest (deep-field pages.py:92-116 —
+  // "don't refetch what the cache already holds"); here the same idea is
+  // applied to near-dup state at corpus scale.
+
+  /** Land the d3 MinHash/LSH index for `docs` as BUCKETED parquet tables
+    * under `dir` (catalog names `<tableBase>_sigs` / `_bands` /
+    * `_meta`):
+    *
+    *  - `_sigs` (id, sig) bucketed by id — the verify side;
+    *  - `_bands` (id, band, bh, bkey) bucketed by bkey =
+    *    xxhash64(band, bh) — the probe side. A LARGE arriving batch can
+    *    shuffle-join on bkey co-located with these buckets (no
+    *    index-side exchange, the PlanAuditSpec bucketed-landing payoff);
+    *    a small batch broadcasts and the buckets just bound task sizes;
+    *  - `_meta` one row (n, k, bands, n_docs) so a probe can never run
+    *    with drifted parameters.
+    *
+    * Band rows derive from the LANDED sigs table, so signatures are
+    * computed exactly once per corpus document and the index is
+    * internally consistent even if `docs` is nondeterministic upstream.
+    */
+  def landMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, k: Int, bands: Int,
+                       tableBase: String, dir: String,
+                       nBuckets: Int = 32): Unit = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val spark = docs.sparkSession
+    val rows = k / bands
+    graft.sources.Sinks.bucketed(
+      minhashSignatures(docs, idCol, textCol, n, k),
+      s"${tableBase}_sigs", "id", nBuckets, path = Some(s"$dir/sigs"))
+    val landedSigs = spark.table(s"${tableBase}_sigs")
+    graft.sources.Sinks.bucketed(
+      bandRows(landedSigs, bands, rows)
+        .withColumn("bkey", xxhash64(col("band"), col("bh"))),
+      s"${tableBase}_bands", "bkey", nBuckets, path = Some(s"$dir/bands"))
+    val nDocs = landedSigs.count()
+    spark.createDataFrame(Seq((n, k, bands, nDocs)))
+      .toDF("n", "k", "bands", "n_docs")
+      .write.mode(SaveMode.Overwrite).option("path", s"$dir/meta")
+      .saveAsTable(s"${tableBase}_meta")
+  }
+
+  /** Near-dup pairs INVOLVING an arriving batch, probed against a landed
+    * [[landMinhashIndex]] — bit-identical to running [[minhashLshPairs]]
+    * over (corpus ∪ batch) and keeping the pairs with at least one batch
+    * member (a spec pins the parity), at the cost of the BATCH, not the
+    * corpus:
+    *
+    *  - batch signatures/bands are computed fresh (one pass over the
+    *    batch, cached — it is batch-sized by definition);
+    *  - batch×corpus candidates stream the landed band index past the
+    *    batch bands — with `broadcastBatch` (the default, right whenever
+    *    the batch fits the broadcast budget) the index scan never
+    *    shuffles at all; a corpus-sized batch flips to a shuffle join
+    *    whose index side is already bucketed on the join key bkey;
+    *  - batch-internal candidates reuse the d3 salted self-join on the
+    *    tiny batch side;
+    *  - the verify re-joins signatures by id from landed-sigs ∪ batch-
+    *    sigs: the candidate set is batch-proportional, so AQE broadcasts
+    *    it into the fixed-width sig scans.
+    *
+    * Ids must be disjoint between batch and corpus (arriving data has
+    * new ids; a re-landed id would self-pair and is dropped defensively).
+    */
+  def incrementalMinhashPairs(spark: SparkSession, newDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              tableBase: String, threshold: Double,
+                              broadcastBatch: Boolean = true): DataFrame = {
+    val meta = spark.table(s"${tableBase}_meta").head()
+    val (n, k, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val rows = k / bands
+    val idxSigs = spark.table(s"${tableBase}_sigs")
+    val idxBands = spark.table(s"${tableBase}_bands")
+    val bSigs = minhashSignatures(newDocs, idCol, textCol, n, k).cache()
+    val bBands = bandRows(bSigs, bands, rows)
+      .withColumn("bkey", xxhash64(col("band"), col("bh")))
+    val probe = if (broadcastBatch) broadcast(bBands) else bBands
+    // join includes bkey FIRST so the shuffle regime co-locates with the
+    // index buckets; band+bh make the match exact (bkey alone could
+    // collide)
+    val cross = idxBands.as("c").join(probe.as("p"),
+        col("c.bkey") === col("p.bkey") && col("c.band") === col("p.band") &&
+          col("c.bh") === col("p.bh") && col("c.id") =!= col("p.id"))
+      .select(least(col("c.id"), col("p.id")).as("id_a"),
+        greatest(col("c.id"), col("p.id")).as("id_b"))
+      .distinct()
+    val intra = saltedSelfCandidates(bBands.select("id", "band", "bh"),
+      Seq("band", "bh"), tag = "d11")
+    val cand = cross.union(intra).distinct()
+    minhashVerify(cand, idxSigs.unionByName(bSigs), k, threshold)
+  }
+
+  /** Land the d1 exact-dedup state — (content_sha, keep_id, n_copies),
+    * bucketed by the digest — as the `<tableBase>_sha` table under
+    * `dir/sha`.
+    */
+  def landShaIndex(docs: DataFrame, idCol: String, textCol: String,
+                   tableBase: String, dir: String, nBuckets: Int = 32): Unit =
+    graft.sources.Sinks.bucketed(
+      exactDedup(docs, idCol, textCol),
+      s"${tableBase}_sha", "content_sha", nBuckets, path = Some(s"$dir/sha"))
+
+  /** Classify an arriving batch against a landed [[landShaIndex]]: per
+    * batch doc, the corpus survivor sharing its content (if any), the
+    * minimum same-content id WITHIN the batch, and whether the doc is
+    * genuinely new (no corpus copy, first of its content in the batch) —
+    * the skip-existing decision every ingest makes, with zero corpus
+    * re-hash. Join shape: the landed index streams past the BROADCAST
+    * distinct batch digests (no corpus shuffle), and the surviving
+    * matches — batch-proportional — broadcast back onto the batch.
+    */
+  def incrementalExactDedup(spark: SparkSession, newDocs: DataFrame,
+                            idCol: String, textCol: String,
+                            tableBase: String): DataFrame = {
+    val idx = spark.table(s"${tableBase}_sha")
+    val batch = newDocs.select(col(idCol).as("doc_id"),
+      sha2(col(textCol).cast("binary"), 256).as("content_sha"))
+    val matches = idx.join(broadcast(batch.select("content_sha").distinct()),
+      Seq("content_sha")).select(col("content_sha"), col("keep_id").as("corpus_keep_id"))
+    val wSha = org.apache.spark.sql.expressions.Window.partitionBy("content_sha")
+    batch
+      .withColumn("batch_keep_id", min("doc_id").over(wSha))
+      .join(broadcast(matches), Seq("content_sha"), "left")
+      .select(col("doc_id"), col("content_sha"), col("corpus_keep_id"),
+        col("batch_keep_id"),
+        (col("corpus_keep_id").isNull && col("doc_id") === col("batch_keep_id"))
+          .as("is_new"))
   }
 }

@@ -227,6 +227,23 @@ object DocumentSuite {
         .orderBy("id_a", "id_b")
     }),
 
+    // incremental batch-vs-landed-corpus dedup: 90% of the corpus lands
+    // as a bucketed MinHash index ONCE, the other 10% arrives as a batch
+    // and probes it — pairs involving a batch doc, bit-identical to d3
+    // over the full set restricted to those pairs (the oracle is exactly
+    // that restriction). Landing happens at query-construction time into
+    // a Spool dir (the d9 spool pattern); the probe itself never touches
+    // a corpus document.
+    "d11_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.sources.Spool.dir(s, "d11_idx")
+      Dedup.landMinhashIndex(docs.filter(col("doc_id") % 10 =!= 3),
+        "doc_id", "text", n = 3, k = 64, bands = 16, "graft_d11_idx", dir)
+      Dedup.incrementalMinhashPairs(s, docs.filter(col("doc_id") % 10 === 3),
+        "doc_id", "text", "graft_d11_idx", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- similarity search -------------------------------------------------
     "a1_ann_brute_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -850,6 +867,37 @@ object DocumentSuite {
          |  FROM cand)
          |SELECT id_a, id_b, ROUND(ej, 4) AS est_jaccard
          |FROM est WHERE ej >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // the d3 algebra verbatim, restricted to pairs with at least one
+    // batch member (doc_id % 10 = 3) — the incremental probe must be
+    // bit-identical to the full recompute on exactly that slice
+    "d11_dedup_incremental" ->
+      s"""WITH ${minhashCoefCte(64)},
+         |toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+         |hs AS (SELECT doc_id, (${fnvSql("s")}) % $M61::HUGEINT AS h FROM sh),
+         |sigj AS (
+         |  SELECT doc_id, j, MIN(((ca * h) % $M61::HUGEINT + cb) % $M61::HUGEINT) AS sj
+         |  FROM hs, coef GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id AS id, list(CAST(sj AS BIGINT) ORDER BY j) AS sig
+         |        FROM sigj GROUP BY doc_id),
+         |banded AS (
+         |  SELECT id, sig, b, sig[4*b+1 : 4*b+4] AS bh
+         |  FROM sig, UNNEST(range(0, 16)) AS u2(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.id < b.id),
+         |est AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE) / 64 AS ej
+         |  FROM cand)
+         |SELECT id_a, id_b, ROUND(ej, 4) AS est_jaccard
+         |FROM est WHERE ej >= 0.5 AND (id_a % 10 = 3 OR id_b % 10 = 3)
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "d4_dedup_simhash" ->
       s"""WITH tok AS (

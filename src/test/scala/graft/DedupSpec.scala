@@ -407,6 +407,56 @@ class DedupSpec extends SparkSpec {
       s"result lineage spans $depth RDDs — checkpointing is not truncating it:\n${out.rdd.toDebugString}")
   }
 
+  test("incremental minhash probe is bit-identical to full recompute on batch pairs") {
+    // the d11 contract: land the corpus slice as a bucketed index, probe
+    // the batch, and the result must equal minhashLshPairs over the FULL
+    // set restricted to pairs with >= 1 batch member — including the
+    // rounded est_jaccard, parquet-roundtripped signatures and all
+    val all = graft.sources.Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 5 =!= 2)
+    val batch = all.filter(col("doc_id") % 5 === 2)
+    val dir = graft.sources.Spool.tempRoot("d11_parity")
+    try {
+      Dedup.landMinhashIndex(corpus, "doc_id", "text", n = 3, k = 64,
+        bands = 16, "graft_d11_spec", dir)
+      val got = Dedup.incrementalMinhashPairs(spark, batch, "doc_id", "text",
+        "graft_d11_spec", threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = Dedup.minhashLshPairs(all, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.3)
+        .filter(col("id_a") % 5 === 2 || col("id_b") % 5 === 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.nonEmpty, "parity slice produced no pairs — split keeps the test vacuous")
+      assert(got == want)
+    } finally {
+      Seq("sigs", "bands", "meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_d11_spec_$s"))
+    }
+  }
+
+  test("incremental exact-dedup classifies batch docs against the landed sha index") {
+    val corpus = Seq((0L, "aaa"), (1L, "bbb"), (2L, "aaa")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "aaa"), // dup of corpus survivor 0
+      (11L, "ccc"), (12L, "ccc"), // new content, 11 is the batch survivor
+      (13L, "ddd") // genuinely new singleton
+    ).toDF("doc_id", "text")
+    val dir = graft.sources.Spool.tempRoot("d1_inc")
+    try {
+      Dedup.landShaIndex(corpus, "doc_id", "text", "graft_d1_spec", dir)
+      val rows = Dedup.incrementalExactDedup(spark, batch, "doc_id", "text", "graft_d1_spec")
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3), r.getBoolean(4))))
+        .toMap
+      assert(rows(10L) == ((Some(0L), 10L, false))) // corpus copy wins
+      assert(rows(11L) == ((None, 11L, true))) // first of new content
+      assert(rows(12L) == ((None, 11L, false))) // batch-internal dup
+      assert(rows(13L) == ((None, 13L, true)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_d1_spec_sha")
+    }
+  }
+
   test("dedupClusters uses a RELIABLE checkpoint when the session has a checkpoint dir") {
     // with a checkpoint dir configured, the every-3rd-round truncation
     // must write through it (surviving executor loss) instead of

@@ -408,6 +408,45 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("d11: the landed band index streams into a broadcast probe without shuffling") {
+    // the incremental-dedup payoff: probing an arriving batch must cost
+    // the BATCH, so the corpus-sized `_bands` scan has to reach its join
+    // as the STREAMED side of a BroadcastHashJoin with no Exchange in
+    // between — a shuffle of the index here is the 100 TB bottleneck
+    // this operator exists to remove
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = SparkEntry.queries("d11_dedup_incremental")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    // AQE wraps the final plan in leaf-like nodes (AdaptiveSparkPlanExec,
+    // per-stage QueryStageExec), so a plain collect sees nothing — unwrap
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: inner.flatMap(allNodes)
+    }
+    val joins = allNodes(df.queryExecution.executedPlan)
+      .collect { case b: BroadcastHashJoinExec => b }
+    def streamedOf(b: BroadcastHashJoinExec): SparkPlan =
+      if (b.buildSide.toString.contains("Right")) b.left else b.right
+    // the probe join is the one KEYED on the band-bucket key; downstream
+    // verify joins also have the bands scan in their lineage but join on id
+    val probe = joins.filter(b =>
+      b.leftKeys.mkString(",").contains("bkey") &&
+        streamedOf(b).toString.contains("graft_d11_idx_bands"))
+    assert(probe.nonEmpty, "no broadcast join streaming the _bands index found:\n" +
+      df.queryExecution.executedPlan.toString)
+    probe.foreach { b =>
+      assert(!allNodes(streamedOf(b)).exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"the index side of the d11 probe join must not shuffle:\n${streamedOf(b)}")
+    }
+  }
+
   test("t9: tf and df share one corpus scan via exchange reuse") {
     // the df branch aggregates the ALREADY-AGGREGATED tf table by
     // reusing tf's (id, term) shuffle — without the reuse the corpus is
