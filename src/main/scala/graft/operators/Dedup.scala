@@ -683,6 +683,44 @@ object Dedup {
     verifiedCosPairs(cand, base, threshold)
   }
 
+  /** Survivor-mode dedup (d12) — the composed operator production
+    * actually runs: near-dup PAIRS (any generator: d2/d3/d5/d10) →
+    * connected components → keep-min-id, emitting one row PER DOCUMENT
+    * `(doc_id, cluster_id, survivor)`. Documents in no pair are their
+    * own singleton cluster (survivor = true), so the output is the
+    * complete keep/drop manifest a pipeline filters the corpus by —
+    * Θ(n) rows regardless of how pair-dense the duplicate clusters are.
+    *
+    * Scale posture: the pair list is the dangerous intermediate — at a
+    * loose threshold it is Θ(n²/k) (the r14 d5 measurement) and must
+    * not sit in executor storage for the whole component iteration. So
+    * the pairs are evaluated ONCE into a disk spool (the candidate/
+    * verify machinery never re-runs), and [[dedupClusters]] reads edges
+    * from the spool: executor memory holds only the CURRENT round's
+    * contracted edge set (which shrinks toward one edge per non-root
+    * node), with the every-3rd-round checkpoint bounding lineage.
+    * `allIds` must be a single-column frame of every document id.
+    */
+  def dedupSurvivors(allIds: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = allIds.sparkSession
+    val idName = allIds.columns.head
+    val spool = graft.sources.Spool.dir(spark, "d12_pairs")
+    val edgeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a", pairs.schema.fields(0).dataType),
+      org.apache.spark.sql.types.StructField("id_b", pairs.schema.fields(1).dataType)))
+    pairs.select(col(pairs.columns(0)).as("id_a"), col(pairs.columns(1)).as("id_b"))
+      .write.mode(SaveMode.Overwrite).parquet(spool)
+    // explicit schema: an empty pair set may land zero part files (the
+    // d9 precedent), and the empty relation is the correct answer
+    val edges = spark.read.schema(edgeSchema).parquet(spool)
+    val labels = dedupClusters(edges)
+    allIds.select(col(idName).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("survivor", col("doc_id") === col("cluster_id"))
+  }
+
   // --- incremental (arriving-batch-vs-landed-corpus) dedup (d11) -----------
   // The production shape: a pipeline lands a 100 TB corpus ONCE as a
   // queryable index, then every arriving batch probes that index without

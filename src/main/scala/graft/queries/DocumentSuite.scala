@@ -227,6 +227,20 @@ object DocumentSuite {
         .orderBy("id_a", "id_b")
     }),
 
+    // survivor-mode composed dedup: d10's geometric candidate generator
+    // (cell-bounded, linear enumeration — the attributed r14 result; the
+    // d5 LSH generator at loose τ is output-bound) feeds exact-cosine
+    // verified pairs through a disk spool into the d6 star-contraction
+    // components, emitting the complete per-document keep/drop manifest
+    "d12_dedup_survivors" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Dedup.dedupSurvivors(
+        e.select("vec_id"),
+        Dedup.semanticDedupPairs(e, "vec_id", "embedding", threshold = 0.4)
+          .select("id_a", "id_b"))
+        .orderBy("doc_id")
+    }),
+
     // incremental batch-vs-landed-corpus dedup: 90% of the corpus lands
     // as a bucketed MinHash index ONCE, the other 10% arrives as a batch
     // and probes it — pairs involving a batch doc, bit-identical to d3
@@ -1081,6 +1095,30 @@ object DocumentSuite {
          |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id)
          |SELECT id_a, id_b, ROUND(cos, 6) AS cos
          |FROM scored WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    // d10's pair algebra + the d6 recursive-components CTE + a left join
+    // back to every vec_id: singletons label themselves, survivor =
+    // (doc_id = cluster_id)
+    "d12_dedup_survivors" ->
+      s"""WITH RECURSIVE cents AS ${centsSampleSqlSized},
+         |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |assign AS ${ivfAssignCte("", keep = 1, "id", "v")},
+         |scored AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, ${cosSqlZ("a.v", "b.v")} AS cos
+         |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id),
+         |jp AS (SELECT id_a, id_b FROM scored WHERE cos >= 0.4),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, g.b FROM reach r JOIN edges g ON r.dst = g.a),
+         |lab AS (SELECT src, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT v.vec_id AS doc_id,
+         |  COALESCE(lab.cluster_id, v.vec_id) AS cluster_id,
+         |  COALESCE(lab.cluster_id, v.vec_id) = v.vec_id AS survivor
+         |FROM embeddings v LEFT JOIN lab ON lab.src = v.vec_id
+         |ORDER BY doc_id""".stripMargin,
 
     "m4_resize_plan" ->
       """WITH meta AS (

@@ -434,6 +434,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupSurvivors emits a complete manifest: components labeled, singletons survive") {
+    val ids = (0L to 9L).toDF("vec_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupSurvivors(ids, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val want = (0L to 9L).map { i =>
+      val c = if (i <= 2) 0L else if (i == 4 || i == 7) 4L else i
+      (i, c, i == c)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("dedupSurvivors with no pairs labels everything its own survivor") {
+    val ids = (0L to 4L).toDF("vec_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.dedupSurvivors(ids, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == (0L to 4L).map(i => (i, i, true)).toSet)
+  }
+
   test("incremental exact-dedup classifies batch docs against the landed sha index") {
     val corpus = Seq((0L, "aaa"), (1L, "bbb"), (2L, "aaa")).toDF("doc_id", "text")
     val batch = Seq(
