@@ -34,19 +34,73 @@ object Multimodal {
         col("kind"),
         col("payload"))
 
+  final case class Decoded(width: Int, height: Int, nFrames: Int, meanLuma: Double)
+
   /** DETERMINISTIC FAKE DECODER — stands in for an image/audio codec.
     * Output dimensions are a pure function of the payload digest, so the
-    * pipeline is testable end-to-end without media libraries.
+    * pipeline is testable end-to-end without media libraries, and the
+    * DuckDB oracle can replay the arithmetic (the m2 oracle twin). It
+    * accepts ANY byte payload, which is what makes it the oracle-side
+    * decoder; [[ImageIoDecoder]] is the real-codec leg behind the same
+    * contract.
     */
   object StubDecoder {
-    final case class Decoded(width: Int, height: Int, nFrames: Int, meanLuma: Double)
-    def decode(payload: Array[Byte]): Decoded = {
+    def decode(payload: Array[Byte]): Option[Decoded] = {
       val h = HashKernels.fnv1a64Bytes(payload)
       val w = 64 + (java.lang.Long.remainderUnsigned(h, 1024L)).toInt
       val ht = 64 + (java.lang.Long.remainderUnsigned(h >>> 11, 1024L)).toInt
       val nf = 1 + (java.lang.Long.remainderUnsigned(h >>> 22, 16L)).toInt
       val luma = (java.lang.Long.remainderUnsigned(h >>> 26, 256L)).toDouble / 255.0
-      Decoded(w, ht, nf, luma)
+      Some(Decoded(w, ht, nf, luma))
+    }
+  }
+
+  /** REAL image decoder over the JDK's public `javax.imageio` — the
+    * deployment leg of the [[decodeBatch]] contract for PNG/JPEG/GIF/BMP
+    * payloads (the formats the JDK ships readers for; a cluster image
+    * pipeline swaps in its codec here and nothing around it changes):
+    *
+    *  - dimensions and frame count come from the container (GIF frame
+    *    sequences report every frame via `getNumImages`);
+    *  - `meanLuma` is the Rec.601 luma of the FIRST frame averaged over
+    *    all pixels, normalized to [0, 1] — a real pixel statistic, so
+    *    the spec can assert it against independently computed values;
+    *  - undecodable bytes (no registered reader / truncated stream)
+    *    return None and the row is SKIPPED by [[decodeBatch]] — a media
+    *    pipeline drops what it cannot decode rather than dying mid-scan.
+    */
+  object ImageIoDecoder {
+    def decode(payload: Array[Byte]): Option[Decoded] = {
+      import javax.imageio.ImageIO
+      val in = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(in, false, true)
+            val nFrames = math.max(1, reader.getNumImages(true))
+            val img = reader.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            Some(Decoded(w, h, nFrames, sum / (w.toLong * h) / 255.0))
+          } finally reader.dispose()
+        }
+      } catch {
+        case _: java.io.IOException => None
+      } finally in.close()
     }
   }
 
@@ -95,8 +149,15 @@ object Multimodal {
     * per-row setup) — the same shape a real Arrow-batched media UDF has.
     * Partition count follows the scan, so a 100 TB corpus fans out across
     * executors with no shuffle at all.
+    *
+    * `decoder` is the swap point: [[StubDecoder.decode]] (default — the
+    * deterministic oracle twin) or [[ImageIoDecoder.decode]] (real JDK
+    * codec) or a deployment's own; rows whose payload the decoder
+    * rejects (None) are dropped, like null ids/payloads.
     */
-  def decodeBatch(docs: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+  def decodeBatch(docs: DataFrame, idCol: String, payloadCol: String,
+                  decoder: Array[Byte] => Option[Decoded] = StubDecoder.decode)
+      : DataFrame = {
     val spark = docs.sparkSession
     val input = docs.select(col(idCol).cast("long").as("doc_id"),
       col(payloadCol).cast("binary").as("payload"))
@@ -106,10 +167,8 @@ object Multimodal {
       // null would silently read 0)
       iter.flatMap { ir =>
         if (ir.isNullAt(0) || ir.isNullAt(1)) None
-        else {
-          val d = StubDecoder.decode(ir.getBinary(1))
-          Some(Row(ir.getLong(0), d.width, d.height, d.nFrames, d.meanLuma))
-        }
+        else decoder(ir.getBinary(1)).map(d =>
+          Row(ir.getLong(0), d.width, d.height, d.nFrames, d.meanLuma))
       }
     }
     spark.createDataFrame(rdd, decodedSchema)

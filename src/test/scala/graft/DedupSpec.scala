@@ -559,6 +559,57 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ImageIoDecoder: real PNG/GIF payloads decode through the same batch contract") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def img(w: Int, h: Int, rgb: Int): BufferedImage = {
+      val b = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, rgb)
+      b
+    }
+    def png(b: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(b, "png", bos); bos.toByteArray
+    }
+    def gif(frames: Seq[BufferedImage]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val payloads = Seq(
+      (1L, png(img(8, 5, 0xffffff))), // white: luma 1.0
+      (2L, png(img(3, 7, 0x000000))), // black: luma 0.0
+      (3L, png(img(4, 4, 0xff0000))), // pure red: Rec.601 luma 0.299
+      (4L, gif(Seq(img(6, 6, 0x000000), img(6, 6, 0xffffff), img(6, 6, 0x000000)))),
+      (5L, Array[Byte](1, 2, 3, 4)) // no registered reader: dropped
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.decodeBatch(payloads, "doc_id", "payload",
+        Multimodal.ImageIoDecoder.decode)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "undecodable payload must drop, not die")
+    assert(out(1L)._1 == 8 && out(1L)._2 == 5 && out(1L)._3 == 1)
+    assert(math.abs(out(1L)._4 - 1.0) < 1e-9)
+    assert(out(2L) == ((3, 7, 1, 0.0)))
+    assert(math.abs(out(3L)._4 - 0.299) < 1e-9)
+    // the GIF container reports every frame; luma comes from frame 0 (black)
+    assert(out(4L)._3 == 3, s"gif frame count: ${out(4L)}")
+    assert(out(4L)._4 == 0.0)
+    // and the frame-sampling stage composes off the real decoder's counts
+    val frames = Multimodal.sampleFrames(
+      Multimodal.decodeBatch(payloads, "doc_id", "payload",
+        Multimodal.ImageIoDecoder.decode), everyKth = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(frames.count(_._1 == 4L) == 2) // frames 0 and 2
+  }
+
   test("multimodal stub decode is deterministic and preserves row count") {
     val withPayload = Multimodal.withPayloadMeta(docs, "doc_id", "text")
     val out = Multimodal.decodeBatch(withPayload, "doc_id", "payload")
