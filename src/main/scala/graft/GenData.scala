@@ -44,6 +44,19 @@ object GenData {
   private def pick(seed: Int, id: Column, values: Seq[String]): Column =
     element_at(array(values.map(lit): _*), pmod(h(seed, id), lit(values.size)).cast("int") + 1)
 
+  /** Zipf(s)-distributed rank in [0, n): inverse CDF of the bounded
+    * continuous power law, F⁻¹(u) = (1 + u·(n^(1−s) − 1))^(1/(1−s)),
+    * floored to an integer rank — rank 0 is the hot head (s = 1.1,
+    * n = 15000 puts ~11% of all draws on it). Pure column math from the
+    * same salted row hash as the uniform draw, so the skewed corpora
+    * stay bit-deterministic and any engine can replay the key algebra.
+    */
+  private def zipfKey(seed: Int, id: Column, n: Long, s: Double): Column = {
+    val e = 1.0 - s // negative for s > 1
+    val x = pow(lit(1.0) + u01(seed, id) * (math.pow(n.toDouble, e) - 1.0), 1.0 / e)
+    least(greatest((floor(x) - 1).cast("long"), lit(0L)), lit(n - 1))
+  }
+
   private def ntzDays(base: String, days: Column): Column =
     (unix_timestamp(lit(base), "yyyy-MM-dd") + days * 86400L)
       .cast("timestamp").cast("timestamp_ntz")
@@ -87,11 +100,16 @@ object GenData {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 || args.length == 3,
-      "usage: GenData <outDir> <sf> [tableCsv] — tableCsv is ONE comma-separated arg (e.g. 'events' or 'events,documents')")
-    val outDir = args(0)
-    val sf = args(1).toDouble
-    val only: Option[Set[String]] = if (args.length == 3) Some(args(2).split(",").toSet) else None
+    // trailing literal 'zipf' flips the fact-key distributions (orders
+    // o_custkey, lineitem l_orderkey, events user_id, documents source)
+    // from uniform to Zipf(1.1) — the skew-stress corpus for the
+    // q3/q21/t13 family; every other column is unchanged
+    val (zipf, rest) = (args.contains("zipf"), args.filterNot(_ == "zipf"))
+    require(rest.length == 2 || rest.length == 3,
+      "usage: GenData <outDir> <sf> [tableCsv] [zipf] — tableCsv is ONE comma-separated arg (e.g. 'events' or 'events,documents')")
+    val outDir = rest(0)
+    val sf = rest(1).toDouble
+    val only: Option[Set[String]] = if (rest.length == 3) Some(rest(2).split(",").toSet) else None
     // a typo'd table name must fail loudly, not silently generate nothing
     // and print a success summary
     only.foreach { ts =>
@@ -140,9 +158,12 @@ object GenData {
         .as("p_retailprice")), s"$outDir/part.parquet", nPart)
 
     // --- facts ------------------------------------------------------------
+    def key(seed: Int, n: Long): Column =
+      if (zipf) zipfKey(seed, col("id"), n, 1.1) else pmod(h(seed, col("id")), lit(n))
+
     if (wants("orders")) write(spark.range(nOrd).select(
       col("id").as("o_orderkey"),
-      pmod(h(41, col("id")), lit(nCust)).as("o_custkey"),
+      key(41, nCust).as("o_custkey"),
       pick(42, col("id"), Seq("F", "O", "P")).as("o_orderstatus"),
       round(lit(1000.0) + u01(43, col("id")) * 499000.0, 2).as("o_totalprice"),
       ntzDays("1995-01-01", pmod(h(44, col("id")), lit(2400))).as("o_orderdate"),
@@ -151,7 +172,7 @@ object GenData {
       s"$outDir/orders.parquet", nOrd)
 
     if (wants("lineitem")) write(spark.range(nLi).select(
-      pmod(h(51, col("id")), lit(nOrd)).as("l_orderkey"),
+      key(51, nOrd).as("l_orderkey"),
       pmod(h(52, col("id")), lit(nPart)).as("l_partkey"),
       pmod(h(53, col("id")), lit(nSupp)).as("l_suppkey"),
       (pmod(h(54, col("id")), lit(7)).cast("int") + 1).as("l_linenumber"),
@@ -172,7 +193,7 @@ object GenData {
       col("id").as("event_id"),
       (unix_timestamp(lit("2024-01-01"), "yyyy-MM-dd") * 1000000L +
         (u01(71, col("id")) * 30.0 * 86400.0 * 1000000.0).cast("long")).as("ts_us"),
-      pmod(h(72, col("id")), lit(n(15000))).as("user_id"),
+      key(72, n(15000)).as("user_id"),
       pick(73, col("id"), evTypes).as("event_type"),
       round(pow(u01(74, col("id")), 3.0) * 560.0, 2).as("value"),
       format_string("{\"k\": %d}", pmod(h(75, col("id")), lit(100))).as("props"))
@@ -214,7 +235,7 @@ object GenData {
       .otherwise(pick(84, col("id"), Seq("de", "es", "zh", "fr")))
     if (wants("documents")) write(spark.range(nDoc).select(
       col("id").as("doc_id"), text.as("text"), lang.as("lang"),
-      concat(lit("src"), pmod(h(85, col("id")), lit(20)).cast("string")).as("source"))
+      concat(lit("src"), key(85, 20).cast("string")).as("source"))
       .withColumn("n_chars", length(col("text")).cast("long")),
       s"$outDir/documents.parquet", nDoc)
 
@@ -236,7 +257,7 @@ object GenData {
       .map { case (t, c) => s""""$t": $c""" }
     val tablesField = only.map(ts =>
       s""", "tables": "${ts.toSeq.sorted.mkString(",")}"""").getOrElse("")
-    println(s"""{"gen": "$outDir", "sf": $sf$tablesField${
+    println(s"""{"gen": "$outDir", "sf": $sf, "zipf": $zipf$tablesField${
       if (written.nonEmpty) written.mkString(", ", ", ", "") else ""}}""")
     spark.stop()
   }

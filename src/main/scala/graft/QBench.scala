@@ -18,6 +18,15 @@ object QBench {
     val reps = if (args.length > 1) args(1).toInt else 3
     val explain = sys.env.get("QBENCH_EXPLAIN").contains("1")
     val spark = GraftSession.local()
+    // QBENCH_SQL_CONF="k=v;k=v" — runtime SQL-conf overrides applied on
+    // the live session (GraftSession.builder pins e.g. the broadcast
+    // threshold, so -D system properties can't reach past it; the skew
+    // diagnostics need to flip such knobs per run)
+    sys.env.get("QBENCH_SQL_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     spark.range(1000000).selectExpr("sum(id)").collect() // JIT/codegen warm
     // Spark's own codegen metrics — deltas per rep attribute how much of
     // a cold first run is one-shot code generation vs real work. The
@@ -43,10 +52,16 @@ object QBench {
         // profile would measure the parquet scan, not the kernel.
         // toRdd materializes every row of the plan as built. (r12 ADVICE.)
         val (c0, ms0) = codegenMs()
-        val cnt = fn(spark, sfDir).queryExecution.toRdd.count()
+        val df = fn(spark, sfDir)
+        val cnt = df.queryExecution.toRdd.count()
         val (c1, ms1) = codegenMs()
         println(f"[qbench] $n rep $r: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$cnt " +
           f"codegen=${c1 - c0} compiles/${math.max(ms1 - ms0, 0)}ms")
+        // the FINALIZED adaptive plan (AQE decisions — broadcast
+        // conversions, skew-join splits marked `skew=true` — only exist
+        // post-execution; the pre-run explain above can't show them)
+        if (r == reps && sys.env.get("QBENCH_FINAL_PLAN").contains("1"))
+          println(s"[qbench-final-plan] $n\n${df.queryExecution.executedPlan}")
       }
     }
     spark.stop()
