@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.GraftSession
+import graft.operators.Dedup
+
+/** Developer diagnostic for the d11 batch-proportionality claim: time
+  * the LAND and PROBE phases of the incremental MinHash index
+  * separately (the gate/QBench timings fuse them — the query lands the
+  * index at construction).
+  *
+  * `runMain graft.IncBench <docsDir> <batchN> [nBuckets]`
+  *
+  * Corpus = the full documents table at `docsDir`; batch = the first
+  * `batchN` docs re-identified at +10^9 (disjoint ids, real content —
+  * the arriving-data shape). Prints one JSON line with land/probe wall
+  * seconds, pair count, and the probe plan's SelectedBucketsCount
+  * evidence (index-bucket pruning).
+  */
+object IncBench {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: IncBench <docsDir> <batchN> [nBuckets]")
+    val (docsDir, batchN) = (args(0), args(1).toInt)
+    val nBuckets = if (args.length > 2) args(2).toInt else 32
+    val spark = GraftSession.local()
+    spark.range(1000000).selectExpr("sum(id)").collect() // JIT warm
+    val docs = graft.sources.Tables.documents(spark, docsDir)
+    val batch = docs.filter(col("doc_id") < batchN)
+      .withColumn("doc_id", col("doc_id") + 1000000000L)
+    val dir = graft.sources.Spool.tempRoot("incbench")
+    val t0 = System.nanoTime()
+    Dedup.landMinhashIndex(docs, "doc_id", "text", n = 3, k = 64, bands = 16,
+      "graft_incbench", dir, nBuckets = nBuckets)
+    val tLand = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val df = Dedup.incrementalMinhashPairs(spark, batch, "doc_id", "text",
+      "graft_incbench", threshold = 0.5)
+    val pairs = df.queryExecution.toRdd.count()
+    val tProbe = (System.nanoTime() - t1) / 1e9
+    val selected = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+      .map(m => s""""buckets_scanned": ${m.group(1)}, "buckets_total": ${m.group(2)}""")
+      .getOrElse(""""buckets_scanned": null""")
+    val nCorpus = docs.count()
+    println(s"""{"corpus": "$docsDir", "n_corpus": $nCorpus, "n_batch": $batchN, """ +
+      s""""n_buckets": $nBuckets, "land_sec": ${f"$tLand%.2f"}, """ +
+      s""""probe_sec": ${f"$tProbe%.2f"}, "pairs": $pairs, $selected}""")
+    spark.stop()
+  }
+}

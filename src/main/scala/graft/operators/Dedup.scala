@@ -803,10 +803,25 @@ object Dedup {
     val bBands = bandRows(bSigs, bands, rows)
       .withColumn("bkey", xxhash64(col("band"), col("bh")))
     val probe = if (broadcastBatch) broadcast(bBands) else bBands
+    // Index-bucket pruning: the batch's distinct bkey set (batch-sized —
+    // |batch|·bands values, one driver-side collect, the same sanctioned
+    // class as d9's sketch head()) becomes an InSet filter on the scan's
+    // BUCKET column, so Spark's bucket pruning skips every index FILE
+    // whose bucket holds none of the batch's keys. With nBuckets sized
+    // to the corpus (thousands at 100 TB), a small batch touches
+    // ~|batch|·bands/nBuckets of the index files and the probe's IO is
+    // batch-proportional, not corpus-proportional. Guarded: a huge batch
+    // covers every bucket anyway, and a million-literal InSet costs more
+    // in planning than it prunes.
+    val idxPruned = {
+      val bkeys = bBands.select("bkey").distinct().limit(100001).collect()
+      if (bkeys.length > 100000) idxBands
+      else idxBands.filter(col("bkey").isInCollection(bkeys.map(_.getLong(0)).toSeq))
+    }
     // join includes bkey FIRST so the shuffle regime co-locates with the
     // index buckets; band+bh make the match exact (bkey alone could
     // collide)
-    val cross = idxBands.as("c").join(probe.as("p"),
+    val cross = idxPruned.as("c").join(probe.as("p"),
         col("c.bkey") === col("p.bkey") && col("c.band") === col("p.band") &&
           col("c.bh") === col("p.bh") && col("c.id") =!= col("p.id"))
       .select(least(col("c.id"), col("p.id")).as("id_a"),

@@ -251,9 +251,9 @@ object DocumentSuite {
     "d11_dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dir = graft.sources.Spool.dir(s, "d11_idx")
-      Dedup.landMinhashIndex(docs.filter(col("doc_id") % 10 =!= 3),
+      Dedup.landMinhashIndex(docs.filter(col("doc_id") % 10 =!= 8),
         "doc_id", "text", n = 3, k = 64, bands = 16, "graft_d11_idx", dir)
-      Dedup.incrementalMinhashPairs(s, docs.filter(col("doc_id") % 10 === 3),
+      Dedup.incrementalMinhashPairs(s, docs.filter(col("doc_id") % 10 === 8),
         "doc_id", "text", "graft_d11_idx", threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
@@ -883,7 +883,7 @@ object DocumentSuite {
          |FROM est WHERE ej >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     // the d3 algebra verbatim, restricted to pairs with at least one
-    // batch member (doc_id % 10 = 3) — the incremental probe must be
+    // batch member (doc_id % 10 = 8) — the incremental probe must be
     // bit-identical to the full recompute on exactly that slice
     "d11_dedup_incremental" ->
       s"""WITH ${minhashCoefCte(64)},
@@ -910,7 +910,7 @@ object DocumentSuite {
          |    CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE) / 64 AS ej
          |  FROM cand)
          |SELECT id_a, id_b, ROUND(ej, 4) AS est_jaccard
-         |FROM est WHERE ej >= 0.5 AND (id_a % 10 = 3 OR id_b % 10 = 3)
+         |FROM est WHERE ej >= 0.5 AND (id_a % 10 = 8 OR id_b % 10 = 8)
          |ORDER BY id_a, id_b""".stripMargin,
 
     "d4_dedup_simhash" ->
