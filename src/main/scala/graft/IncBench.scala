@@ -42,10 +42,14 @@ object IncBench {
       .findFirstMatchIn(df.queryExecution.executedPlan.toString)
       .map(m => s""""buckets_scanned": ${m.group(1)}, "buckets_total": ${m.group(2)}""")
       .getOrElse(""""buckets_scanned": null""")
+    val t2 = System.nanoTime()
+    Dedup.absorbMinhashBatch(spark, batch, "doc_id", "text", "graft_incbench")
+    val tAbsorb = (System.nanoTime() - t2) / 1e9
     val nCorpus = docs.count()
     println(s"""{"corpus": "$docsDir", "n_corpus": $nCorpus, "n_batch": $batchN, """ +
       s""""n_buckets": $nBuckets, "land_sec": ${f"$tLand%.2f"}, """ +
-      s""""probe_sec": ${f"$tProbe%.2f"}, "pairs": $pairs, $selected}""")
+      s""""probe_sec": ${f"$tProbe%.2f"}, "absorb_sec": ${f"$tAbsorb%.2f"}, """ +
+      s""""pairs": $pairs, $selected}""")
     spark.stop()
   }
 }

@@ -762,10 +762,55 @@ object Dedup {
         .withColumn("bkey", xxhash64(col("band"), col("bh"))),
       s"${tableBase}_bands", "bkey", nBuckets, path = Some(s"$dir/bands"))
     val nDocs = landedSigs.count()
-    spark.createDataFrame(Seq((n, k, bands, nDocs)))
-      .toDF("n", "k", "bands", "n_docs")
-      .write.mode(SaveMode.Overwrite).option("path", s"$dir/meta")
+    writeIndexMeta(spark, tableBase, s"$dir/meta", n, k, bands, nDocs, nBuckets)
+  }
+
+  private def writeIndexMeta(spark: SparkSession, tableBase: String,
+                             metaPath: String, n: Int, k: Int, bands: Int,
+                             nDocs: Long, nBuckets: Int): Unit =
+    spark.createDataFrame(Seq((n, k, bands, nDocs, nBuckets)))
+      .toDF("n", "k", "bands", "n_docs", "n_buckets")
+      .write.mode(SaveMode.Overwrite).option("path", metaPath)
       .saveAsTable(s"${tableBase}_meta")
+
+  /** Absorb an arriving batch into a landed [[landMinhashIndex]] — the
+    * continuous-ingest loop: after probing ([[incrementalMinhashPairs]]),
+    * the batch's signatures and band rows APPEND to the bucketed index
+    * tables, so the NEXT arrival probes corpus ∪ everything absorbed and
+    * no landed document is ever re-signed. Appends go through the same
+    * bucketed writer with the landed bucket spec (one new file per
+    * touched bucket per batch — bkey co-location and bucket pruning keep
+    * working; when small-file counts accumulate, a re-land is the
+    * compaction). Meta's `n_docs` advances so downstream sizing reads
+    * the true corpus size. Ids must be disjoint from everything already
+    * absorbed — same contract as the probe.
+    */
+  def absorbMinhashBatch(spark: SparkSession, newDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         tableBase: String): Unit = {
+    val meta = spark.table(s"${tableBase}_meta").head()
+    val (n, k, bands, nDocs, nBuckets) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3), meta.getInt(4))
+    val rows = k / bands
+    val metaPath = spark.sql(s"DESCRIBE FORMATTED ${tableBase}_meta")
+      .filter(col("col_name") === "Location").head().getString(1)
+    val bSigs = minhashSignatures(newDocs, idCol, textCol, n, k)
+      .localCheckpoint() // one batch-sized pass; both appends + the count reuse it
+    graft.sources.Sinks.bucketed(bSigs, s"${tableBase}_sigs", "id", nBuckets,
+      mode = SaveMode.Append)
+    graft.sources.Sinks.bucketed(
+      bandRows(bSigs, bands, rows)
+        .withColumn("bkey", xxhash64(col("band"), col("bh"))),
+      s"${tableBase}_bands", "bkey", nBuckets, mode = SaveMode.Append)
+    writeIndexMeta(spark, tableBase, metaPath, n, k, bands,
+      nDocs + bSigs.count(), nBuckets)
+    // The bucketed append refreshes by PATH only; a reader that already
+    // resolved these tables holds an identifier-keyed cached relation
+    // whose file listing predates this append (observed: a streaming
+    // probe loop missing every row the previous batch absorbed).
+    // Invalidate by table identifier so the next probe lists afresh.
+    spark.catalog.refreshTable(s"${tableBase}_sigs")
+    spark.catalog.refreshTable(s"${tableBase}_bands")
   }
 
   /** Near-dup pairs INVOLVING an arriving batch, probed against a landed
@@ -815,6 +860,8 @@ object Dedup {
     // in planning than it prunes.
     val idxPruned = {
       val bkeys = bBands.select("bkey").distinct().limit(100001).collect()
+      graft.Metrics.set("d11", "probe_bkeys" -> bkeys.length.toLong,
+        "bucket_pruned" -> (bkeys.length <= 100000))
       if (bkeys.length > 100000) idxBands
       else idxBands.filter(col("bkey").isInCollection(bkeys.map(_.getLong(0)).toSeq))
     }

@@ -483,6 +483,39 @@ object DocumentSuite {
         s"($j, ${HashKernels.minhashA(j)}::HUGEINT, ${HashKernels.minhashB(j)}::HUGEINT)")
         .mkString(", ") + "))"
 
+  /** The full d3 MinHash/LSH algebra (3-shingles, k=64, 16 bands) as one
+    * DuckDB query, with `restrict` slicing the emitted pair set — shared
+    * by d3 (`TRUE`), d11 (pairs involving the arriving batch) and the
+    * streaming st9 oracle (pairs involving any arrival).
+    */
+  private[queries] def minhashPairsSql(restrict: String): String =
+    s"""WITH ${minhashCoefCte(64)},
+       |toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+       |hs AS (SELECT doc_id, (${fnvSql("s")}) % $M61::HUGEINT AS h FROM sh),
+       |sigj AS (
+       |  SELECT doc_id, j, MIN(((ca * h) % $M61::HUGEINT + cb) % $M61::HUGEINT) AS sj
+       |  FROM hs, coef GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id AS id, list(CAST(sj AS BIGINT) ORDER BY j) AS sig
+       |        FROM sigj GROUP BY doc_id),
+       |banded AS (
+       |  SELECT id, sig, b, sig[4*b+1 : 4*b+4] AS bh
+       |  FROM sig, UNNEST(range(0, 16)) AS u2(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+       |  FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.id < b.id),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE) / 64 AS ej
+       |  FROM cand)
+       |SELECT id_a, id_b, ROUND(ej, 4) AS est_jaccard
+       |FROM est WHERE ej >= 0.5 AND ($restrict)
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** The stub decoder's dimension arithmetic over the document payload —
     * the DuckDB twin of [[Multimodal.StubDecoder.decode]] (FNV of the
     * payload bytes, then bit-field extraction), shared by m2 and m3.
@@ -855,63 +888,13 @@ object DocumentSuite {
          |FROM b ORDER BY doc_id""".stripMargin
     },
 
-    "d3_dedup_minhash_lsh" ->
-      s"""WITH ${minhashCoefCte(64)},
-         |toks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-         |  WHERE len(string_split(text, ' ')) >= 3),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
-         |hs AS (SELECT doc_id, (${fnvSql("s")}) % $M61::HUGEINT AS h FROM sh),
-         |sigj AS (
-         |  SELECT doc_id, j, MIN(((ca * h) % $M61::HUGEINT + cb) % $M61::HUGEINT) AS sj
-         |  FROM hs, coef GROUP BY doc_id, j),
-         |sig AS (SELECT doc_id AS id, list(CAST(sj AS BIGINT) ORDER BY j) AS sig
-         |        FROM sigj GROUP BY doc_id),
-         |banded AS (
-         |  SELECT id, sig, b, sig[4*b+1 : 4*b+4] AS bh
-         |  FROM sig, UNNEST(range(0, 16)) AS u2(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
-         |  FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.id < b.id),
-         |est AS (
-         |  SELECT id_a, id_b,
-         |    CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE) / 64 AS ej
-         |  FROM cand)
-         |SELECT id_a, id_b, ROUND(ej, 4) AS est_jaccard
-         |FROM est WHERE ej >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "d3_dedup_minhash_lsh" -> minhashPairsSql("TRUE"),
 
     // the d3 algebra verbatim, restricted to pairs with at least one
     // batch member (doc_id % 10 = 8) — the incremental probe must be
     // bit-identical to the full recompute on exactly that slice
     "d11_dedup_incremental" ->
-      s"""WITH ${minhashCoefCte(64)},
-         |toks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-         |  WHERE len(string_split(text, ' ')) >= 3),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
-         |hs AS (SELECT doc_id, (${fnvSql("s")}) % $M61::HUGEINT AS h FROM sh),
-         |sigj AS (
-         |  SELECT doc_id, j, MIN(((ca * h) % $M61::HUGEINT + cb) % $M61::HUGEINT) AS sj
-         |  FROM hs, coef GROUP BY doc_id, j),
-         |sig AS (SELECT doc_id AS id, list(CAST(sj AS BIGINT) ORDER BY j) AS sig
-         |        FROM sigj GROUP BY doc_id),
-         |banded AS (
-         |  SELECT id, sig, b, sig[4*b+1 : 4*b+4] AS bh
-         |  FROM sig, UNNEST(range(0, 16)) AS u2(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
-         |  FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.id < b.id),
-         |est AS (
-         |  SELECT id_a, id_b,
-         |    CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE) / 64 AS ej
-         |  FROM cand)
-         |SELECT id_a, id_b, ROUND(ej, 4) AS est_jaccard
-         |FROM est WHERE ej >= 0.5 AND (id_a % 10 = 8 OR id_b % 10 = 8)
-         |ORDER BY id_a, id_b""".stripMargin,
+      minhashPairsSql("id_a % 10 = 8 OR id_b % 10 = 8"),
 
     "d4_dedup_simhash" ->
       s"""WITH tok AS (

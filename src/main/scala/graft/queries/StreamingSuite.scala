@@ -39,6 +39,13 @@ object StreamingSuite {
     // a per-user running ordinal whose counter state spans micro-batches
     "st8_stream_ordinal" -> ((s, d) => {
       EventStreams.runningOrdinal(s, d).orderBy("user_id", "ordinal")
+    }),
+    // continuous-ingest dedup: land the corpus index once, then each
+    // arriving micro-batch probes it for near-dup pairs and is absorbed
+    // so later arrivals pair against it (foreachBatch probe -> absorb)
+    "st9_stream_incremental_dedup" -> ((s, d) => {
+      graft.streaming.DocStreams.streamIncrementalDedup(s, d)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -134,6 +141,15 @@ object StreamingSuite {
       """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY epoch_ms(ts), event_id) AS BIGINT) AS ordinal
-        |FROM events ORDER BY user_id, ordinal""".stripMargin
+        |FROM events ORDER BY user_id, ordinal""".stripMargin,
+
+    // the d3 MinHash algebra over ALL documents, restricted to pairs
+    // involving an arrival (doc_id % 5 >= 3): each pair is emitted by
+    // exactly one micro-batch — the one processing its later-arriving
+    // member — so the drained union equals this set whatever the
+    // chunk order
+    "st9_stream_incremental_dedup" ->
+      graft.queries.DocumentSuite.minhashPairsSql(
+        "id_a % 5 >= 3 OR id_b % 5 >= 3")
   )
 }

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
+
+/** Streaming ingest over the `documents` table: the continuous-arrival
+  * twin of the d11 incremental dedup (SURVEY.md §2.4 st9).
+  *
+  * The reference's ingest is skip-what-the-cache-holds batch polling
+  * (deep-field pages.py:92-116); at corpus scale the same contract is a
+  * STREAM of arriving documents deduplicated against a landed index
+  * that each arrival then joins. This operator is that loop end-to-end:
+  * land once, then per micro-batch probe → emit pairs → absorb.
+  */
+object DocStreams {
+
+  private val qid = new AtomicInteger(0)
+
+  private val pairSchema = StructType(Seq(
+    StructField("id_a", LongType), StructField("id_b", LongType),
+    StructField("est_jaccard", DoubleType)))
+
+  /** st9: streaming incremental near-dup dedup. The corpus slice
+    * (doc_id % 5 < 3) lands once as the bucketed d3 MinHash index; the
+    * remaining documents arrive as a FILE SEQUENCE (one parquet file per
+    * arrival chunk, `maxFilesPerTrigger = 1` so each file is one
+    * micro-batch — the landed-drop layout a real deployment tails).
+    * Each micro-batch, inside `foreachBatch`:
+    *
+    *  1. anti-join the batch against the index's landed ids — the
+    *     redelivery guard: a replayed micro-batch (foreachBatch is
+    *     at-least-once) re-absorbs nothing and re-emits only pairs the
+    *     trailing distinct absorbs, the st6 keys-not-transactions
+    *     pattern;
+    *  2. probe via [[Dedup.incrementalMinhashPairs]] — pairs against
+    *     corpus ∪ everything already absorbed, batch-proportional cost;
+    *  3. append the pairs to a result spool;
+    *  4. [[Dedup.absorbMinhashBatch]] the batch so later arrivals pair
+    *     against it.
+    *
+    * Every pair with ≥1 arriving member is emitted exactly once — when
+    * its later-arriving side is processed (same-batch pairs via the
+    * probe's intra-batch leg) — so the drained union equals the d3
+    * algebra over ALL documents restricted to arrival-involving pairs,
+    * regardless of chunk processing order. That set is the DuckDB
+    * oracle.
+    */
+  def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val id = qid.incrementAndGet()
+    val tableBase = s"graft_st9_$id"
+    val root = graft.sources.Spool.tempRoot(s"st9_$id")
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    Dedup.landMinhashIndex(docs.filter(col("doc_id") % 5 < 3),
+      "doc_id", "text", n = 3, k = 64, bands = 16, tableBase, s"$root/idx")
+    // arrivals: 4 single-file drops, chunked deterministically by id
+    val arrivals = docs.filter(col("doc_id") % 5 >= 3)
+    (0 until 4).foreach { i =>
+      graft.GenData.writeSingleParquetFile(s"$root/arrive/docs_$i.parquet")(
+        arrivals.filter(pmod(col("doc_id"), lit(4)) === i))
+    }
+    val outDir = s"$root/pairs"
+    val stream = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/arrive")
+    val q = EventStreams.withDrainConf(spark) {
+      stream.writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val landedIds = spark.table(s"${tableBase}_sigs").select(col("id").as("doc_id"))
+          val fresh = graft.sources.Sinks
+            .notYetIngested(batch, landedIds, "doc_id").localCheckpoint()
+          if (!fresh.isEmpty) {
+            Dedup.incrementalMinhashPairs(spark, fresh, "doc_id", "text",
+                tableBase, threshold = 0.5)
+              .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+            Dedup.absorbMinhashBatch(spark, fresh, "doc_id", "text", tableBase)
+          }
+        }
+        .start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    // the spool outlives the catalog entries; the result plan reads only it
+    Seq("sigs", "bands", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
+    spark.read.schema(pairSchema).parquet(outDir).distinct()
+  }
+}

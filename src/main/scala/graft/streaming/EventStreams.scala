@@ -456,7 +456,7 @@ object EventStreams {
     * (each value is captured at query start, which `start()` completes
     * synchronously for planning).
     */
-  private def withDrainConf(spark: SparkSession)(
+  private[streaming] def withDrainConf(spark: SparkSession)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): org.apache.spark.sql.streaming.StreamingQuery = {
     val tuned = Seq(
       "spark.sql.shuffle.partitions" -> "8",

@@ -67,4 +67,25 @@ class MetricsSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((10L, 11L)))
   }
+
+  test("incremental probe records its bucket-prune decision driver-side") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 60)
+    val dir = graft.sources.Spool.tempRoot("d11_metrics")
+    try {
+      Dedup.landMinhashIndex(docs.filter(col("doc_id") < 50), "doc_id", "text",
+        n = 3, k = 64, bands = 16, "graft_d11_met", dir)
+      Dedup.incrementalMinhashPairs(spark,
+        docs.filter(col("doc_id") >= 50), "doc_id", "text",
+        "graft_d11_met", threshold = 0.5).collect()
+      // 10 batch docs x 16 bands = at most 160 distinct probe band keys
+      val bkeys = Metrics.scalar("d11", "probe_bkeys")
+        .getOrElse(fail("d11 probe left no probe_bkeys metric"))
+      assert(bkeys >= 1 && bkeys <= 160, s"probe_bkeys=$bkeys")
+      assert(Metrics.get("d11").exists(_("bucket_pruned") == true))
+    } finally {
+      Seq("sigs", "bands", "meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_d11_met_$s"))
+    }
+  }
 }

@@ -517,4 +517,26 @@ class StreamingSpec extends SparkSpec {
       graft.sources.Spool.deleteRecursively(java.nio.file.Paths.get(cp))
     }
   }
+
+  test("st9: streamed probe+absorb union equals the batch recompute on arrival pairs") {
+    // the continuous-ingest contract: pairs drained across all
+    // micro-batches = the d3 algebra over ALL documents restricted to
+    // arrival-involving pairs — including pairs whose two members arrive
+    // in DIFFERENT micro-batches, the leg only the absorb path (and its
+    // post-append table refresh) can produce
+    val got = graft.streaming.DocStreams.streamIncrementalDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val want = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.5)
+      .filter(col("id_a") % 5 >= 3 || col("id_b") % 5 >= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty, "no arrival pairs at this sf — test is vacuous")
+    val crossBatch = want.filter { case (a, b, _) =>
+      a % 5 >= 3 && b % 5 >= 3 && a % 4 != b % 4 }
+    assert(crossBatch.nonEmpty,
+      "no cross-micro-batch arrival pair expected — absorb path untested")
+    assert(got == want,
+      s"only-streamed=${(got -- want).take(3)} only-batch=${(want -- got).take(3)}")
+  }
 }
