@@ -855,14 +855,19 @@ object Dedup {
     // whose bucket holds none of the batch's keys. With nBuckets sized
     // to the corpus (thousands at 100 TB), a small batch touches
     // ~|batch|·bands/nBuckets of the index files and the probe's IO is
-    // batch-proportional, not corpus-proportional. Guarded: a huge batch
-    // covers every bucket anyway, and a million-literal InSet costs more
-    // in planning than it prunes.
+    // batch-proportional, not corpus-proportional. Guarded by LITERAL
+    // COUNT, and aggressively: every Catalyst transform walks the In
+    // list's children, so a large literal set taxes PLANNING long before
+    // execution (measured: ~80k literals added minutes across st9's
+    // gen1 micro-batches) — and a batch with that many band keys covers
+    // most buckets anyway, so the prune would skip little. Past the cap,
+    // scan the index unfiltered and let the join do the work.
+    val maxInSetKeys = 8192
     val idxPruned = {
-      val bkeys = bBands.select("bkey").distinct().limit(100001).collect()
+      val bkeys = bBands.select("bkey").distinct().limit(maxInSetKeys + 1).collect()
       graft.Metrics.set("d11", "probe_bkeys" -> bkeys.length.toLong,
-        "bucket_pruned" -> (bkeys.length <= 100000))
-      if (bkeys.length > 100000) idxBands
+        "bucket_pruned" -> (bkeys.length <= maxInSetKeys))
+      if (bkeys.length > maxInSetKeys) idxBands
       else idxBands.filter(col("bkey").isInCollection(bkeys.map(_.getLong(0)).toSeq))
     }
     // join includes bkey FIRST so the shuffle regime co-locates with the
