@@ -669,18 +669,40 @@ object Dedup {
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     // the a3/a6 coarse-sampling contract, one definition for all consumers
     val cents = Similarity.md5Sample(embs, idCol, vecCol, nCentroids, "cid", "cw")
+    semanticDedupPairs(base, cents, threshold)
+  }
+
+  /** Frozen-centroid variant: `cents` is an explicit (cid, cw) centroid
+    * relation instead of a sample of `embs` itself — the reference
+    * semantics of the incremental path ([[incrementalSemanticPairs]]
+    * must equal THIS over corpus ∪ batch with the LANDED centroids,
+    * restricted to batch-involving pairs; the parity spec pins it).
+    * `embs` must be (id, v).
+    */
+  def semanticDedupPairs(embs: DataFrame, cents: DataFrame,
+                         threshold: Double): DataFrame = {
+    val base = embs.select(col("id"), col("v"))
+    val cand = saltedSelfCandidates(assignCells(base, cents), Seq("cid"), tag = "d10")
+    verifiedCosPairs(cand, base, threshold)
+  }
+
+  /** Nearest-centroid assignment (id, cid) for `base` = (id, v) against
+    * `cents` = (cid, cw): argmax exact cosine, ties to the smaller cid —
+    * the [[Similarity.ivfTopK]] ordering, shared by the self-join d10,
+    * the landed-index build and the incremental probe so an ordering
+    * tweak can never desynchronize them. The argmax scoring happens
+    * map-side inside the broadcast join; only (id, cid, score) reaches
+    * the per-id window shuffle — the wide vector column never rides an
+    * exchange in the assignment.
+    */
+  private def assignCells(base: DataFrame, cents: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("__cc").desc, col("cid").asc)
-    // argmax scoring happens map-side inside the broadcast join; only
-    // (id, cid, score) reaches the per-id window shuffle — the wide
-    // vector column never rides an exchange in the assignment
-    val assigned = base.join(broadcast(cents))
+    base.join(broadcast(cents))
       .select(col("id"), col("cid"),
         HashExpressions.cosine(col("v"), col("cw")).as("__cc"))
       .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
       .select(col("id"), col("cid"))
-    val cand = saltedSelfCandidates(assigned, Seq("cid"), tag = "d10")
-    verifiedCosPairs(cand, base, threshold)
   }
 
   /** Survivor-mode dedup (d12) — the composed operator production
@@ -780,8 +802,9 @@ object Dedup {
     * no landed document is ever re-signed. Appends go through the same
     * bucketed writer with the landed bucket spec (one new file per
     * touched bucket per batch — bkey co-location and bucket pruning keep
-    * working; when small-file counts accumulate, a re-land is the
-    * compaction). Meta's `n_docs` advances so downstream sizing reads
+    * working; when small-file counts accumulate,
+    * [[compactMinhashIndex]] rewrites each bucket back to one file).
+    * Meta's `n_docs` advances so downstream sizing reads
     * the true corpus size. Ids must be disjoint from everything already
     * absorbed — same contract as the probe.
     */
@@ -792,8 +815,7 @@ object Dedup {
     val (n, k, bands, nDocs, nBuckets) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3), meta.getInt(4))
     val rows = k / bands
-    val metaPath = spark.sql(s"DESCRIBE FORMATTED ${tableBase}_meta")
-      .filter(col("col_name") === "Location").head().getString(1)
+    val metaPath = tableLocation(spark, s"${tableBase}_meta")
     val bSigs = minhashSignatures(newDocs, idCol, textCol, n, k)
       .localCheckpoint() // one batch-sized pass; both appends + the count reuse it
     graft.sources.Sinks.bucketed(bSigs, s"${tableBase}_sigs", "id", nBuckets,
@@ -811,6 +833,69 @@ object Dedup {
     // Invalidate by table identifier so the next probe lists afresh.
     spark.catalog.refreshTable(s"${tableBase}_sigs")
     spark.catalog.refreshTable(s"${tableBase}_bands")
+  }
+
+  /** Catalog location of `table` (the URI string Spark records). */
+  private def tableLocation(spark: SparkSession, table: String): String =
+    spark.sql(s"DESCRIBE FORMATTED $table")
+      .filter(col("col_name") === "Location").head().getString(1)
+
+  private def asLocalPath(loc: String): java.nio.file.Path = {
+    val uri = new java.net.URI(loc)
+    if (uri.getScheme == null) java.nio.file.Paths.get(loc)
+    else java.nio.file.Paths.get(uri)
+  }
+
+  private def parquetFileCount(loc: String): Long = {
+    val s = java.nio.file.Files.walk(asLocalPath(loc))
+    try s.filter(p => p.toString.endsWith(".parquet")).count()
+    finally s.close()
+  }
+
+  /** Compact a landed [[landMinhashIndex]] back to one file per bucket.
+    *
+    * Every [[absorbMinhashBatch]] appends ~one new file per touched
+    * bucket, so after B batches a bucket's probe-side scan opens O(B)
+    * small files — the classic ingest small-files debt. Compaction
+    * rewrites each index table ONCE: `repartition(nBuckets, bucketCol)`
+    * uses the SAME hash family as the bucketed writer's bucket-id
+    * assignment, so each output task holds exactly one bucket's rows and
+    * writes exactly one file. The rewrite stages to a fresh versioned
+    * sibling directory (`…_c1`, `…_c2`, …) under a temp catalog name,
+    * then swaps: drop the old (external) table entry, rename the staged
+    * table over it, delete the old files. A crash before the swap leaves
+    * the live index untouched; after it, the old directory is garbage at
+    * worst. Probe results are bit-identical before and after (spec-
+    * pinned), bucket pruning and bkey co-location keep working — only
+    * the file count changes. Cadence is the operator's choice; the
+    * `d11.compact` Metrics entry reports files before/after per table.
+    */
+  def compactMinhashIndex(spark: SparkSession, tableBase: String): Unit = {
+    val nBuckets = spark.table(s"${tableBase}_meta").head().getInt(4)
+    val counts = Seq(("sigs", "id"), ("bands", "bkey")).flatMap { case (sfx, bcol) =>
+      val t = s"${tableBase}_$sfx"
+      val oldLoc = tableLocation(spark, t)
+      val before = parquetFileCount(oldLoc)
+      // versioned sibling: strip any previous _cN suffix, bump N
+      val (base, gen) = oldLoc match {
+        case s if s.matches(".*_c\\d+") =>
+          val i = s.lastIndexOf("_c")
+          (s.substring(0, i), s.substring(i + 2).toInt)
+        case s => (s, 0)
+      }
+      val newLoc = s"${base}_c${gen + 1}"
+      val staged = s"${t}_compacting"
+      spark.sql(s"DROP TABLE IF EXISTS $staged")
+      graft.sources.Sinks.bucketed(
+        spark.table(t).repartition(nBuckets, col(bcol)),
+        staged, bcol, nBuckets, path = Some(newLoc))
+      spark.sql(s"DROP TABLE $t") // external: catalog entry only, files stay
+      spark.sql(s"ALTER TABLE $staged RENAME TO $t")
+      graft.sources.Spool.deleteRecursively(asLocalPath(oldLoc))
+      spark.catalog.refreshTable(t)
+      Seq(s"${sfx}_files_before" -> before, s"${sfx}_files_after" -> parquetFileCount(newLoc))
+    }
+    graft.Metrics.set("d11.compact", counts: _*)
   }
 
   /** Near-dup pairs INVOLVING an arriving batch, probed against a landed
@@ -883,6 +968,135 @@ object Dedup {
       Seq("band", "bh"), tag = "d11")
     val cand = cross.union(intra).distinct()
     minhashVerify(cand, idxSigs.unionByName(bSigs), k, threshold)
+  }
+
+  // --- incremental SEMANTIC dedup (d13): the embedding twin of d11 ---------
+  // d11 freezes the MinHash band algebra at land time; here the frozen
+  // state is the coarse quantizer itself (SemDeDup's k-means stand-in):
+  // centroids are sampled from the CORPUS once, every later arrival is
+  // assigned against those same centroids, and re-quantization (new
+  // centroids for a corpus that outgrew its cells) is an explicit
+  // re-land — exactly how production vector stores version their IVF
+  // lists. Bit-parity contract: probe ≡ the frozen-centroid
+  // [[semanticDedupPairs]] over corpus ∪ batch restricted to
+  // batch-involving pairs (spec-pinned).
+
+  /** Land the d10 semantic-dedup state for `embs` as tables under `dir`
+    * (catalog names `<tableBase>_cents` / `_assign` / `_vecs` /
+    * `_meta`):
+    *
+    *  - `_cents` (cid, cw): the md5-sampled corpus centroids,
+    *    [[ivfCellsFor]]-sized — dim-scale, broadcasts into every probe;
+    *  - `_assign` (id, cid) bucketed by cid — the candidate side: a
+    *    probe joins same-cell on cid with zero index-side shuffle, and
+    *    the batch's cid InSet prunes index FILES via bucket pruning;
+    *  - `_vecs` (id, v) bucketed by id — the exact-cosine verify side;
+    *  - `_meta` one row (n_docs, n_cents, n_buckets).
+    *
+    * Assignments derive from the LANDED centroid table, so the probe's
+    * argmax and the index's argmax read bit-identical centroid rows
+    * (parquet roundtrips doubles exactly).
+    */
+  def landSemanticIndex(embs: DataFrame, idCol: String, vecCol: String,
+                        tableBase: String, dir: String,
+                        nBuckets: Int = 32): Unit = {
+    val spark = embs.sparkSession
+    val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val nDocs = base.count()
+    Similarity.md5Sample(embs, idCol, vecCol, ivfCellsFor(nDocs), "cid", "cw")
+      .write.mode(SaveMode.Overwrite).option("path", s"$dir/cents")
+      .saveAsTable(s"${tableBase}_cents")
+    val landedCents = spark.table(s"${tableBase}_cents")
+    graft.sources.Sinks.bucketed(assignCells(base, landedCents),
+      s"${tableBase}_assign", "cid", nBuckets, path = Some(s"$dir/assign"))
+    graft.sources.Sinks.bucketed(base,
+      s"${tableBase}_vecs", "id", nBuckets, path = Some(s"$dir/vecs"))
+    writeSemanticMeta(spark, tableBase, s"$dir/meta", nDocs, nBuckets)
+  }
+
+  private def writeSemanticMeta(spark: SparkSession, tableBase: String,
+                                metaPath: String, nDocs: Long,
+                                nBuckets: Int): Unit =
+    spark.createDataFrame(Seq((nDocs, nBuckets)))
+      .toDF("n_docs", "n_buckets")
+      .write.mode(SaveMode.Overwrite).option("path", metaPath)
+      .saveAsTable(s"${tableBase}_meta")
+
+  /** Semantic near-dup pairs INVOLVING an arriving batch of embeddings,
+    * probed against a landed [[landSemanticIndex]] — bit-identical to
+    * the frozen-centroid [[semanticDedupPairs]] over (corpus ∪ batch)
+    * restricted to pairs with ≥ 1 batch member, at the cost of the
+    * batch:
+    *
+    *  - the centroid table broadcasts into the batch's argmax
+    *    assignment (one map-side pass over the batch);
+    *  - batch×corpus candidates join the landed assign table same-cell
+    *    on cid — broadcast probe by default (zero index-side shuffle),
+    *    with the batch's distinct-cid InSet pruning index files (the
+    *    d11 prune, same 8k literal cap and Metrics evidence under
+    *    `d13`); a corpus-sized batch flips to a shuffle join co-located
+    *    with the cid buckets;
+    *  - batch-internal candidates reuse the d10 salted same-cell self-
+    *    join on the batch assignment;
+    *  - the exact-cosine verify re-joins vectors by id from landed-vecs
+    *    ∪ batch-vecs (candidates are ids-only — the d5/d10 rule).
+    *
+    * Ids must be disjoint between batch and corpus.
+    */
+  def incrementalSemanticPairs(spark: SparkSession, newEmbs: DataFrame,
+                               idCol: String, vecCol: String,
+                               tableBase: String, threshold: Double,
+                               broadcastBatch: Boolean = true): DataFrame = {
+    val cents = spark.table(s"${tableBase}_cents")
+    val idxAssign = spark.table(s"${tableBase}_assign")
+    val idxVecs = spark.table(s"${tableBase}_vecs")
+    val bBase = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bAssign = assignCells(bBase, cents).localCheckpoint()
+    val probe = if (broadcastBatch) broadcast(bAssign) else bAssign
+    val maxInSetKeys = 8192
+    val idxPruned = {
+      val cids = bAssign.select("cid").distinct().limit(maxInSetKeys + 1).collect()
+      graft.Metrics.set("d13", "probe_cids" -> cids.length.toLong,
+        "bucket_pruned" -> (cids.length <= maxInSetKeys))
+      if (cids.length > maxInSetKeys) idxAssign
+      else idxAssign.filter(col("cid").isInCollection(cids.map(_.getLong(0)).toSeq))
+    }
+    val cross = idxPruned.as("c").join(probe.as("p"),
+        col("c.cid") === col("p.cid") && col("c.id") =!= col("p.id"))
+      .select(least(col("c.id"), col("p.id")).as("id_a"),
+        greatest(col("c.id"), col("p.id")).as("id_b"))
+      .distinct()
+    val intra = saltedSelfCandidates(bAssign, Seq("cid"), tag = "d13")
+    val cand = cross.union(intra).distinct()
+    verifiedCosPairs(cand, idxVecs.unionByName(bBase), threshold)
+  }
+
+  /** Absorb an arriving embedding batch into a landed
+    * [[landSemanticIndex]]: assign against the FROZEN centroids, append
+    * (id, cid) and (id, v) through the bucketed writers, advance meta
+    * `n_docs`, refresh the table cache (the [[absorbMinhashBatch]]
+    * visibility lesson). Cell populations grow past the
+    * [[ivfCellsFor]] target as absorption proceeds — when they do,
+    * re-landing IS the re-quantization (new centroids sized to the
+    * grown corpus); meta's n_docs vs the landed centroid count is the
+    * signal to watch.
+    */
+  def absorbSemanticBatch(spark: SparkSession, newEmbs: DataFrame,
+                          idCol: String, vecCol: String,
+                          tableBase: String): Unit = {
+    val meta = spark.table(s"${tableBase}_meta").head()
+    val (nDocs, nBuckets) = (meta.getLong(0), meta.getInt(1))
+    val metaPath = tableLocation(spark, s"${tableBase}_meta")
+    val cents = spark.table(s"${tableBase}_cents")
+    val bBase = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint() // one batch-sized pass; both appends + count reuse it
+    graft.sources.Sinks.bucketed(assignCells(bBase, cents),
+      s"${tableBase}_assign", "cid", nBuckets, mode = SaveMode.Append)
+    graft.sources.Sinks.bucketed(bBase,
+      s"${tableBase}_vecs", "id", nBuckets, mode = SaveMode.Append)
+    writeSemanticMeta(spark, tableBase, metaPath, nDocs + bBase.count(), nBuckets)
+    spark.catalog.refreshTable(s"${tableBase}_assign")
+    spark.catalog.refreshTable(s"${tableBase}_vecs")
   }
 
   /** Land the d1 exact-dedup state — (content_sha, keep_id, n_copies),

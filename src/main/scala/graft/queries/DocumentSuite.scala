@@ -258,6 +258,22 @@ object DocumentSuite {
         .orderBy("id_a", "id_b")
     }),
 
+    // incremental SEMANTIC dedup: the embedding twin of d11 — 90% of the
+    // embeddings land once as the d10 cell index (centroids frozen at
+    // land time, the SemDeDup quantizer), the other 10% arrive as a
+    // batch, assign against the frozen centroids and probe same-cell.
+    // Bit-identical to the frozen-centroid d10 over the full set
+    // restricted to batch-involving pairs (the oracle is exactly that).
+    "d13_semantic_incremental" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Spool.dir(s, "d13_idx")
+      Dedup.landSemanticIndex(e.filter(col("vec_id") % 10 =!= 8),
+        "vec_id", "embedding", "graft_d13_idx", dir)
+      Dedup.incrementalSemanticPairs(s, e.filter(col("vec_id") % 10 === 8),
+        "vec_id", "embedding", "graft_d13_idx", threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- similarity search -------------------------------------------------
     "a1_ann_brute_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -377,12 +393,18 @@ object DocumentSuite {
     * size — the exact [[graft.operators.Dedup.ivfCellsFor]] formula
     * (GREATEST(16, CEIL(n / 128))), the d10 twin at every scale.
     */
-  private def centsSampleSqlSized: String =
+  private def centsSampleSqlSized: String = centsSampleSqlSizedOver("")
+
+  /** [[centsSampleSqlSized]] over a filtered corpus slice — the d13
+    * frozen-centroid twin (centroids sampled from and sized by the
+    * LANDED corpus only, exactly [[graft.operators.Dedup.landSemanticIndex]]).
+    */
+  private def centsSampleSqlSizedOver(where: String): String =
     s"""(SELECT cid, cw FROM (
        |    SELECT vec_id AS cid, embedding::DOUBLE[] AS cw,
        |      ROW_NUMBER() OVER (ORDER BY ${md5OrderSql("vec_id")}) AS __rn,
        |      COUNT(*) OVER () AS __n
-       |    FROM embeddings)
+       |    FROM embeddings $where)
        |  WHERE __rn <= GREATEST(16, CEIL(__n / 128.0)))""".stripMargin
   // Same left-to-right double fold as Similarity.cosineSql /
   // HashKernels.cosineF, so cosines are bit-identical across engines.
@@ -1102,6 +1124,21 @@ object DocumentSuite {
          |  COALESCE(lab.cluster_id, v.vec_id) = v.vec_id AS survivor
          |FROM embeddings v LEFT JOIN lab ON lab.src = v.vec_id
          |ORDER BY doc_id""".stripMargin,
+
+    // the frozen-centroid d10 algebra: centroids sampled from AND sized
+    // by the landed corpus slice (vec_id % 10 <> 8), every vector
+    // assigned against them, same-cell exact-cosine pairs restricted to
+    // those involving the arriving batch
+    "d13_semantic_incremental" ->
+      s"""WITH cents AS ${centsSampleSqlSizedOver("WHERE vec_id % 10 <> 8")},
+         |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |assign AS ${ivfAssignCte("", keep = 1, "id", "v")},
+         |scored AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, ${cosSqlZ("a.v", "b.v")} AS cos
+         |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id)
+         |SELECT id_a, id_b, ROUND(cos, 6) AS cos
+         |FROM scored WHERE cos >= 0.4 AND (id_a % 10 = 8 OR id_b % 10 = 8)
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "m4_resize_plan" ->
       """WITH meta AS (

@@ -471,6 +471,122 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("compaction rewrites absorbed small files to one per bucket, probes bit-identically") {
+    // land A, absorb B then C (each append adds ~one file per touched
+    // bucket), compact, and the probe of D must be bit-identical while
+    // the band table is back to <= nBuckets files
+    val all = graft.sources.Tables.documents(spark, sfDir)
+    val a = all.filter(col("doc_id") % 5 < 2)
+    val b = all.filter(col("doc_id") % 5 === 2)
+    val c = all.filter(col("doc_id") % 5 === 3)
+    val d = all.filter(col("doc_id") % 5 === 4)
+    val dir = graft.sources.Spool.tempRoot("d11_compact")
+    try {
+      Dedup.landMinhashIndex(a, "doc_id", "text", n = 3, k = 64,
+        bands = 16, "graft_d11_cmp", dir, nBuckets = 8)
+      Dedup.absorbMinhashBatch(spark, b, "doc_id", "text", "graft_d11_cmp")
+      Dedup.absorbMinhashBatch(spark, c, "doc_id", "text", "graft_d11_cmp")
+      val pre = Dedup.incrementalMinhashPairs(spark, d, "doc_id", "text",
+        "graft_d11_cmp", threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val preMeta = spark.table("graft_d11_cmp_meta").head()
+      Dedup.compactMinhashIndex(spark, "graft_d11_cmp")
+      val m = graft.Metrics.get("d11.compact")
+        .getOrElse(fail("compaction left no d11.compact Metrics entry"))
+      // two appends on top of the land => strictly more files than
+      // buckets before; exactly one file per NON-EMPTY bucket after
+      assert(m("bands_files_before").asInstanceOf[Long] > 8,
+        s"fixture did not accumulate small files: $m")
+      assert(m("bands_files_after").asInstanceOf[Long] <= 8, s"compaction left small files: $m")
+      assert(m("sigs_files_after").asInstanceOf[Long] <= 8, s"compaction left small files: $m")
+      val post = Dedup.incrementalMinhashPairs(spark, d, "doc_id", "text",
+        "graft_d11_cmp", threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pre.nonEmpty, "compaction parity slice produced no pairs — vacuous")
+      assert(post == pre, "probe result changed across compaction")
+      assert(spark.table("graft_d11_cmp_meta").head() == preMeta,
+        "compaction touched the meta row")
+      // the swapped-in tables must still carry the bucket spec (the
+      // probe's co-location/pruning contract): Spark records it in the
+      // table description
+      val desc = spark.sql("DESCRIBE FORMATTED graft_d11_cmp_bands")
+        .collect().map(r => s"${r.getString(0)} ${r.getString(1)}").mkString("\n")
+      assert(desc.contains("Num Buckets") && desc.contains("8"),
+        s"compacted table lost its bucket spec:\n$desc")
+      // a fresh absorb on the compacted index keeps working (the loop
+      // continues after compaction)
+      Dedup.absorbMinhashBatch(spark,
+        b.withColumn("doc_id", col("doc_id") + 1000000L),
+        "doc_id", "text", "graft_d11_cmp")
+      assert(spark.table("graft_d11_cmp_meta").head().getLong(3) ==
+        preMeta.getLong(3) + b.count(), "post-compaction absorb lost the meta advance")
+    } finally {
+      Seq("sigs", "bands", "meta", "sigs_compacting", "bands_compacting")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS graft_d11_cmp_$s"))
+    }
+  }
+
+  test("incremental semantic probe is bit-identical to frozen-centroid recompute on batch pairs") {
+    // the d13 contract: land the corpus slice (centroids frozen at land
+    // time), probe the batch — result must equal the frozen-centroid
+    // semanticDedupPairs over ALL vectors restricted to batch-involving
+    // pairs, including the 6-dp cosine (landed centroid/vector rows are
+    // parquet roundtrips, exact for doubles)
+    val all = graft.sources.Tables.embeddings(spark, sfDir)
+    val corpus = all.filter(col("vec_id") % 5 =!= 2)
+    val batch = all.filter(col("vec_id") % 5 === 2)
+    val dir = graft.sources.Spool.tempRoot("d13_parity")
+    try {
+      Dedup.landSemanticIndex(corpus, "vec_id", "embedding", "graft_d13_spec", dir)
+      val got = Dedup.incrementalSemanticPairs(spark, batch, "vec_id", "embedding",
+        "graft_d13_spec", threshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = Dedup.semanticDedupPairs(
+        all.select(col("vec_id").as("id"), col("embedding").as("v")),
+        spark.table("graft_d13_spec_cents"), threshold = 0.2)
+        .filter(col("id_a") % 5 === 2 || col("id_b") % 5 === 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.nonEmpty, "parity slice produced no pairs — split keeps the test vacuous")
+      assert(got == want)
+    } finally {
+      Seq("cents", "assign", "vecs", "meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_d13_spec_$s"))
+    }
+  }
+
+  test("absorbed embedding batch probes bit-identically against the frozen centroids") {
+    // land A, absorb B, probe C — must equal the frozen-centroid (A's
+    // centroids!) recompute over A∪B∪C restricted to C-involving pairs,
+    // proving absorbed assignment/vector rows are indistinguishable from
+    // landed ones and the quantizer stayed frozen across the absorb
+    val all = graft.sources.Tables.embeddings(spark, sfDir)
+    val a = all.filter(col("vec_id") % 5 < 3)
+    val b = all.filter(col("vec_id") % 5 === 3)
+    val c = all.filter(col("vec_id") % 5 === 4)
+    val dir = graft.sources.Spool.tempRoot("d13_absorb")
+    try {
+      Dedup.landSemanticIndex(a, "vec_id", "embedding", "graft_d13_abs", dir)
+      Dedup.absorbSemanticBatch(spark, b, "vec_id", "embedding", "graft_d13_abs")
+      assert(spark.table("graft_d13_abs_meta").head().getLong(0) == a.count() + b.count(),
+        "absorb did not advance meta n_docs to the union size")
+      val got = Dedup.incrementalSemanticPairs(spark, c, "vec_id", "embedding",
+        "graft_d13_abs", threshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = Dedup.semanticDedupPairs(
+        all.select(col("vec_id").as("id"), col("embedding").as("v")),
+        spark.table("graft_d13_abs_cents"), threshold = 0.2)
+        .filter(col("id_a") % 5 === 4 || col("id_b") % 5 === 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.nonEmpty, "absorb parity slice produced no pairs — vacuous")
+      assert(got.exists { case (x, y, _) => x % 5 == 3 || y % 5 == 3 },
+        "no C-B pair in the parity set — absorbed index rows untested")
+      assert(got == want)
+    } finally {
+      Seq("cents", "assign", "vecs", "meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_d13_abs_$s"))
+    }
+  }
+
   test("dedupSurvivors emits a complete manifest: components labeled, singletons survive") {
     val ids = (0L to 9L).toDF("vec_id")
     val pairs = Seq((0L, 1L), (1L, 2L), (4L, 7L)).toDF("id_a", "id_b")
