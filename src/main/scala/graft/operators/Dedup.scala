@@ -811,21 +811,57 @@ object Dedup {
   def absorbMinhashBatch(spark: SparkSession, newDocs: DataFrame,
                          idCol: String, textCol: String,
                          tableBase: String): Unit = {
-    val meta = spark.table(s"${tableBase}_meta").head()
-    val (n, k, bands, nDocs, nBuckets) =
-      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3), meta.getInt(4))
-    val rows = k / bands
-    val metaPath = tableLocation(spark, s"${tableBase}_meta")
-    val bSigs = minhashSignatures(newDocs, idCol, textCol, n, k)
+    val meta = readMinhashMeta(spark, tableBase)
+    val bSigs = minhashSignatures(newDocs, idCol, textCol, meta.n, meta.k)
       .localCheckpoint() // one batch-sized pass; both appends + the count reuse it
-    graft.sources.Sinks.bucketed(bSigs, s"${tableBase}_sigs", "id", nBuckets,
-      mode = SaveMode.Append)
+    absorbMinhashCore(spark, bSigs, tableBase, meta)
+    ()
+  }
+
+  /** The immutable-per-index slice of a landed MinHash index's `_meta`
+    * row (`n_docs` is the only field that moves, advancing on each
+    * absorb) plus the meta table's resolved location — cacheable across
+    * a per-micro-batch ingest loop so each batch skips the meta
+    * `head()` job and the `DESCRIBE FORMATTED` catalog query.
+    */
+  private[graft] final case class MinhashMeta(n: Int, k: Int, bands: Int,
+                                              nDocs: Long, nBuckets: Int,
+                                              metaPath: String) {
+    def bandRowCount: Int = k / bands
+  }
+
+  private[graft] def readMinhashMeta(spark: SparkSession,
+                                     tableBase: String): MinhashMeta = {
+    val m = spark.table(s"${tableBase}_meta").head()
+    MinhashMeta(m.getInt(0), m.getInt(1), m.getInt(2), m.getLong(3), m.getInt(4),
+      tableLocation(spark, s"${tableBase}_meta"))
+  }
+
+  /** Append precomputed batch signatures (and their band rows) to the
+    * index; returns the advanced meta for the caller's next cycle.
+    *
+    * Write order is a crash-safety contract: `_bands` BEFORE `_sigs`.
+    * The st9 redelivery guard anti-joins arrivals against `_sigs` ids,
+    * so the guard key must commit LAST — a crash between the two
+    * appends then leaves the batch absent from `_sigs`, the replay
+    * re-absorbs it, and the duplicate band rows it re-appends are
+    * harmless (the probe's candidate side is distinct-ed; compaction
+    * rewrites them away). The reverse order would leave
+    * sigs-without-bands: the guard drops the replayed batch and every
+    * later arrival silently misses pairs against it.
+    */
+  private def absorbMinhashCore(spark: SparkSession, bSigs: DataFrame,
+                                tableBase: String,
+                                meta: MinhashMeta): MinhashMeta = {
     graft.sources.Sinks.bucketed(
-      bandRows(bSigs, bands, rows)
+      bandRows(bSigs, meta.bands, meta.bandRowCount)
         .withColumn("bkey", xxhash64(col("band"), col("bh"))),
-      s"${tableBase}_bands", "bkey", nBuckets, mode = SaveMode.Append)
-    writeIndexMeta(spark, tableBase, metaPath, n, k, bands,
-      nDocs + bSigs.count(), nBuckets)
+      s"${tableBase}_bands", "bkey", meta.nBuckets, mode = SaveMode.Append)
+    graft.sources.Sinks.bucketed(bSigs, s"${tableBase}_sigs", "id",
+      meta.nBuckets, mode = SaveMode.Append)
+    val advanced = meta.copy(nDocs = meta.nDocs + bSigs.count())
+    writeIndexMeta(spark, tableBase, meta.metaPath, meta.n, meta.k, meta.bands,
+      advanced.nDocs, meta.nBuckets)
     // The bucketed append refreshes by PATH only; a reader that already
     // resolved these tables holds an identifier-keyed cached relation
     // whose file listing predates this append (observed: a streaming
@@ -833,6 +869,7 @@ object Dedup {
     // Invalidate by table identifier so the next probe lists afresh.
     spark.catalog.refreshTable(s"${tableBase}_sigs")
     spark.catalog.refreshTable(s"${tableBase}_bands")
+    advanced
   }
 
   /** Catalog location of `table` (the URI string Spark records). */
@@ -852,48 +889,88 @@ object Dedup {
     finally s.close()
   }
 
+  /** Compaction generation of a bucketed index table, tracked as a table
+    * property (`graft.compact.gen`, absent = 0) rather than parsed from
+    * the path — a user-supplied index dir that legitimately ends in
+    * `_c<digits>` must not be mangled by a suffix heuristic.
+    */
+  private def tableGen(spark: SparkSession, t: String): Int =
+    spark.sql(s"SHOW TBLPROPERTIES $t")
+      .filter(col("key") === "graft.compact.gen")
+      .collect().headOption.map(_.getString(1).toInt).getOrElse(0)
+
+  /** Rewrite one bucketed index table to one file per (non-empty)
+    * bucket; returns (files_before, files_after).
+    *
+    * The input is read by PATH, NOT via `spark.table(t)`: the catalog
+    * relation's bucket spec already satisfies
+    * `HashPartitioning(bucketCol, nBuckets)`, so Catalyst elides the
+    * user `repartition` — and then, with no operator left that requires
+    * the distribution, disables the bucketed scan too. The writer then
+    * receives scan-order partitions and emits one file per (task,
+    * bucket): a "compaction" that compacts nothing, silently (probe
+    * results stay bit-identical either way). A path read carries no
+    * bucket spec, so the repartition Exchange survives planning
+    * (PlanAuditSpec pins both plan shapes) and — because `repartition`
+    * uses the same hash family as the bucketed writer's bucket-id
+    * assignment — each output task holds exactly one bucket's rows and
+    * writes exactly one file.
+    *
+    * The rewrite stages to a versioned sibling directory (`…_c1`,
+    * `…_c2`, …; generation from [[tableGen]]) under a temp catalog
+    * name, then swaps rename-aside → rename-over → drop-aside, so a
+    * catalog entry pointing at live index data exists at every step: a
+    * crash before the first rename leaves the live table untouched; a
+    * crash mid-swap leaves the data reachable under the `_precompact` /
+    * `_compacting` names (all tables are external — drops and renames
+    * never move or delete files); only after the swap completes are the
+    * old files deleted.
+    */
+  private def compactBucketedTable(spark: SparkSession, t: String,
+                                   bcol: String, nBuckets: Int): (Long, Long) = {
+    val oldLoc = tableLocation(spark, t)
+    val before = parquetFileCount(oldLoc)
+    val gen = tableGen(spark, t)
+    val base = if (gen == 0) oldLoc else {
+      val sfx = s"_c$gen"
+      require(oldLoc.endsWith(sfx),
+        s"$t: location $oldLoc does not end with recorded generation suffix $sfx")
+      oldLoc.dropRight(sfx.length)
+    }
+    val newLoc = s"${base}_c${gen + 1}"
+    val staged = s"${t}_compacting"
+    val aside = s"${t}_precompact"
+    spark.sql(s"DROP TABLE IF EXISTS $staged")
+    spark.sql(s"DROP TABLE IF EXISTS $aside")
+    graft.sources.Sinks.bucketed(
+      spark.read.schema(spark.table(t).schema).parquet(oldLoc),
+      staged, bcol, nBuckets, path = Some(newLoc))
+    spark.sql(s"ALTER TABLE $staged SET TBLPROPERTIES ('graft.compact.gen'='${gen + 1}')")
+    spark.sql(s"ALTER TABLE $t RENAME TO $aside")
+    spark.sql(s"ALTER TABLE $staged RENAME TO $t")
+    spark.sql(s"DROP TABLE $aside") // external: catalog entry only, files stay
+    graft.sources.Spool.deleteRecursively(asLocalPath(oldLoc))
+    spark.catalog.refreshTable(t)
+    (before, parquetFileCount(newLoc))
+  }
+
   /** Compact a landed [[landMinhashIndex]] back to one file per bucket.
     *
     * Every [[absorbMinhashBatch]] appends ~one new file per touched
     * bucket, so after B batches a bucket's probe-side scan opens O(B)
-    * small files — the classic ingest small-files debt. Compaction
-    * rewrites each index table ONCE: `repartition(nBuckets, bucketCol)`
-    * uses the SAME hash family as the bucketed writer's bucket-id
-    * assignment, so each output task holds exactly one bucket's rows and
-    * writes exactly one file. The rewrite stages to a fresh versioned
-    * sibling directory (`…_c1`, `…_c2`, …) under a temp catalog name,
-    * then swaps: drop the old (external) table entry, rename the staged
-    * table over it, delete the old files. A crash before the swap leaves
-    * the live index untouched; after it, the old directory is garbage at
-    * worst. Probe results are bit-identical before and after (spec-
-    * pinned), bucket pruning and bkey co-location keep working — only
-    * the file count changes. Cadence is the operator's choice; the
-    * `d11.compact` Metrics entry reports files before/after per table.
+    * small files — the classic ingest small-files debt.
+    * [[compactBucketedTable]] rewrites each index table once; probe
+    * results are bit-identical before and after (spec-pinned), bucket
+    * pruning and bkey co-location keep working — only the file count
+    * changes. Cadence is the operator's choice; the `d11.compact`
+    * Metrics entry reports files before/after per table.
     */
   def compactMinhashIndex(spark: SparkSession, tableBase: String): Unit = {
     val nBuckets = spark.table(s"${tableBase}_meta").head().getInt(4)
     val counts = Seq(("sigs", "id"), ("bands", "bkey")).flatMap { case (sfx, bcol) =>
-      val t = s"${tableBase}_$sfx"
-      val oldLoc = tableLocation(spark, t)
-      val before = parquetFileCount(oldLoc)
-      // versioned sibling: strip any previous _cN suffix, bump N
-      val (base, gen) = oldLoc match {
-        case s if s.matches(".*_c\\d+") =>
-          val i = s.lastIndexOf("_c")
-          (s.substring(0, i), s.substring(i + 2).toInt)
-        case s => (s, 0)
-      }
-      val newLoc = s"${base}_c${gen + 1}"
-      val staged = s"${t}_compacting"
-      spark.sql(s"DROP TABLE IF EXISTS $staged")
-      graft.sources.Sinks.bucketed(
-        spark.table(t).repartition(nBuckets, col(bcol)),
-        staged, bcol, nBuckets, path = Some(newLoc))
-      spark.sql(s"DROP TABLE $t") // external: catalog entry only, files stay
-      spark.sql(s"ALTER TABLE $staged RENAME TO $t")
-      graft.sources.Spool.deleteRecursively(asLocalPath(oldLoc))
-      spark.catalog.refreshTable(t)
-      Seq(s"${sfx}_files_before" -> before, s"${sfx}_files_after" -> parquetFileCount(newLoc))
+      val (before, after) =
+        compactBucketedTable(spark, s"${tableBase}_$sfx", bcol, nBuckets)
+      Seq(s"${sfx}_files_before" -> before, s"${sfx}_files_after" -> after)
     }
     graft.Metrics.set("d11.compact", counts: _*)
   }
@@ -924,13 +1001,28 @@ object Dedup {
                               idCol: String, textCol: String,
                               tableBase: String, threshold: Double,
                               broadcastBatch: Boolean = true): DataFrame = {
-    val meta = spark.table(s"${tableBase}_meta").head()
-    val (n, k, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    val rows = k / bands
+    val meta = readMinhashMeta(spark, tableBase)
+    // localCheckpoint, not cache(): a cache() entry lives in the shared
+    // CacheManager until an explicit unpersist that a lazy-returning
+    // probe has nowhere to place, so a per-micro-batch caller (st9)
+    // would accumulate every batch's signatures in executor storage for
+    // the session. Checkpoint blocks are owned by the RDD and reclaimed
+    // by the ContextCleaner once the probe's plan is garbage.
+    val bSigs = minhashSignatures(newDocs, idCol, textCol, meta.n, meta.k)
+      .localCheckpoint()
+    probeMinhashCore(spark, bSigs, tableBase, meta, threshold, broadcastBatch)
+  }
+
+  /** Probe the index with precomputed batch signatures (the shared core
+    * of [[incrementalMinhashPairs]] and [[probeAbsorbMinhashBatch]]).
+    */
+  private def probeMinhashCore(spark: SparkSession, bSigs: DataFrame,
+                               tableBase: String, meta: MinhashMeta,
+                               threshold: Double,
+                               broadcastBatch: Boolean): DataFrame = {
     val idxSigs = spark.table(s"${tableBase}_sigs")
     val idxBands = spark.table(s"${tableBase}_bands")
-    val bSigs = minhashSignatures(newDocs, idCol, textCol, n, k).cache()
-    val bBands = bandRows(bSigs, bands, rows)
+    val bBands = bandRows(bSigs, meta.bands, meta.bandRowCount)
       .withColumn("bkey", xxhash64(col("band"), col("bh")))
     val probe = if (broadcastBatch) broadcast(bBands) else bBands
     // Index-bucket pruning: the batch's distinct bkey set (batch-sized —
@@ -967,7 +1059,41 @@ object Dedup {
     val intra = saltedSelfCandidates(bBands.select("id", "band", "bh"),
       Seq("band", "bh"), tag = "d11")
     val cand = cross.union(intra).distinct()
-    minhashVerify(cand, idxSigs.unionByName(bSigs), k, threshold)
+    minhashVerify(cand, idxSigs.unionByName(bSigs), meta.k, threshold)
+  }
+
+  /** One full ingest cycle — probe, spool the pairs, absorb — with a
+    * SINGLE signature pass over the batch (the separate
+    * [[incrementalMinhashPairs]] + [[absorbMinhashBatch]] calls each
+    * recompute them). This is the st9 per-micro-batch loop body; at a
+    * few seconds per micro-batch the duplicated signature job and the
+    * two per-call meta reads are the dominant fixed overhead, not the
+    * data.
+    *
+    * Ordering is the correctness heart: the pair spool append
+    * MATERIALIZES the probe before the absorb appends the batch to the
+    * index — absorbing first would let the probe's lazily-listed index
+    * scan see the batch's own rows and emit self-pairs. `cachedMeta`
+    * (from a previous cycle's return) skips the per-batch meta `head()`
+    * and `DESCRIBE FORMATTED`; safe whenever this loop is the index's
+    * only writer, which the disjoint-ids contract already demands.
+    * The spooled sliver is repartitioned to one file per batch —
+    * `repartition`, not `coalesce`, so the collapse happens in its own
+    * batch-sized stage instead of de-parallelizing the probe's scan
+    * stage above it.
+    */
+  def probeAbsorbMinhashBatch(spark: SparkSession, newDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              tableBase: String, threshold: Double,
+                              pairsDir: String,
+                              cachedMeta: Option[MinhashMeta] = None): MinhashMeta = {
+    val meta = cachedMeta.getOrElse(readMinhashMeta(spark, tableBase))
+    val bSigs = minhashSignatures(newDocs, idCol, textCol, meta.n, meta.k)
+      .localCheckpoint()
+    probeMinhashCore(spark, bSigs, tableBase, meta, threshold, broadcastBatch = true)
+      .repartition(1)
+      .write.mode(SaveMode.Append).parquet(pairsDir)
+    absorbMinhashCore(spark, bSigs, tableBase, meta)
   }
 
   // --- incremental SEMANTIC dedup (d13): the embedding twin of d11 ---------
@@ -1097,6 +1223,27 @@ object Dedup {
     writeSemanticMeta(spark, tableBase, metaPath, nDocs + bBase.count(), nBuckets)
     spark.catalog.refreshTable(s"${tableBase}_assign")
     spark.catalog.refreshTable(s"${tableBase}_vecs")
+  }
+
+  /** Compact a landed [[landSemanticIndex]] back to one file per bucket
+    * — the d13 twin of [[compactMinhashIndex]], retiring the same
+    * small-file debt [[absorbSemanticBatch]] accumulates (one file per
+    * touched bucket per batch, on both `_assign` and `_vecs`). Shares
+    * [[compactBucketedTable]]: path read so the repartition Exchange
+    * survives the bucket-spec elision, versioned sibling directory,
+    * rename-aside swap. Centroids and meta are untouched — compaction
+    * never re-quantizes (that is an explicit re-land). Probe results
+    * are bit-identical before and after (spec-pinned); the
+    * `d13.compact` Metrics entry reports files before/after per table.
+    */
+  def compactSemanticIndex(spark: SparkSession, tableBase: String): Unit = {
+    val nBuckets = spark.table(s"${tableBase}_meta").head().getInt(1)
+    val counts = Seq(("assign", "cid"), ("vecs", "id")).flatMap { case (sfx, bcol) =>
+      val (before, after) =
+        compactBucketedTable(spark, s"${tableBase}_$sfx", bcol, nBuckets)
+      Seq(s"${sfx}_files_before" -> before, s"${sfx}_files_after" -> after)
+    }
+    graft.Metrics.set("d13.compact", counts: _*)
   }
 
   /** Land the d1 exact-dedup state — (content_sha, keep_id, n_copies),

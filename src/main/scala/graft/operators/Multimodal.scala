@@ -99,7 +99,11 @@ object Multimodal {
           } finally reader.dispose()
         }
       } catch {
-        case _: java.io.IOException => None
+        // NonFatal, not just IOException: imageio readers throw
+        // RuntimeExceptions (IllegalArgument, ArrayIndexOutOfBounds,
+        // NegativeArraySize) on malformed-but-recognized payloads, and
+        // the contract is "drop what it cannot decode", not die mid-scan
+        case scala.util.control.NonFatal(_) => None
       } finally in.close()
     }
   }

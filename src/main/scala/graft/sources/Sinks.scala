@@ -223,11 +223,26 @@ object Sinks {
     * shuffle once when the table lands, not on every query. `path` makes
     * the table EXTERNAL at an explicit location (the posture for a
     * shared-FS landing zone); None lands it under the session warehouse.
+    *
+    * The writer co-partitions on the bucket column first: Spark's
+    * bucketed writer emits one file per (task, bucket), so an
+    * un-co-partitioned N-task input writes up to N files per bucket
+    * PER WRITE — at index scale (thousands of buckets × a wide scan)
+    * that is millions of files from the land alone. After the
+    * repartition each task holds exactly one bucket's rows and every
+    * write (land or append) emits at most one file per touched bucket.
+    * The repartition is free when the input is already hash-partitioned
+    * on the key (e.g. out of a groupBy on the same column — Catalyst
+    * elides the redundant exchange). Callers feeding this writer FROM a
+    * read of the same bucketed table must read by PATH (see
+    * Dedup.compactBucketedTable): a catalog-table read's bucket spec
+    * elides the repartition and then disables the bucketed scan,
+    * silently destroying the one-file-per-bucket layout.
     */
   def bucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
                mode: SaveMode = SaveMode.Overwrite,
                path: Option[String] = None): Unit = {
-    val w = df.write.mode(mode)
+    val w = df.repartition(nBuckets, col(bucketCol)).write.mode(mode)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")

@@ -68,6 +68,10 @@ object DocStreams {
     val outDir = s"$root/pairs"
     val stream = spark.readStream.schema(arrivals.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$root/arrive")
+    // the immutable meta slice is read once and threaded through the
+    // cycles (this loop is the index's only writer); each micro-batch
+    // then pays one signature pass and zero meta jobs
+    var meta: Option[Dedup.MinhashMeta] = None
     val q = EventStreams.withDrainConf(spark) {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -75,10 +79,9 @@ object DocStreams {
           val fresh = graft.sources.Sinks
             .notYetIngested(batch, landedIds, "doc_id").localCheckpoint()
           if (!fresh.isEmpty) {
-            Dedup.incrementalMinhashPairs(spark, fresh, "doc_id", "text",
-                tableBase, threshold = 0.5)
-              .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
-            Dedup.absorbMinhashBatch(spark, fresh, "doc_id", "text", tableBase)
+            meta = Some(Dedup.probeAbsorbMinhashBatch(spark, fresh, "doc_id",
+              "text", tableBase, threshold = 0.5, pairsDir = outDir,
+              cachedMeta = meta))
           }
         }
         .start()

@@ -521,8 +521,52 @@ class DedupSpec extends SparkSpec {
       assert(spark.table("graft_d11_cmp_meta").head().getLong(3) ==
         preMeta.getLong(3) + b.count(), "post-compaction absorb lost the meta advance")
     } finally {
-      Seq("sigs", "bands", "meta", "sigs_compacting", "bands_compacting")
+      Seq("sigs", "bands", "meta", "sigs_compacting", "bands_compacting",
+        "sigs_precompact", "bands_precompact")
         .foreach(s => spark.sql(s"DROP TABLE IF EXISTS graft_d11_cmp_$s"))
+    }
+  }
+
+  test("repeated compaction keeps working (generation tracking survives the swap)") {
+    // compact twice with an absorb in between: the second rewrite must
+    // find the recorded generation on the swapped-in table (a property,
+    // not a path parse), version to _c2, and still leave one file per
+    // bucket — the continuous-ingest cadence (absorb… compact, absorb…
+    // compact) exercised end-to-end
+    val all = graft.sources.Tables.documents(spark, sfDir)
+    val a = all.filter(col("doc_id") % 5 < 2)
+    val b = all.filter(col("doc_id") % 5 === 2)
+    val c = all.filter(col("doc_id") % 5 === 3)
+    val d = all.filter(col("doc_id") % 5 === 4)
+    val dir = graft.sources.Spool.tempRoot("d11_recompact")
+    try {
+      Dedup.landMinhashIndex(a, "doc_id", "text", n = 3, k = 64,
+        bands = 16, "graft_d11_rcmp", dir, nBuckets = 8)
+      Dedup.absorbMinhashBatch(spark, b, "doc_id", "text", "graft_d11_rcmp")
+      Dedup.compactMinhashIndex(spark, "graft_d11_rcmp")
+      Dedup.absorbMinhashBatch(spark, c, "doc_id", "text", "graft_d11_rcmp")
+      val pre = Dedup.incrementalMinhashPairs(spark, d, "doc_id", "text",
+        "graft_d11_rcmp", threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      Dedup.compactMinhashIndex(spark, "graft_d11_rcmp")
+      val m = graft.Metrics.get("d11.compact")
+        .getOrElse(fail("second compaction left no d11.compact Metrics entry"))
+      assert(m("bands_files_after").asInstanceOf[Long] <= 8, s"second compaction left small files: $m")
+      assert(m("sigs_files_after").asInstanceOf[Long] <= 8, s"second compaction left small files: $m")
+      // the second rewrite landed in a _c2 sibling (generation advanced,
+      // not reset or double-suffixed)
+      val loc = spark.sql("DESCRIBE FORMATTED graft_d11_rcmp_bands")
+        .filter(col("col_name") === "Location").head().getString(1)
+      assert(loc.endsWith("_c2"), s"expected a _c2 generation directory, got $loc")
+      val post = Dedup.incrementalMinhashPairs(spark, d, "doc_id", "text",
+        "graft_d11_rcmp", threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pre.nonEmpty, "recompaction parity slice produced no pairs — vacuous")
+      assert(post == pre, "probe result changed across the second compaction")
+    } finally {
+      Seq("sigs", "bands", "meta", "sigs_compacting", "bands_compacting",
+        "sigs_precompact", "bands_precompact")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS graft_d11_rcmp_$s"))
     }
   }
 
@@ -584,6 +628,61 @@ class DedupSpec extends SparkSpec {
     } finally {
       Seq("cents", "assign", "vecs", "meta").foreach(s =>
         spark.sql(s"DROP TABLE IF EXISTS graft_d13_abs_$s"))
+    }
+  }
+
+  test("semantic compaction rewrites absorbed small files to one per bucket, probes bit-identically") {
+    // the d13 twin of the d11 compaction contract: land A, absorb B
+    // then C (each append adds ~one file per touched bucket on _assign
+    // AND _vecs), compact, and the probe of D must be bit-identical
+    // while both tables are back to <= nBuckets files; centroids and
+    // meta untouched (compaction never re-quantizes)
+    val all = graft.sources.Tables.embeddings(spark, sfDir)
+    val a = all.filter(col("vec_id") % 5 < 2)
+    val b = all.filter(col("vec_id") % 5 === 2)
+    val c = all.filter(col("vec_id") % 5 === 3)
+    val d = all.filter(col("vec_id") % 5 === 4)
+    val dir = graft.sources.Spool.tempRoot("d13_compact")
+    try {
+      Dedup.landSemanticIndex(a, "vec_id", "embedding", "graft_d13_cmp", dir,
+        nBuckets = 8)
+      Dedup.absorbSemanticBatch(spark, b, "vec_id", "embedding", "graft_d13_cmp")
+      Dedup.absorbSemanticBatch(spark, c, "vec_id", "embedding", "graft_d13_cmp")
+      val pre = Dedup.incrementalSemanticPairs(spark, d, "vec_id", "embedding",
+        "graft_d13_cmp", threshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val preMeta = spark.table("graft_d13_cmp_meta").head()
+      val preCents = spark.table("graft_d13_cmp_cents").collect().toSet
+      Dedup.compactSemanticIndex(spark, "graft_d13_cmp")
+      val m = graft.Metrics.get("d13.compact")
+        .getOrElse(fail("compaction left no d13.compact Metrics entry"))
+      assert(m("assign_files_before").asInstanceOf[Long] > 8,
+        s"fixture did not accumulate small files: $m")
+      assert(m("assign_files_after").asInstanceOf[Long] <= 8, s"compaction left small files: $m")
+      assert(m("vecs_files_after").asInstanceOf[Long] <= 8, s"compaction left small files: $m")
+      val post = Dedup.incrementalSemanticPairs(spark, d, "vec_id", "embedding",
+        "graft_d13_cmp", threshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pre.nonEmpty, "compaction parity slice produced no pairs — vacuous")
+      assert(post == pre, "probe result changed across semantic compaction")
+      assert(spark.table("graft_d13_cmp_meta").head() == preMeta,
+        "compaction touched the meta row")
+      assert(spark.table("graft_d13_cmp_cents").collect().toSet == preCents,
+        "compaction touched the frozen centroids")
+      val desc = spark.sql("DESCRIBE FORMATTED graft_d13_cmp_assign")
+        .collect().map(r => s"${r.getString(0)} ${r.getString(1)}").mkString("\n")
+      assert(desc.contains("Num Buckets") && desc.contains("8"),
+        s"compacted table lost its bucket spec:\n$desc")
+      // the loop continues: a fresh absorb on the compacted index works
+      Dedup.absorbSemanticBatch(spark,
+        b.withColumn("vec_id", col("vec_id") + 1000000L),
+        "vec_id", "embedding", "graft_d13_cmp")
+      assert(spark.table("graft_d13_cmp_meta").head().getLong(0) ==
+        preMeta.getLong(0) + b.count(), "post-compaction absorb lost the meta advance")
+    } finally {
+      Seq("cents", "assign", "vecs", "meta", "assign_compacting",
+        "vecs_compacting", "assign_precompact", "vecs_precompact")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS graft_d13_cmp_$s"))
     }
   }
 

@@ -408,6 +408,44 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("compaction input: bucketed-table read elides its own-key repartition; the path read keeps it") {
+    // The r15 compaction defect, pinned as a pair of plan shapes.
+    // Reading a bucketed CATALOG table and repartitioning on its own
+    // bucket column yields NO Exchange: the relation's bucket spec
+    // already satisfies HashPartitioning(col, n), so Catalyst drops the
+    // user repartition — and then disables the bucketed scan too, since
+    // no remaining operator requires the distribution. A bucketed
+    // writer fed that plan receives scan-order partitions and emits one
+    // file per (task, bucket): a "compaction" that compacts nothing,
+    // silently (query results are identical either way). Reading the
+    // same files by PATH carries no bucket spec, so the Exchange
+    // survives — which is why compactBucketedTable reads by path. Both
+    // shapes are pinned so a Spark upgrade that changes the elision
+    // behavior is caught, not silently absorbed.
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_elide").toString
+    val base = spark.range(0, 10000).toDF("id").withColumn("v", col("id") * 2)
+    try {
+      graft.sources.Sinks.bucketed(base, "graft_elide_t", "id", 8,
+        path = Some(s"$dir/t"))
+      def finalPlan(d: org.apache.spark.sql.DataFrame): String = {
+        d.collect() // finalize the (possibly adaptive) plan
+        d.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      }
+      val viaTable = finalPlan(spark.table("graft_elide_t").repartition(8, col("id")))
+      val viaPath = finalPlan(
+        spark.read.schema(spark.table("graft_elide_t").schema).parquet(s"$dir/t")
+          .repartition(8, col("id")))
+      assert(!viaTable.contains("Exchange"),
+        s"bucket-spec elision no longer fires — revisit compactBucketedTable's rationale:\n$viaTable")
+      assert(viaPath.contains("Exchange"),
+        s"path read must keep the repartition Exchange (compaction depends on it):\n$viaPath")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_elide_t")
+      graft.sources.Spool.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("d11: the landed band index streams into a broadcast probe without shuffling") {
     // the incremental-dedup payoff: probing an arriving batch must cost
     // the BATCH, so the corpus-sized `_bands` scan has to reach its join
