@@ -42,14 +42,44 @@ object IncBench {
       .findFirstMatchIn(df.queryExecution.executedPlan.toString)
       .map(m => s""""buckets_scanned": ${m.group(1)}, "buckets_total": ${m.group(2)}""")
       .getOrElse(""""buckets_scanned": null""")
+    // the probe's bucket-prune decision (InSet vs the 8k literal cap) —
+    // the branch taken is scale-dependent, so the bench records it
+    val prune = Metrics.get("d11").map(m =>
+      s""""probe_bkeys": ${m("probe_bkeys")}, "bucket_pruned": ${m("bucket_pruned")}""")
+      .getOrElse(""""probe_bkeys": null""")
     val t2 = System.nanoTime()
     Dedup.absorbMinhashBatch(spark, batch, "doc_id", "text", "graft_incbench")
     val tAbsorb = (System.nanoTime() - t2) / 1e9
+    // compaction leg: probe a SECOND disjoint batch against the
+    // absorbed index, compact, probe it again — identical pair counts
+    // on the identical index state (the sf0.001 spec pins bit-parity;
+    // this records the same invariant plus cost + file counts at bench
+    // scale, where the compactor's Exchange moves real data).
+    val batch2 = docs.filter(col("doc_id") < batchN)
+      .withColumn("doc_id", col("doc_id") + 2000000000L)
+    def probe2(): (Long, Double) = {
+      val s = System.nanoTime()
+      val n = Dedup.incrementalMinhashPairs(spark, batch2, "doc_id", "text",
+        "graft_incbench", threshold = 0.5).queryExecution.toRdd.count()
+      (n, (System.nanoTime() - s) / 1e9)
+    }
+    val (prePairs, tPre) = probe2()
+    val t3 = System.nanoTime()
+    Dedup.compactMinhashIndex(spark, "graft_incbench")
+    val tCompact = (System.nanoTime() - t3) / 1e9
+    val cm = Metrics.get("d11.compact").map(m =>
+      s""""bands_files": [${m("bands_files_before")}, ${m("bands_files_after")}], """ +
+        s""""sigs_files": [${m("sigs_files_before")}, ${m("sigs_files_after")}]""")
+      .getOrElse(""""bands_files": null""")
+    val (postPairs, tPost) = probe2()
     val nCorpus = docs.count()
     println(s"""{"corpus": "$docsDir", "n_corpus": $nCorpus, "n_batch": $batchN, """ +
       s""""n_buckets": $nBuckets, "land_sec": ${f"$tLand%.2f"}, """ +
       s""""probe_sec": ${f"$tProbe%.2f"}, "absorb_sec": ${f"$tAbsorb%.2f"}, """ +
-      s""""pairs": $pairs, $selected}""")
+      s""""pairs": $pairs, $prune, """ +
+      s""""compact_sec": ${f"$tCompact%.2f"}, $cm, """ +
+      s""""precompact_probe": [$prePairs, ${f"$tPre%.2f"}], """ +
+      s""""postcompact_probe": [$postPairs, ${f"$tPost%.2f"}]}""")
     spark.stop()
   }
 }

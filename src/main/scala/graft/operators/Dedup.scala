@@ -1174,10 +1174,23 @@ object Dedup {
                                tableBase: String, threshold: Double,
                                broadcastBatch: Boolean = true): DataFrame = {
     val cents = spark.table(s"${tableBase}_cents")
-    val idxAssign = spark.table(s"${tableBase}_assign")
-    val idxVecs = spark.table(s"${tableBase}_vecs")
     val bBase = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val bAssign = assignCells(bBase, cents).localCheckpoint()
+    probeSemanticCore(spark, bBase, bAssign, tableBase, threshold, broadcastBatch)
+  }
+
+  /** Probe the semantic index with a precomputed batch assignment (the
+    * shared core of [[incrementalSemanticPairs]] and
+    * [[probeAbsorbSemanticBatch]]). `bBase` is the batch's (id, v)
+    * projection — the exact-cosine verify side; `bAssign` its
+    * checkpointed (id, cid, v?) cell assignment.
+    */
+  private def probeSemanticCore(spark: SparkSession, bBase: DataFrame,
+                                bAssign: DataFrame, tableBase: String,
+                                threshold: Double,
+                                broadcastBatch: Boolean): DataFrame = {
+    val idxAssign = spark.table(s"${tableBase}_assign")
+    val idxVecs = spark.table(s"${tableBase}_vecs")
     val probe = if (broadcastBatch) broadcast(bAssign) else bAssign
     val maxInSetKeys = 8192
     val idxPruned = {
@@ -1210,19 +1223,73 @@ object Dedup {
   def absorbSemanticBatch(spark: SparkSession, newEmbs: DataFrame,
                           idCol: String, vecCol: String,
                           tableBase: String): Unit = {
-    val meta = spark.table(s"${tableBase}_meta").head()
-    val (nDocs, nBuckets) = (meta.getLong(0), meta.getInt(1))
-    val metaPath = tableLocation(spark, s"${tableBase}_meta")
+    val meta = readSemanticMeta(spark, tableBase)
     val cents = spark.table(s"${tableBase}_cents")
     val bBase = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .localCheckpoint() // one batch-sized pass; both appends + count reuse it
-    graft.sources.Sinks.bucketed(assignCells(bBase, cents),
-      s"${tableBase}_assign", "cid", nBuckets, mode = SaveMode.Append)
+    absorbSemanticCore(spark, bBase, assignCells(bBase, cents), tableBase, meta)
+    ()
+  }
+
+  /** The cacheable slice of a landed semantic index's `_meta` row plus
+    * the meta table's resolved location — the d13 twin of
+    * [[MinhashMeta]] (`n_docs` is the only moving field).
+    */
+  private[graft] final case class SemanticMeta(nDocs: Long, nBuckets: Int,
+                                               metaPath: String)
+
+  private[graft] def readSemanticMeta(spark: SparkSession,
+                                      tableBase: String): SemanticMeta = {
+    val m = spark.table(s"${tableBase}_meta").head()
+    SemanticMeta(m.getLong(0), m.getInt(1),
+      tableLocation(spark, s"${tableBase}_meta"))
+  }
+
+  /** Append a precomputed batch (vectors + their frozen-centroid
+    * assignment) to the semantic index; returns the advanced meta.
+    *
+    * Write order is the d13 crash contract, mirroring
+    * [[absorbMinhashCore]]: `_assign` BEFORE `_vecs`, because the st10
+    * redelivery guard anti-joins arrivals against `_vecs` ids — the
+    * guard key commits last, so a crash between the appends is replayed
+    * as a full re-absorb whose duplicate assign rows the probe's
+    * distinct-ed candidate side absorbs (and compaction rewrites away).
+    */
+  private def absorbSemanticCore(spark: SparkSession, bBase: DataFrame,
+                                 bAssign: DataFrame, tableBase: String,
+                                 meta: SemanticMeta): SemanticMeta = {
+    graft.sources.Sinks.bucketed(bAssign,
+      s"${tableBase}_assign", "cid", meta.nBuckets, mode = SaveMode.Append)
     graft.sources.Sinks.bucketed(bBase,
-      s"${tableBase}_vecs", "id", nBuckets, mode = SaveMode.Append)
-    writeSemanticMeta(spark, tableBase, metaPath, nDocs + bBase.count(), nBuckets)
+      s"${tableBase}_vecs", "id", meta.nBuckets, mode = SaveMode.Append)
+    val advanced = meta.copy(nDocs = meta.nDocs + bBase.count())
+    writeSemanticMeta(spark, tableBase, meta.metaPath, advanced.nDocs,
+      meta.nBuckets)
     spark.catalog.refreshTable(s"${tableBase}_assign")
     spark.catalog.refreshTable(s"${tableBase}_vecs")
+    advanced
+  }
+
+  /** One full semantic ingest cycle — assign once, probe, spool the
+    * pairs, absorb — the st10 per-micro-batch loop body and the d13
+    * twin of [[probeAbsorbMinhashBatch]] (see there for the
+    * materialize-before-absorb ordering and the cached-meta contract).
+    */
+  def probeAbsorbSemanticBatch(spark: SparkSession, newEmbs: DataFrame,
+                               idCol: String, vecCol: String,
+                               tableBase: String, threshold: Double,
+                               pairsDir: String,
+                               cachedMeta: Option[SemanticMeta] = None): SemanticMeta = {
+    val meta = cachedMeta.getOrElse(readSemanticMeta(spark, tableBase))
+    val cents = spark.table(s"${tableBase}_cents")
+    val bBase = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint()
+    val bAssign = assignCells(bBase, cents).localCheckpoint()
+    probeSemanticCore(spark, bBase, bAssign, tableBase, threshold,
+        broadcastBatch = true)
+      .repartition(1)
+      .write.mode(SaveMode.Append).parquet(pairsDir)
+    absorbSemanticCore(spark, bBase, bAssign, tableBase, meta)
   }
 
   /** Compact a landed [[landSemanticIndex]] back to one file per bucket

@@ -37,7 +37,7 @@ object Similarity {
     * them. Executes as TakeOrdered (per-partition heaps of n), never a
     * global sort.
     */
-  private[operators] def md5Sample(df: DataFrame, idCol: String, vecCol: String,
+  private[graft] def md5Sample(df: DataFrame, idCol: String, vecCol: String,
                                    n: Int, idAs: String, vecAs: String): DataFrame =
     df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
       .orderBy(md5(col(idAs).cast("string")), col(idAs)).limit(n)

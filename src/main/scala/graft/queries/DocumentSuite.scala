@@ -510,6 +510,24 @@ object DocumentSuite {
     * by d3 (`TRUE`), d11 (pairs involving the arriving batch) and the
     * streaming st9 oracle (pairs involving any arrival).
     */
+  /** The frozen-centroid d10 pair algebra: centroids sampled from AND
+    * sized by the slice `centsWhere` selects (the landed corpus —
+    * quantizer frozen at land time), every vector assigned against
+    * them, same-cell exact-cosine pairs at τ = 0.4 sliced by
+    * `restrict` — shared by d13 (pairs involving the arriving batch)
+    * and the streaming st10 oracle (pairs involving any arrival).
+    */
+  private[queries] def semanticPairsSql(centsWhere: String, restrict: String): String =
+    s"""WITH cents AS ${centsSampleSqlSizedOver(centsWhere)},
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |assign AS ${ivfAssignCte("", keep = 1, "id", "v")},
+       |scored AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, ${cosSqlZ("a.v", "b.v")} AS cos
+       |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id)
+       |SELECT id_a, id_b, ROUND(cos, 6) AS cos
+       |FROM scored WHERE cos >= 0.4 AND ($restrict)
+       |ORDER BY id_a, id_b""".stripMargin
+
   private[queries] def minhashPairsSql(restrict: String): String =
     s"""WITH ${minhashCoefCte(64)},
        |toks AS (
@@ -1130,15 +1148,8 @@ object DocumentSuite {
     // assigned against them, same-cell exact-cosine pairs restricted to
     // those involving the arriving batch
     "d13_semantic_incremental" ->
-      s"""WITH cents AS ${centsSampleSqlSizedOver("WHERE vec_id % 10 <> 8")},
-         |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-         |assign AS ${ivfAssignCte("", keep = 1, "id", "v")},
-         |scored AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, ${cosSqlZ("a.v", "b.v")} AS cos
-         |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id)
-         |SELECT id_a, id_b, ROUND(cos, 6) AS cos
-         |FROM scored WHERE cos >= 0.4 AND (id_a % 10 = 8 OR id_b % 10 = 8)
-         |ORDER BY id_a, id_b""".stripMargin,
+      semanticPairsSql("WHERE vec_id % 10 <> 8",
+        "id_a % 10 = 8 OR id_b % 10 = 8"),
 
     "m4_resize_plan" ->
       """WITH meta AS (

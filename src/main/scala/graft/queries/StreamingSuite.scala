@@ -46,6 +46,12 @@ object StreamingSuite {
     "st9_stream_incremental_dedup" -> ((s, d) => {
       graft.streaming.DocStreams.streamIncrementalDedup(s, d)
         .orderBy("id_a", "id_b")
+    }),
+    // the embedding twin: frozen-centroid semantic index landed once,
+    // each arriving micro-batch assigns/probes/absorbs (foreachBatch)
+    "st10_stream_semantic_dedup" -> ((s, d) => {
+      graft.streaming.DocStreams.streamSemanticDedup(s, d)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -150,6 +156,14 @@ object StreamingSuite {
     // chunk order
     "st9_stream_incremental_dedup" ->
       graft.queries.DocumentSuite.minhashPairsSql(
+        "id_a % 5 >= 3 OR id_b % 5 >= 3"),
+
+    // the frozen-centroid d10 algebra (centroids from the landed
+    // vec_id % 5 < 3 slice) restricted to pairs involving an arrival —
+    // each emitted by exactly one micro-batch, the one processing its
+    // later-arriving member, so the drained union is chunk-order-free
+    "st10_stream_semantic_dedup" ->
+      graft.queries.DocumentSuite.semanticPairsSql("WHERE vec_id % 5 < 3",
         "id_a % 5 >= 3 OR id_b % 5 >= 3")
   )
 }

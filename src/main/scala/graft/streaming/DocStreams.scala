@@ -92,4 +92,63 @@ object DocStreams {
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
     spark.read.schema(pairSchema).parquet(outDir).distinct()
   }
+
+  private val cosPairSchema = StructType(Seq(
+    StructField("id_a", LongType), StructField("id_b", LongType),
+    StructField("cos", DoubleType)))
+
+  /** st10: streaming incremental SEMANTIC dedup — the embedding twin of
+    * [[streamIncrementalDedup]], closing the §2.4 loop for the d13
+    * index the way st9 closes it for d11. The corpus slice
+    * (vec_id % 5 < 3) lands once via [[Dedup.landSemanticIndex]] — the
+    * coarse quantizer is FROZEN there, so every arriving micro-batch
+    * assigns against the same centroids (the IVF-list versioning
+    * contract; re-quantization is an explicit re-land, never something
+    * a stream does implicitly). The remaining vectors arrive as a file
+    * sequence, one micro-batch each; per batch, behind the `_vecs`
+    * anti-join redelivery guard: probe (same-cell candidates, exact-
+    * cosine verify) → spool pairs → absorb. Every arrival-involving
+    * pair is emitted exactly once — by the micro-batch of its
+    * later-arriving member — so the drained union equals the
+    * frozen-centroid d10 algebra over ALL vectors restricted to
+    * arrival-involving pairs, whatever the chunk order. That set is
+    * the DuckDB oracle.
+    */
+  def streamSemanticDedup(spark: SparkSession, dir: String,
+                          threshold: Double = 0.4): DataFrame = {
+    val id = qid.incrementAndGet()
+    val tableBase = s"graft_st10_$id"
+    val root = graft.sources.Spool.tempRoot(s"st10_$id")
+    val embs = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    Dedup.landSemanticIndex(embs.filter(col("vec_id") % 5 < 3),
+      "vec_id", "embedding", tableBase, s"$root/idx")
+    val arrivals = embs.filter(col("vec_id") % 5 >= 3)
+    (0 until 4).foreach { i =>
+      graft.GenData.writeSingleParquetFile(s"$root/arrive/embs_$i.parquet")(
+        arrivals.filter(pmod(col("vec_id"), lit(4)) === i))
+    }
+    val outDir = s"$root/pairs"
+    val stream = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/arrive")
+    var meta: Option[Dedup.SemanticMeta] = None
+    val q = EventStreams.withDrainConf(spark) {
+      stream.writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val landedIds = spark.table(s"${tableBase}_vecs").select(col("id").as("vec_id"))
+          val fresh = graft.sources.Sinks
+            .notYetIngested(batch, landedIds, "vec_id").localCheckpoint()
+          if (!fresh.isEmpty) {
+            meta = Some(Dedup.probeAbsorbSemanticBatch(spark, fresh, "vec_id",
+              "embedding", tableBase, threshold, pairsDir = outDir,
+              cachedMeta = meta))
+          }
+        }
+        .start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    Seq("cents", "assign", "vecs", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
+    spark.read.schema(cosPairSchema).parquet(outDir).distinct()
+  }
 }

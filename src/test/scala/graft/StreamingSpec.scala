@@ -539,4 +539,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == want,
       s"only-streamed=${(got -- want).take(3)} only-batch=${(want -- got).take(3)}")
   }
+
+  test("st10: streamed semantic probe+absorb union equals the frozen-centroid recompute") {
+    // the d13 continuous-ingest contract under streaming: drained pairs
+    // = the frozen-centroid (landed slice's centroids!) d10 algebra
+    // over ALL vectors restricted to arrival-involving pairs, including
+    // cross-micro-batch pairs (the absorb-visibility leg). Centroids
+    // recomputed here exactly as landSemanticIndex freezes them
+    // (md5Sample over the corpus slice, ivfCellsFor-sized — parquet
+    // roundtrips doubles exactly, so the recompute is bit-identical).
+    // τ = 0.2, not the key's 0.4: the spec corpus is smaller and the
+    // looser τ keeps the cross-batch leg non-vacuous.
+    val got = graft.streaming.DocStreams.streamSemanticDedup(spark, sfDir,
+        threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+    val corpus = embs.filter(col("vec_id") % 5 < 3)
+    val cents = graft.operators.Similarity.md5Sample(corpus, "vec_id", "embedding",
+      graft.operators.Dedup.ivfCellsFor(corpus.count()), "cid", "cw")
+    val want = graft.operators.Dedup.semanticDedupPairs(
+      embs.select(col("vec_id").as("id"), col("embedding").as("v")),
+      cents, threshold = 0.2)
+      .filter(col("id_a") % 5 >= 3 || col("id_b") % 5 >= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty, "no arrival pairs at this sf — test is vacuous")
+    val crossBatch = want.filter { case (a, b, _) =>
+      a % 5 >= 3 && b % 5 >= 3 && a % 4 != b % 4 }
+    assert(crossBatch.nonEmpty,
+      "no cross-micro-batch arrival pair expected — absorb path untested")
+    assert(got == want,
+      s"only-streamed=${(got -- want).take(3)} only-batch=${(want -- got).take(3)}")
+  }
 }
