@@ -76,7 +76,7 @@ object IncBench {
     println(s"""{"corpus": "$docsDir", "n_corpus": $nCorpus, "n_batch": $batchN, """ +
       s""""n_buckets": $nBuckets, "land_sec": ${f"$tLand%.2f"}, """ +
       s""""probe_sec": ${f"$tProbe%.2f"}, "absorb_sec": ${f"$tAbsorb%.2f"}, """ +
-      s""""pairs": $pairs, $prune, """ +
+      s""""pairs": $pairs, $selected, $prune, """ +
       s""""compact_sec": ${f"$tCompact%.2f"}, $cm, """ +
       s""""precompact_probe": [$prePairs, ${f"$tPre%.2f"}], """ +
       s""""postcompact_probe": [$postPairs, ${f"$tPost%.2f"}]}""")

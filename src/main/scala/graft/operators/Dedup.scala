@@ -1032,17 +1032,21 @@ object Dedup {
     // whose bucket holds none of the batch's keys. With nBuckets sized
     // to the corpus (thousands at 100 TB), a small batch touches
     // ~|batch|·bands/nBuckets of the index files and the probe's IO is
-    // batch-proportional, not corpus-proportional. Guarded by LITERAL
-    // COUNT, and aggressively: every Catalyst transform walks the In
-    // list's children, so a large literal set taxes PLANNING long before
-    // execution (measured: ~80k literals added minutes across st9's
-    // gen1 micro-batches) — and a batch with that many band keys covers
-    // most buckets anyway, so the prune would skip little. Past the cap,
-    // scan the index unfiltered and let the join do the work.
-    val maxInSetKeys = 8192
+    // batch-proportional, not corpus-proportional. Guarded by KEY COUNT
+    // against BOTH failure modes ([[pruneKeyCap]]): k keys over B
+    // buckets hit an expected 1−(1−1/B)^k of them, so past k ≈ B·ln4
+    // the filter skips <25% of files while its literal list still taxes
+    // every Catalyst transform (measured: a useless 7.9k-literal InSet
+    // at B=32 added ~4 s of planning per probe — r16 IncBench; ~80k
+    // literals added minutes across st9's gen1 micro-batches in r15).
+    // Past the cap, scan the index unfiltered and let the join do the
+    // work — the prune is a file-skip optimization, never a correctness
+    // ingredient.
+    val maxInSetKeys = pruneKeyCap(meta.nBuckets)
     val idxPruned = {
       val bkeys = bBands.select("bkey").distinct().limit(maxInSetKeys + 1).collect()
       graft.Metrics.set("d11", "probe_bkeys" -> bkeys.length.toLong,
+        "prune_cap" -> maxInSetKeys.toLong,
         "bucket_pruned" -> (bkeys.length <= maxInSetKeys))
       if (bkeys.length > maxInSetKeys) idxBands
       else idxBands.filter(col("bkey").isInCollection(bkeys.map(_.getLong(0)).toSeq))
@@ -1061,6 +1065,19 @@ object Dedup {
     val cand = cross.union(intra).distinct()
     minhashVerify(cand, idxSigs.unionByName(bSigs), meta.k, threshold)
   }
+
+  /** Max InSet literals for the probe-side bucket prune: k distinct keys
+    * over B buckets hit an expected `B·(1−(1−1/B)^k)` of them, so the
+    * prune's file-skip benefit decays exponentially in k/B — at
+    * k = B·ln4 the expected skip is already down to 25%, while the
+    * LITERAL COST of the filter grows linearly (every Catalyst
+    * transform walks the In list's children; a large list taxes
+    * planning long before execution). Cap at that break-even, under an
+    * absolute 8192 planning-cost ceiling for corpus-sized bucket
+    * counts.
+    */
+  private def pruneKeyCap(nBuckets: Int): Int =
+    math.min(8192, math.ceil(nBuckets * math.log(4.0)).toInt)
 
   /** One full ingest cycle — probe, spool the pairs, absorb — with a
     * SINGLE signature pass over the batch (the separate
@@ -1176,8 +1193,17 @@ object Dedup {
     val cents = spark.table(s"${tableBase}_cents")
     val bBase = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val bAssign = assignCells(bBase, cents).localCheckpoint()
-    probeSemanticCore(spark, bBase, bAssign, tableBase, threshold, broadcastBatch)
+    probeSemanticCore(spark, bBase, bAssign, tableBase,
+      numBucketsOf(spark, s"${tableBase}_assign"), threshold, broadcastBatch)
   }
+
+  /** Bucket count of a bucketed table from its catalog description — a
+    * driver-side catalog command, no Spark job (the probe wants
+    * nBuckets for [[pruneKeyCap]] without paying a meta-row read).
+    */
+  private def numBucketsOf(spark: SparkSession, table: String): Int =
+    spark.sql(s"DESCRIBE FORMATTED $table")
+      .filter(col("col_name") === "Num Buckets").head().getString(1).trim.toInt
 
   /** Probe the semantic index with a precomputed batch assignment (the
     * shared core of [[incrementalSemanticPairs]] and
@@ -1187,15 +1213,18 @@ object Dedup {
     */
   private def probeSemanticCore(spark: SparkSession, bBase: DataFrame,
                                 bAssign: DataFrame, tableBase: String,
-                                threshold: Double,
+                                nBuckets: Int, threshold: Double,
                                 broadcastBatch: Boolean): DataFrame = {
     val idxAssign = spark.table(s"${tableBase}_assign")
     val idxVecs = spark.table(s"${tableBase}_vecs")
     val probe = if (broadcastBatch) broadcast(bAssign) else bAssign
-    val maxInSetKeys = 8192
+    // the d11 prune with the d11 cap rationale (pruneKeyCap): skip the
+    // InSet when the batch's cell set covers the buckets anyway
+    val maxInSetKeys = pruneKeyCap(nBuckets)
     val idxPruned = {
       val cids = bAssign.select("cid").distinct().limit(maxInSetKeys + 1).collect()
       graft.Metrics.set("d13", "probe_cids" -> cids.length.toLong,
+        "prune_cap" -> maxInSetKeys.toLong,
         "bucket_pruned" -> (cids.length <= maxInSetKeys))
       if (cids.length > maxInSetKeys) idxAssign
       else idxAssign.filter(col("cid").isInCollection(cids.map(_.getLong(0)).toSeq))
@@ -1285,8 +1314,8 @@ object Dedup {
     val bBase = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .localCheckpoint()
     val bAssign = assignCells(bBase, cents).localCheckpoint()
-    probeSemanticCore(spark, bBase, bAssign, tableBase, threshold,
-        broadcastBatch = true)
+    probeSemanticCore(spark, bBase, bAssign, tableBase, meta.nBuckets,
+        threshold, broadcastBatch = true)
       .repartition(1)
       .write.mode(SaveMode.Append).parquet(pairsDir)
     absorbSemanticCore(spark, bBase, bAssign, tableBase, meta)

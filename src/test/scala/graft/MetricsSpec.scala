@@ -69,12 +69,16 @@ class MetricsSpec extends SparkSpec {
   }
 
   test("incremental probe records its bucket-prune decision driver-side") {
+    // nBuckets = 512: the prune's regime is a corpus-sized bucket count
+    // (pruneKeyCap ≈ B·ln4 = 710 here, comfortably above the batch's
+    // ≤160 band keys). At small B the same probe must SKIP the InSet —
+    // both branches asserted.
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .filter(col("doc_id") < 60)
     val dir = graft.sources.Spool.tempRoot("d11_metrics")
     try {
       Dedup.landMinhashIndex(docs.filter(col("doc_id") < 50), "doc_id", "text",
-        n = 3, k = 64, bands = 16, "graft_d11_met", dir)
+        n = 3, k = 64, bands = 16, "graft_d11_met", dir, nBuckets = 512)
       Dedup.incrementalMinhashPairs(spark,
         docs.filter(col("doc_id") >= 50), "doc_id", "text",
         "graft_d11_met", threshold = 0.5).collect()
@@ -86,6 +90,29 @@ class MetricsSpec extends SparkSpec {
     } finally {
       Seq("sigs", "bands", "meta").foreach(s =>
         spark.sql(s"DROP TABLE IF EXISTS graft_d11_met_$s"))
+    }
+  }
+
+  test("incremental probe skips the InSet when the key set covers the buckets") {
+    // 8 buckets -> cap = ceil(8·ln4) = 12; a 50-doc batch carries far
+    // more band keys, so the prune would scan ~every bucket anyway and
+    // the probe must take the unfiltered branch (identical results, no
+    // planning tax) and say so in Metrics
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 100)
+    val dir = graft.sources.Spool.tempRoot("d11_nocap")
+    try {
+      Dedup.landMinhashIndex(docs.filter(col("doc_id") < 50), "doc_id", "text",
+        n = 3, k = 64, bands = 16, "graft_d11_ncp", dir, nBuckets = 8)
+      Dedup.incrementalMinhashPairs(spark,
+        docs.filter(col("doc_id") >= 50), "doc_id", "text",
+        "graft_d11_ncp", threshold = 0.5).collect()
+      val m = Metrics.get("d11").getOrElse(fail("no d11 metrics"))
+      assert(m("prune_cap") == 12L, s"cap=${m("prune_cap")}")
+      assert(m("bucket_pruned") == false, s"expected the skip branch: $m")
+    } finally {
+      Seq("sigs", "bands", "meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_d11_ncp_$s"))
     }
   }
 }
