@@ -1113,6 +1113,90 @@ object Dedup {
     absorbMinhashCore(spark, bSigs, tableBase, meta)
   }
 
+  /** Keep/drop classification of an arriving batch against a landed
+    * [[landMinhashIndex]] — the decision the pair stream exists to
+    * feed, made first-class (the near-dup generalization of
+    * [[incrementalExactDedup]]'s skip-existing contract; the
+    * reference's analog is pages.py:92-116's don't-refetch rule).
+    *
+    * A batch doc is a DUPLICATE iff it near-dups (the probe's τ) any
+    * EARLIER document: every landed doc is earlier than every arrival,
+    * and within a batch arrival order is id order. `dup_of` is the
+    * minimum such earlier neighbor (deterministic; landed and batch
+    * ids are disjoint by the probe's contract), NULL for survivors —
+    * `is_new` mirrors it. Dropping a doc does NOT shield later docs
+    * that matched only it: the rule is "similar to any earlier doc",
+    * the same set-based semantics as [[dedupSurvivors]]'s components
+    * restricted to one hop, so the result is order-deterministic and
+    * SQL-expressible (the d14 oracle) rather than a sequential greedy
+    * chain.
+    *
+    * Cost is the probe's (batch-proportional): pairs are
+    * batch-involving by construction, the batch id set broadcasts
+    * twice (membership + the final left join), and the min-neighbor
+    * aggregate runs over the batch-sized pair sliver.
+    */
+  def incrementalSurvivors(spark: SparkSession, newDocs: DataFrame,
+                           idCol: String, textCol: String,
+                           tableBase: String, threshold: Double): DataFrame = {
+    val batch = newDocs.select(col(idCol).cast("long").as("doc_id"))
+    val pairs = incrementalMinhashPairs(spark, newDocs, idCol, textCol,
+      tableBase, threshold)
+    earliestNeighborFold(batch, pairs, "doc_id")
+  }
+
+  /** One full ingest-classification cycle — probe, fold the pairs into
+    * the [[incrementalSurvivors]] keep/drop decision, spool the
+    * per-doc verdicts, absorb — with a single signature pass over the
+    * batch (the st11 per-micro-batch loop body; the classification
+    * twin of [[probeAbsorbMinhashBatch]], same ordering contract: the
+    * spool append materializes the probe before the absorb mutates the
+    * index it scanned). The batch is classified against the index AS
+    * LANDED WHEN IT ARRIVED — docs already absorbed from earlier
+    * micro-batches count as earlier neighbors, smaller-id batch mates
+    * count as earlier, later arrivals never shield or condemn — so the
+    * drained stream equals a single arrival-ordered fold over the full
+    * pair algebra (the st11 oracle), whatever the chunking.
+    */
+  def classifyAbsorbMinhashBatch(spark: SparkSession, newDocs: DataFrame,
+                                 idCol: String, textCol: String,
+                                 tableBase: String, threshold: Double,
+                                 classDir: String,
+                                 cachedMeta: Option[MinhashMeta] = None): MinhashMeta = {
+    val meta = cachedMeta.getOrElse(readMinhashMeta(spark, tableBase))
+    val bSigs = minhashSignatures(newDocs, idCol, textCol, meta.n, meta.k)
+      .localCheckpoint()
+    val pairs = probeMinhashCore(spark, bSigs, tableBase, meta, threshold,
+      broadcastBatch = true)
+    earliestNeighborFold(bSigs.select(col("id").as("doc_id")), pairs, "doc_id")
+      .repartition(1)
+      .write.mode(SaveMode.Append).parquet(classDir)
+    absorbMinhashCore(spark, bSigs, tableBase, meta)
+  }
+
+  /** The earlier-neighbor fold shared by [[incrementalSurvivors]] and
+    * [[incrementalSemanticSurvivors]]: classify each batch id against
+    * batch-involving pairs — dup iff some pair links it to a non-batch
+    * (i.e. landed, hence earlier) partner or a smaller batch id;
+    * `dup_of` = the minimum such partner. `batch` holds one column
+    * named `outId`; both joins against it broadcast (the batch is
+    * probe-sized by contract).
+    */
+  private def earliestNeighborFold(batch: DataFrame, pairs: DataFrame,
+                                   outId: String): DataFrame = {
+    val partners = pairs.select(col("id_a").as("x"), col("id_b").as("e"))
+      .unionByName(pairs.select(col("id_b").as("x"), col("id_a").as("e")))
+    val earlier = partners
+      .join(broadcast(batch.withColumnRenamed(outId, "x")), Seq("x"))
+      .join(broadcast(batch.select(col(outId).as("e"),
+        lit(true).as("e_in_batch"))), Seq("e"), "left")
+      .filter(col("e_in_batch").isNull || col("e") < col("x"))
+    val dups = earlier.groupBy("x").agg(min("e").as("dup_of"))
+      .withColumnRenamed("x", outId)
+    batch.join(dups, Seq(outId), "left")
+      .select(col(outId), col("dup_of"), col("dup_of").isNull.as("is_new"))
+  }
+
   // --- incremental SEMANTIC dedup (d13): the embedding twin of d11 ---------
   // d11 freezes the MinHash band algebra at land time; here the frozen
   // state is the coarse quantizer itself (SemDeDup's k-means stand-in):
@@ -1195,6 +1279,27 @@ object Dedup {
     val bAssign = assignCells(bBase, cents).localCheckpoint()
     probeSemanticCore(spark, bBase, bAssign, tableBase,
       numBucketsOf(spark, s"${tableBase}_assign"), threshold, broadcastBatch)
+  }
+
+  /** Keep/drop classification of an arriving embedding batch against a
+    * landed [[landSemanticIndex]] — the embedding twin of
+    * [[incrementalSurvivors]] (d15 : d13 :: d14 : d11): a batch vector
+    * is a duplicate iff it semantically near-dups (frozen-centroid
+    * same-cell, exact cosine ≥ τ) any EARLIER vector — any landed one,
+    * or a smaller-id batch mate — with `dup_of` the minimum such
+    * neighbor and NULL for survivors. Same set-based "similar to any
+    * earlier" semantics (order-deterministic, SQL-expressible), same
+    * batch-proportional cost: the [[incrementalSemanticPairs]] probe
+    * plus two broadcast membership joins and a batch-sized aggregate.
+    */
+  def incrementalSemanticSurvivors(spark: SparkSession, newEmbs: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   tableBase: String,
+                                   threshold: Double): DataFrame = {
+    val batch = newEmbs.select(col(idCol).cast("long").as("vec_id"))
+    val pairs = incrementalSemanticPairs(spark, newEmbs, idCol, vecCol,
+      tableBase, threshold)
+    earliestNeighborFold(batch, pairs, "vec_id")
   }
 
   /** Bucket count of a bucketed table from its catalog description — a
@@ -1318,6 +1423,31 @@ object Dedup {
         threshold, broadcastBatch = true)
       .repartition(1)
       .write.mode(SaveMode.Append).parquet(pairsDir)
+    absorbSemanticCore(spark, bBase, bAssign, tableBase, meta)
+  }
+
+  /** One full semantic ingest-classification cycle — assign once,
+    * probe, fold into the [[incrementalSemanticSurvivors]] keep/drop
+    * decision, spool the per-vector verdicts, absorb — the st12
+    * per-micro-batch loop body (st12 : st10 :: st11 : st9; see
+    * [[classifyAbsorbMinhashBatch]] for the arrival-ordered earlier
+    * rule and the materialize-before-absorb contract).
+    */
+  def classifyAbsorbSemanticBatch(spark: SparkSession, newEmbs: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  tableBase: String, threshold: Double,
+                                  classDir: String,
+                                  cachedMeta: Option[SemanticMeta] = None): SemanticMeta = {
+    val meta = cachedMeta.getOrElse(readSemanticMeta(spark, tableBase))
+    val cents = spark.table(s"${tableBase}_cents")
+    val bBase = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint()
+    val bAssign = assignCells(bBase, cents).localCheckpoint()
+    val pairs = probeSemanticCore(spark, bBase, bAssign, tableBase,
+      meta.nBuckets, threshold, broadcastBatch = true)
+    earliestNeighborFold(bBase.select(col("id").as("vec_id")), pairs, "vec_id")
+      .repartition(1)
+      .write.mode(SaveMode.Append).parquet(classDir)
     absorbSemanticCore(spark, bBase, bAssign, tableBase, meta)
   }
 

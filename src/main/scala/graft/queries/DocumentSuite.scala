@@ -258,6 +258,19 @@ object DocumentSuite {
         .orderBy("id_a", "id_b")
     }),
 
+    // the keep/drop decision those pairs exist to feed: classify each
+    // arriving doc against the landed corpus (drop iff it near-dups an
+    // earlier doc — any landed doc, or a smaller-id batch mate)
+    "d14_dedup_incremental_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.sources.Spool.dir(s, "d14_idx")
+      Dedup.landMinhashIndex(docs.filter(col("doc_id") % 10 =!= 8),
+        "doc_id", "text", n = 3, k = 64, bands = 16, "graft_d14_idx", dir)
+      Dedup.incrementalSurvivors(s, docs.filter(col("doc_id") % 10 === 8),
+        "doc_id", "text", "graft_d14_idx", threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // incremental SEMANTIC dedup: the embedding twin of d11 — 90% of the
     // embeddings land once as the d10 cell index (centroids frozen at
     // land time, the SemDeDup quantizer), the other 10% arrive as a
@@ -272,6 +285,19 @@ object DocumentSuite {
       Dedup.incrementalSemanticPairs(s, e.filter(col("vec_id") % 10 === 8),
         "vec_id", "embedding", "graft_d13_idx", threshold = 0.4)
         .orderBy("id_a", "id_b")
+    }),
+
+    // the d13 pairs folded into the ingest decision — the embedding
+    // twin of d14: classify each arriving vector against the landed
+    // cell index (drop iff it semantically near-dups an earlier vector)
+    "d15_semantic_incremental_survivors" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Spool.dir(s, "d15_idx")
+      Dedup.landSemanticIndex(e.filter(col("vec_id") % 10 =!= 8),
+        "vec_id", "embedding", "graft_d15_idx", dir)
+      Dedup.incrementalSemanticSurvivors(s, e.filter(col("vec_id") % 10 === 8),
+        "vec_id", "embedding", "graft_d15_idx", threshold = 0.4)
+        .orderBy("vec_id")
     }),
 
     // --- similarity search -------------------------------------------------
@@ -517,18 +543,81 @@ object DocumentSuite {
     * `restrict` — shared by d13 (pairs involving the arriving batch)
     * and the streaming st10 oracle (pairs involving any arrival).
     */
-  private[queries] def semanticPairsSql(centsWhere: String, restrict: String): String =
+  /** The WITH-chain of the frozen-centroid algebra up to the per-pair
+    * exact-cosine score `scored(id_a, id_b, cos)` — composable, the
+    * semantic twin of [[minhashEstCtes]].
+    */
+  private def semanticScoredCtes(centsWhere: String): String =
     s"""WITH cents AS ${centsSampleSqlSizedOver(centsWhere)},
        |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |assign AS ${ivfAssignCte("", keep = 1, "id", "v")},
        |scored AS (
        |  SELECT a.id AS id_a, b.id AS id_b, ${cosSqlZ("a.v", "b.v")} AS cos
-       |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id)
+       |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id)""".stripMargin
+
+  private[queries] def semanticPairsSql(centsWhere: String, restrict: String): String =
+    s"""${semanticScoredCtes(centsWhere)}
        |SELECT id_a, id_b, ROUND(cos, 6) AS cos
        |FROM scored WHERE cos >= 0.4 AND ($restrict)
        |ORDER BY id_a, id_b""".stripMargin
 
-  private[queries] def minhashPairsSql(restrict: String): String =
+  /** The earlier-neighbor fold shared by the d14/d15/st11/st12 oracles
+    * (the SQL twin of Dedup.earliestNeighborFold): given score CTEs
+    * ending in a pair relation, classify each arrival — dup iff some
+    * over-threshold pair links it to an EARLIER member (per the
+    * caller's rule), `dup_of` = the minimum such neighbor, NULL and
+    * `is_new` for survivors. `arrival` renders the arrival predicate
+    * for a column; `earlier` renders "e is earlier than x".
+    */
+  private def earlierFoldSql(ctes: String, jpSelect: String, outId: String,
+                             table: String,
+                             arrival: String => String,
+                             earlier: (String, String) => String): String =
+    s"""$ctes,
+       |jp AS ($jpSelect),
+       |part AS (SELECT id_a AS x, id_b AS e FROM jp
+       |         UNION ALL SELECT id_b, id_a FROM jp),
+       |dup AS (
+       |  SELECT x AS $outId, MIN(e) AS dup_of FROM part
+       |  WHERE ${arrival("x")} AND (${earlier("e", "x")}) GROUP BY x)
+       |SELECT t.$outId, dup.dup_of, dup.dup_of IS NULL AS is_new
+       |FROM $table t LEFT JOIN dup ON dup.$outId = t.$outId
+       |WHERE ${arrival(s"t.$outId")}
+       |ORDER BY t.$outId""".stripMargin
+
+  /** The d15 keep/drop classification: a batch vector (vec_id % 10 = 8)
+    * is a duplicate iff some frozen-centroid τ = 0.4 pair links it to
+    * an EARLIER vector — any landed one, or a smaller-id batch mate;
+    * `dup_of` = the minimum such neighbor (the semantic twin of
+    * [[incrementalSurvivorsSql]]).
+    */
+  private[queries] def semanticSurvivorsSql: String =
+    earlierFoldSql(semanticScoredCtes("WHERE vec_id % 10 <> 8"),
+      """SELECT id_a, id_b FROM scored
+        |       WHERE cos >= 0.4 AND (id_a % 10 = 8 OR id_b % 10 = 8)""".stripMargin,
+      "vec_id", "embeddings",
+      c => s"$c % 10 = 8", (e, x) => s"$e % 10 <> 8 OR $e < $x")
+
+  /** The st12 classification oracle: the arrival-ordered fold over the
+    * frozen-centroid algebra (centroids from the landed vec_id % 5 < 3
+    * slice) — earlier(e, x) ⇔ e landed, or e's arrival chunk
+    * (vec_id % 4) precedes x's, or same chunk with e < x. Chunk order
+    * is deterministic because the stream's drops carry strictly
+    * increasing mtimes.
+    */
+  private[queries] def streamSemanticSurvivorsSql: String =
+    earlierFoldSql(semanticScoredCtes("WHERE vec_id % 5 < 3"),
+      """SELECT id_a, id_b FROM scored
+        |       WHERE cos >= 0.4 AND (id_a % 5 >= 3 OR id_b % 5 >= 3)""".stripMargin,
+      "vec_id", "embeddings",
+      c => s"$c % 5 >= 3",
+      (e, x) => s"$e % 5 < 3 OR $e % 4 < $x % 4 OR ($e % 4 = $x % 4 AND $e < $x)")
+
+  /** The WITH-chain of the d3 algebra up to the per-pair signature
+    * agreement estimate `est(id_a, id_b, ej)` — composable: callers
+    * append their own CTEs with a leading comma or select directly.
+    */
+  private def minhashEstCtes: String =
     s"""WITH ${minhashCoefCte(64)},
        |toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -551,10 +640,38 @@ object DocumentSuite {
        |est AS (
        |  SELECT id_a, id_b,
        |    CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE) / 64 AS ej
-       |  FROM cand)
+       |  FROM cand)""".stripMargin
+
+  private[queries] def minhashPairsSql(restrict: String): String =
+    s"""$minhashEstCtes
        |SELECT id_a, id_b, ROUND(ej, 4) AS est_jaccard
        |FROM est WHERE ej >= 0.5 AND ($restrict)
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** The d14 keep/drop classification: a batch doc (doc_id % 10 = 8)
+    * is a duplicate iff some τ = 0.5 pair links it to an EARLIER doc —
+    * any landed doc, or a smaller-id batch mate; `dup_of` = the
+    * minimum such neighbor.
+    */
+  private[queries] def incrementalSurvivorsSql: String =
+    earlierFoldSql(minhashEstCtes,
+      """SELECT id_a, id_b FROM est
+        |       WHERE ej >= 0.5 AND (id_a % 10 = 8 OR id_b % 10 = 8)""".stripMargin,
+      "doc_id", "documents",
+      c => s"$c % 10 = 8", (e, x) => s"$e % 10 <> 8 OR $e < $x")
+
+  /** The st11 classification oracle: the arrival-ordered fold over the
+    * d3 MinHash algebra — earlier(e, x) ⇔ e landed (doc_id % 5 < 3),
+    * or e's arrival chunk (doc_id % 4) precedes x's, or same chunk
+    * with e < x (chunk order pinned by the drops' mtimes).
+    */
+  private[queries] def streamSurvivorsSql: String =
+    earlierFoldSql(minhashEstCtes,
+      """SELECT id_a, id_b FROM est
+        |       WHERE ej >= 0.5 AND (id_a % 5 >= 3 OR id_b % 5 >= 3)""".stripMargin,
+      "doc_id", "documents",
+      c => s"$c % 5 >= 3",
+      (e, x) => s"$e % 5 < 3 OR $e % 4 < $x % 4 OR ($e % 4 = $x % 4 AND $e < $x)")
 
   /** The stub decoder's dimension arithmetic over the document payload —
     * the DuckDB twin of [[Multimodal.StubDecoder.decode]] (FNV of the
@@ -936,6 +1053,11 @@ object DocumentSuite {
     "d11_dedup_incremental" ->
       minhashPairsSql("id_a % 10 = 8 OR id_b % 10 = 8"),
 
+    // d11's pairs folded into the ingest decision: per batch doc, the
+    // minimum earlier near-dup neighbor (earlier = landed, or a
+    // smaller-id batch mate) and whether the doc is genuinely new
+    "d14_dedup_incremental_survivors" -> incrementalSurvivorsSql,
+
     "d4_dedup_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, ${fnvSql("t.tok")} AS th
@@ -1150,6 +1272,10 @@ object DocumentSuite {
     "d13_semantic_incremental" ->
       semanticPairsSql("WHERE vec_id % 10 <> 8",
         "id_a % 10 = 8 OR id_b % 10 = 8"),
+
+    // d13's pairs folded into the ingest decision: per batch vector,
+    // the minimum earlier semantic near-dup neighbor and newness
+    "d15_semantic_incremental_survivors" -> semanticSurvivorsSql,
 
     "m4_resize_plan" ->
       """WITH meta AS (

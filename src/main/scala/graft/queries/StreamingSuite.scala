@@ -52,6 +52,19 @@ object StreamingSuite {
     "st10_stream_semantic_dedup" -> ((s, d) => {
       graft.streaming.DocStreams.streamSemanticDedup(s, d)
         .orderBy("id_a", "id_b")
+    }),
+    // the st9 loop folded into the ingest decision (d14 per micro-
+    // batch): each arriving doc classified against the index as of its
+    // arrival — dup iff it near-dups a landed doc, an earlier arrival,
+    // or a smaller-id batch mate — then absorbed
+    "st11_stream_incremental_survivors" -> ((s, d) => {
+      graft.streaming.DocStreams.streamIncrementalSurvivors(s, d)
+        .orderBy("doc_id")
+    }),
+    // the embedding twin (d15 per micro-batch over the st10 loop)
+    "st12_stream_semantic_survivors" -> ((s, d) => {
+      graft.streaming.DocStreams.streamSemanticSurvivors(s, d)
+        .orderBy("vec_id")
     })
   )
 
@@ -164,6 +177,17 @@ object StreamingSuite {
     // later-arriving member, so the drained union is chunk-order-free
     "st10_stream_semantic_dedup" ->
       graft.queries.DocumentSuite.semanticPairsSql("WHERE vec_id % 5 < 3",
-        "id_a % 5 >= 3 OR id_b % 5 >= 3")
+        "id_a % 5 >= 3 OR id_b % 5 >= 3"),
+
+    // the arrival-ordered earlier-fold over the st9 pair algebra: each
+    // arrival's verdict depends only on the landed corpus, earlier
+    // chunks (doc_id % 4, mtime-pinned order), and smaller-id chunk
+    // mates — so the drained stream equals this single SQL fold
+    "st11_stream_incremental_survivors" ->
+      graft.queries.DocumentSuite.streamSurvivorsSql,
+
+    // the embedding twin over the st10 frozen-centroid pair algebra
+    "st12_stream_semantic_survivors" ->
+      graft.queries.DocumentSuite.streamSemanticSurvivorsSql
   )
 }

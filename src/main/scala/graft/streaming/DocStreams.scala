@@ -151,4 +151,123 @@ object DocStreams {
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
     spark.read.schema(cosPairSchema).parquet(outDir).distinct()
   }
+
+  /** Write `arrivals` as one single-file drop per chunk with STRICTLY
+    * INCREASING modification times, so the file stream's
+    * timestamp-ordered listing processes chunks in chunk order — st9/
+    * st10's pair oracles are arrival-order-free so they never needed
+    * this, but the st11/st12 classification oracles fold over arrival
+    * order, which must therefore be deterministic.
+    */
+  private def writeOrderedChunks(root: String, prefix: String, chunks: Int,
+                                 idCol: String)(arrivals: DataFrame): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val base = System.currentTimeMillis()
+    (0 until chunks).foreach { i =>
+      val dest = s"$root/$prefix$i.parquet"
+      graft.GenData.writeSingleParquetFile(dest)(
+        arrivals.filter(pmod(col(idCol), lit(chunks)) === i))
+      Files.setLastModifiedTime(Paths.get(dest),
+        FileTime.fromMillis(base + i * 2000L))
+    }
+  }
+
+  private def classSchema(idCol: String) = StructType(Seq(
+    StructField(idCol, LongType), StructField("dup_of", LongType),
+    StructField("is_new", BooleanType)))
+
+  /** st11: streaming ingest keep/drop classification — the continuous
+    * twin of the d14 [[Dedup.incrementalSurvivors]] decision, run
+    * inside the st9 loop: corpus (doc_id % 5 < 3) lands once as the
+    * bucketed MinHash index; arrivals drop as a timestamp-ordered file
+    * sequence, one micro-batch each; per batch, behind the `_sigs`
+    * redelivery guard, [[Dedup.classifyAbsorbMinhashBatch]] probes,
+    * folds the pairs into per-doc verdicts — dup iff the doc near-dups
+    * anything ALREADY IN THE INDEX (corpus or an earlier arrival) or a
+    * smaller-id batch mate, `dup_of` = the minimum such neighbor —
+    * spools the verdicts, and absorbs the batch. Every arrival is
+    * classified exactly once against the index as of its arrival, so
+    * the drained stream equals a single arrival-ordered fold over the
+    * full pair algebra (the DuckDB oracle): earlier(e, x) ⇔ e landed,
+    * or e's chunk precedes x's, or same chunk with e < x.
+    */
+  def streamIncrementalSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val id = qid.incrementAndGet()
+    val tableBase = s"graft_st11_$id"
+    val root = graft.sources.Spool.tempRoot(s"st11_$id")
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    Dedup.landMinhashIndex(docs.filter(col("doc_id") % 5 < 3),
+      "doc_id", "text", n = 3, k = 64, bands = 16, tableBase, s"$root/idx")
+    writeOrderedChunks(s"$root/arrive", "docs_", 4, "doc_id")(
+      docs.filter(col("doc_id") % 5 >= 3))
+    val outDir = s"$root/class"
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/arrive")
+    var meta: Option[Dedup.MinhashMeta] = None
+    val q = EventStreams.withDrainConf(spark) {
+      stream.writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val landedIds = spark.table(s"${tableBase}_sigs").select(col("id").as("doc_id"))
+          val fresh = graft.sources.Sinks
+            .notYetIngested(batch, landedIds, "doc_id").localCheckpoint()
+          if (!fresh.isEmpty) {
+            meta = Some(Dedup.classifyAbsorbMinhashBatch(spark, fresh, "doc_id",
+              "text", tableBase, threshold = 0.5, classDir = outDir,
+              cachedMeta = meta))
+          }
+        }
+        .start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    Seq("sigs", "bands", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
+    spark.read.schema(classSchema("doc_id")).parquet(outDir).distinct()
+  }
+
+  /** st12: streaming semantic ingest classification — the embedding
+    * twin of [[streamIncrementalSurvivors]] (st12 : st10 :: st11 :
+    * st9): frozen-centroid cell index landed once from the
+    * vec_id % 5 < 3 slice, arrivals drop as a timestamp-ordered file
+    * sequence, and each micro-batch is classified against the index as
+    * of its arrival (dup iff exact cosine ≥ τ against a landed vector,
+    * an earlier arrival, or a smaller-id batch mate) before being
+    * absorbed. Drained stream ≡ the arrival-ordered fold over the
+    * frozen-centroid pair algebra.
+    */
+  def streamSemanticSurvivors(spark: SparkSession, dir: String,
+                              threshold: Double = 0.4): DataFrame = {
+    val id = qid.incrementAndGet()
+    val tableBase = s"graft_st12_$id"
+    val root = graft.sources.Spool.tempRoot(s"st12_$id")
+    val embs = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    Dedup.landSemanticIndex(embs.filter(col("vec_id") % 5 < 3),
+      "vec_id", "embedding", tableBase, s"$root/idx")
+    writeOrderedChunks(s"$root/arrive", "embs_", 4, "vec_id")(
+      embs.filter(col("vec_id") % 5 >= 3))
+    val outDir = s"$root/class"
+    val stream = spark.readStream.schema(embs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/arrive")
+    var meta: Option[Dedup.SemanticMeta] = None
+    val q = EventStreams.withDrainConf(spark) {
+      stream.writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val landedIds = spark.table(s"${tableBase}_vecs").select(col("id").as("vec_id"))
+          val fresh = graft.sources.Sinks
+            .notYetIngested(batch, landedIds, "vec_id").localCheckpoint()
+          if (!fresh.isEmpty) {
+            meta = Some(Dedup.classifyAbsorbSemanticBatch(spark, fresh, "vec_id",
+              "embedding", tableBase, threshold, classDir = outDir,
+              cachedMeta = meta))
+          }
+        }
+        .start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    Seq("cents", "assign", "vecs", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
+    spark.read.schema(classSchema("vec_id")).parquet(outDir).distinct()
+  }
 }

@@ -570,6 +570,84 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalSurvivors classifies batch docs by the earliest near-dup neighbor") {
+    // the d14 contract, checked against a scalar reimplementation over
+    // the full-recompute pair set: batch doc x is a dup iff some pair
+    // links it to a landed doc or a smaller-id batch mate; dup_of is
+    // the minimum such neighbor; survivors (and pairless docs) are new
+    val all = graft.sources.Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 5 < 3)
+    val batch = all.filter(col("doc_id") % 5 >= 3)
+    val dir = graft.sources.Spool.tempRoot("d14_spec")
+    try {
+      Dedup.landMinhashIndex(corpus, "doc_id", "text", n = 3, k = 64,
+        bands = 16, "graft_d14_spec", dir)
+      val got = Dedup.incrementalSurvivors(spark, batch, "doc_id", "text",
+        "graft_d14_spec", threshold = 0.5)
+        .collect().map(r => (r.getLong(0),
+          Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2))).toSet
+      val pairs = Dedup.minhashLshPairs(all, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+      val want = batchIds.map { x =>
+        val earlier = pairs.collect {
+          case (a, b) if b == x && (!batchIds(a) || a < x) => a
+          case (a, b) if a == x && (!batchIds(b) || b < x) => b
+        }
+        (x, if (earlier.isEmpty) None else Some(earlier.min), earlier.isEmpty)
+      }
+      assert(want.exists(_._2.isDefined), "no duplicate in the batch — test is vacuous")
+      assert(want.exists { case (_, d, _) => d.exists(batchIds) },
+        "no intra-batch earlier neighbor exercised")
+      assert(want.exists { case (_, d, _) => d.exists(e => !batchIds(e)) },
+        "no landed earlier neighbor exercised")
+      assert(got == want)
+    } finally {
+      Seq("sigs", "bands", "meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_d14_spec_$s"))
+    }
+  }
+
+  test("incrementalSemanticSurvivors classifies batch vectors by the earliest near-dup neighbor") {
+    // the d15 contract (the embedding twin of the d14 test): batch
+    // vector x is a dup iff some frozen-centroid pair links it to a
+    // landed vector or a smaller-id batch mate; dup_of is the minimum
+    // such neighbor; survivors (and pairless vectors) are new
+    val all = graft.sources.Tables.embeddings(spark, sfDir)
+    val corpus = all.filter(col("vec_id") % 5 < 3)
+    val batch = all.filter(col("vec_id") % 5 >= 3)
+    val dir = graft.sources.Spool.tempRoot("d15_spec")
+    try {
+      Dedup.landSemanticIndex(corpus, "vec_id", "embedding", "graft_d15_spec", dir)
+      val got = Dedup.incrementalSemanticSurvivors(spark, batch, "vec_id",
+        "embedding", "graft_d15_spec", threshold = 0.2)
+        .collect().map(r => (r.getLong(0),
+          Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2))).toSet
+      val pairs = Dedup.semanticDedupPairs(
+        all.select(col("vec_id").as("id"), col("embedding").as("v")),
+        spark.table("graft_d15_spec_cents"), threshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+      val want = batchIds.map { x =>
+        val earlier = pairs.collect {
+          case (a, b) if b == x && (!batchIds(a) || a < x) => a
+          case (a, b) if a == x && (!batchIds(b) || b < x) => b
+        }
+        (x, if (earlier.isEmpty) None else Some(earlier.min), earlier.isEmpty)
+      }
+      assert(want.exists(_._2.isDefined), "no duplicate in the batch — test is vacuous")
+      assert(want.exists { case (_, d, _) => d.exists(batchIds) },
+        "no intra-batch earlier neighbor exercised")
+      assert(want.exists { case (_, d, _) => d.exists(e => !batchIds(e)) },
+        "no landed earlier neighbor exercised")
+      assert(got == want)
+    } finally {
+      Seq("cents", "assign", "vecs", "meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_d15_spec_$s"))
+    }
+  }
+
   test("incremental semantic probe is bit-identical to frozen-centroid recompute on batch pairs") {
     // the d13 contract: land the corpus slice (centroids frozen at land
     // time), probe the batch — result must equal the frozen-centroid

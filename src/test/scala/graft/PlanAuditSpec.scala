@@ -485,6 +485,40 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("d13: the landed assign index streams into a broadcast probe without shuffling") {
+    // the semantic twin of the d11 pin: the corpus-sized `_assign` scan
+    // must reach its same-cell join as the STREAMED side of a
+    // BroadcastHashJoin with no Exchange in between — an index shuffle
+    // here is the 100 TB bottleneck the incremental design removes
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = SparkEntry.queries("d13_semantic_incremental")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: inner.flatMap(allNodes)
+    }
+    val joins = allNodes(df.queryExecution.executedPlan)
+      .collect { case b: BroadcastHashJoinExec => b }
+    def streamedOf(b: BroadcastHashJoinExec): SparkPlan =
+      if (b.buildSide.toString.contains("Right")) b.left else b.right
+    val probe = joins.filter(b =>
+      b.leftKeys.mkString(",").contains("cid") &&
+        streamedOf(b).toString.contains("graft_d13_idx_assign"))
+    assert(probe.nonEmpty, "no broadcast join streaming the _assign index found:\n" +
+      df.queryExecution.executedPlan.toString)
+    probe.foreach { b =>
+      assert(!allNodes(streamedOf(b)).exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"the index side of the d13 probe join must not shuffle:\n${streamedOf(b)}")
+    }
+  }
+
   test("t9: tf and df share one corpus scan via exchange reuse") {
     // the df branch aggregates the ALREADY-AGGREGATED tf table by
     // reusing tf's (id, term) shuffle — without the reuse the corpus is

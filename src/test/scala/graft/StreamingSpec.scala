@@ -570,4 +570,78 @@ class StreamingSpec extends SparkSpec {
     assert(got == want,
       s"only-streamed=${(got -- want).take(3)} only-batch=${(want -- got).take(3)}")
   }
+
+  // the shared scalar recompute for the st11/st12 contracts: classify
+  // each arrival against the full pair set under the arrival-ordered
+  // earlier rule (landed < earlier chunk < smaller id in-chunk), and
+  // demand all three earlier-neighbor kinds appear somewhere (landed,
+  // earlier-chunk — the absorb-visibility leg — and same-chunk — the
+  // intra-batch leg) so the fold is never vacuously green
+  private def arrivalOrderedFold(pairs: Set[(Long, Long)], ids: Set[Long],
+                                 what: String): Set[(Long, Option[Long], Boolean)] = {
+    def arr(i: Long) = i % 5 >= 3
+    def earlier(e: Long, x: Long) =
+      !arr(e) || e % 4 < x % 4 || (e % 4 == x % 4 && e < x)
+    val arrivals = ids.filter(arr)
+    val folded = arrivals.map { x =>
+      val es = pairs.collect {
+        case (a, b) if b == x && earlier(a, x) => a
+        case (a, b) if a == x && earlier(b, x) => b
+      }
+      (x, es)
+    }
+    assert(folded.exists { case (_, es) => es.exists(e => !arr(e)) },
+      s"$what: no landed earlier neighbor exercised")
+    assert(folded.exists { case (x, es) => es.exists(e => arr(e) && e % 4 != x % 4) },
+      s"$what: no earlier-CHUNK neighbor exercised — absorb path untested")
+    assert(folded.exists { case (x, es) => es.exists(e => arr(e) && e % 4 == x % 4) },
+      s"$what: no same-chunk neighbor exercised — intra-batch path untested")
+    folded.map { case (x, es) =>
+      (x, if (es.isEmpty) None else Some(es.min), es.isEmpty)
+    }
+  }
+
+  private def classRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0),
+      Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2))).toSet
+
+  test("st11: streamed ingest classification equals the arrival-ordered fold") {
+    // the d14-per-micro-batch contract: each arrival's keep/drop verdict
+    // is taken against the index as of its arrival (mtime-ordered
+    // chunks), so the drained stream must equal a single fold over the
+    // full d3 pair algebra under earlier = landed ∨ earlier-chunk ∨
+    // smaller-id chunk mate
+    val got = classRows(
+      graft.streaming.DocStreams.streamIncrementalSurvivors(spark, sfDir))
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = arrivalOrderedFold(pairs, ids, "st11")
+    assert(got == want,
+      s"only-streamed=${(got -- want).take(3)} only-fold=${(want -- got).take(3)}")
+  }
+
+  test("st12: streamed semantic ingest classification equals the arrival-ordered fold") {
+    // the embedding twin: frozen-centroid pairs (centroids from the
+    // landed vec_id % 5 < 3 slice, recomputed bit-identically as in the
+    // st10 spec), folded under the same earlier rule; τ = 0.2 keeps all
+    // three neighbor kinds non-vacuous at spec scale
+    val got = classRows(
+      graft.streaming.DocStreams.streamSemanticSurvivors(spark, sfDir,
+        threshold = 0.2))
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+    val corpus = embs.filter(col("vec_id") % 5 < 3)
+    val cents = graft.operators.Similarity.md5Sample(corpus, "vec_id", "embedding",
+      graft.operators.Dedup.ivfCellsFor(corpus.count()), "cid", "cw")
+    val pairs = graft.operators.Dedup.semanticDedupPairs(
+      embs.select(col("vec_id").as("id"), col("embedding").as("v")),
+      cents, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = embs.select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = arrivalOrderedFold(pairs, ids, "st12")
+    assert(got == want,
+      s"only-streamed=${(got -- want).take(3)} only-fold=${(want -- got).take(3)}")
+  }
 }
