@@ -72,6 +72,16 @@ object IncBench {
         s""""sigs_files": [${m("sigs_files_before")}, ${m("sigs_files_after")}]""")
       .getOrElse(""""bands_files": null""")
     val (postPairs, tPost) = probe2()
+    // classification leg (d14): the keep/drop verdict is the probe plus
+    // two broadcast batch-membership joins and a batch-sized aggregate —
+    // recorded next to the bare probe (postcompact_probe, same index
+    // state) to pin "fold ≈ probe" at bench scale
+    val batch3 = docs.filter(col("doc_id") < batchN)
+      .withColumn("doc_id", col("doc_id") + 3000000000L)
+    val t4 = System.nanoTime()
+    val clsRows = Dedup.incrementalSurvivors(spark, batch3, "doc_id", "text",
+      "graft_incbench", threshold = 0.5).queryExecution.toRdd.count()
+    val tClassify = (System.nanoTime() - t4) / 1e9
     val nCorpus = docs.count()
     println(s"""{"corpus": "$docsDir", "n_corpus": $nCorpus, "n_batch": $batchN, """ +
       s""""n_buckets": $nBuckets, "land_sec": ${f"$tLand%.2f"}, """ +
@@ -79,7 +89,8 @@ object IncBench {
       s""""pairs": $pairs, $selected, $prune, """ +
       s""""compact_sec": ${f"$tCompact%.2f"}, $cm, """ +
       s""""precompact_probe": [$prePairs, ${f"$tPre%.2f"}], """ +
-      s""""postcompact_probe": [$postPairs, ${f"$tPost%.2f"}]}""")
+      s""""postcompact_probe": [$postPairs, ${f"$tPost%.2f"}], """ +
+      s""""classify": [$clsRows, ${f"$tClassify%.2f"}]}""")
     spark.stop()
   }
 }

@@ -65,6 +65,15 @@ object SemBench {
         s""""vecs_files": [${m("vecs_files_before")}, ${m("vecs_files_after")}]""")
       .getOrElse(""""assign_files": null""")
     val (postPairs, tPost) = probe2()
+    // classification leg (d15): verdict fold ≈ probe, measured on the
+    // same post-compaction index state as postcompact_probe
+    val batch3 = embs.filter(col("vec_id") < batchN)
+      .withColumn("vec_id", col("vec_id") + 3000000000L)
+    val t4 = System.nanoTime()
+    val clsRows = Dedup.incrementalSemanticSurvivors(spark, batch3, "vec_id",
+      "embedding", "graft_sembench", threshold = 0.4)
+      .queryExecution.toRdd.count()
+    val tClassify = (System.nanoTime() - t4) / 1e9
     val nCorpus = embs.count()
     println(s"""{"corpus": "$embsDir", "n_corpus": $nCorpus, "n_batch": $batchN, """ +
       s""""n_buckets": $nBuckets, "land_sec": ${f"$tLand%.2f"}, """ +
@@ -72,7 +81,8 @@ object SemBench {
       s""""pairs": $pairs, $selected, $prune, """ +
       s""""compact_sec": ${f"$tCompact%.2f"}, $cm, """ +
       s""""precompact_probe": [$prePairs, ${f"$tPre%.2f"}], """ +
-      s""""postcompact_probe": [$postPairs, ${f"$tPost%.2f"}]}""")
+      s""""postcompact_probe": [$postPairs, ${f"$tPost%.2f"}], """ +
+      s""""classify": [$clsRows, ${f"$tClassify%.2f"}]}""")
     spark.stop()
   }
 }

@@ -1168,7 +1168,11 @@ object Dedup {
       .localCheckpoint()
     val pairs = probeMinhashCore(spark, bSigs, tableBase, meta, threshold,
       broadcastBatch = true)
-    earliestNeighborFold(bSigs.select(col("id").as("doc_id")), pairs, "doc_id")
+    // fold over the FULL batch, not bSigs: a doc too short to shingle
+    // (< n tokens) has no signature and can never pair, but it still
+    // arrived and its verdict row (trivially is_new) must exist
+    earliestNeighborFold(newDocs.select(col(idCol).cast("long").as("doc_id")),
+        pairs, "doc_id")
       .repartition(1)
       .write.mode(SaveMode.Append).parquet(classDir)
     absorbMinhashCore(spark, bSigs, tableBase, meta)
