@@ -205,6 +205,65 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Cross-document repeated-segment removal (d16) — the line-level
+    * dedup stage of the public web-corpus pipelines (CCNet's paragraph
+    * hashing, RefinedWeb/Dolma's repeated-line filters): a SEGMENT that
+    * occurs in at least `minDf` distinct documents is boilerplate
+    * (headers, templates, navigation chrome) and is dropped from EVERY
+    * document; surviving segments are reassembled in document order.
+    * Production corpora segment on newlines; this corpus is
+    * single-line, so the pluggable segmenter here is fixed `window`-
+    * token chunking — the algebra downstream of segmentation (df-count
+    * → boilerplate set → drop → positional reassembly) is identical.
+    *
+    * Output: (doc_id, clean_text, n_dropped) for every input doc —
+    * a fully-boilerplate doc survives with empty text (the caller's
+    * length filter, t2, is the policy layer; this operator never
+    * silently loses a doc id).
+    *
+    * Scale shape (three keyed shuffles, no corpus joins): the df count
+    * shuffles (segment, doc) once with map-side partial aggregation;
+    * the boilerplate set — tiny relative to the corpus by construction
+    * (it IS the repeated mass) — joins back to the segment stream
+    * (AQE broadcasts it when small); the reassembly is one groupBy on
+    * doc_id with an in-group sort, Θ(corpus). Nothing is quadratic in
+    * document count or segment df, unlike pair-based dedup: this is the
+    * degenerate-duplication regime (d8's pruneSingletonBuckets gate)
+    * handled as a first-class transform instead of a pair generator.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 10, minDf: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val segs = base
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(sequence(lit(0),
+        greatest((ceil(size(col("w")).cast("double") / window) - 1)
+          .cast("int"), lit(0)))).as("segno"),
+        col("w"))
+      .select(col("doc_id"), col("segno"),
+        concat_ws(" ", slice(col("w"), col("segno") * window + 1,
+          lit(window))).as("seg"))
+      .filter(col("seg") =!= "")
+    val boiler = segs.groupBy("seg")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDf)
+      .select(col("seg"), lit(true).as("__boiler"))
+    val reb = segs.join(boiler, Seq("seg"), "left")
+      .groupBy("doc_id")
+      .agg(
+        array_join(expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN __boiler IS NULL THEN struct(segno, seg) END))," +
+            " x -> x.seg)"), " ").as("clean_text"),
+        sum(when(col("__boiler").isNotNull, 1L).otherwise(0L))
+          .as("n_dropped"))
+    base.select("doc_id").join(reb, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** Benchmark decontamination — the training-data hygiene step every
     * large pretraining pipeline runs (the GPT-3/Gopher-style n-gram
     * collision check, reported in their public appendices): a corpus

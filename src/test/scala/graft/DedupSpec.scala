@@ -570,6 +570,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lineDedup drops cross-document repeated segments and reassembles in order") {
+    // the d16 contract vs a scalar recompute: fixed-width segments
+    // occurring in >= minDf distinct docs vanish from every doc; kept
+    // segments rejoin in positional order; untouched docs round-trip
+    // text-identically; no doc id is lost
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val got = Dedup.lineDedup(docs, "doc_id", "text", window = 10, minDf = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def segsOf(t: String): Seq[String] =
+      t.split(" ").grouped(10).map(_.mkString(" ")).filter(_.nonEmpty).toSeq
+    val df = raw.toSeq.flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.size }
+    val want = raw.map { case (id, t) =>
+      val ss = segsOf(t)
+      val (kept, dropped) = ss.partition(s => df(s) < 2)
+      id -> ((kept.mkString(" "), dropped.size.toLong))
+    }
+    assert(want.exists(_._2._2 > 0), "no repeated segment at this sf — vacuous")
+    assert(want.exists { case (id, (_, nd)) => nd > 0 && raw(id) != want(id)._1 })
+    val untouched = want.filter(_._2._2 == 0)
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (id, (ct, _)) =>
+      assert(ct == raw(id), s"untouched doc $id did not round-trip") }
+    assert(got == want)
+  }
+
   test("incrementalSurvivors classifies batch docs by the earliest near-dup neighbor") {
     // the d14 contract, checked against a scalar reimplementation over
     // the full-recompute pair set: batch doc x is a dup iff some pair
