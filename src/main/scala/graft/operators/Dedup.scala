@@ -210,7 +210,11 @@ object Dedup {
     * hashing, RefinedWeb/Dolma's repeated-line filters): a SEGMENT that
     * occurs in at least `minDf` distinct documents is boilerplate
     * (headers, templates, navigation chrome) and is dropped from EVERY
-    * document; surviving segments are reassembled in document order.
+    * document — or, with `keepFirst`, from every document EXCEPT its
+    * first (minimum-doc_id) host: the two public variants of the stage
+    * (RefinedWeb-style repeated-line REMOVAL vs CCNet/Dolma-style
+    * paragraph DEDUP, which preserves one canonical copy). Surviving
+    * segments are reassembled in document order.
     * Production corpora segment on newlines; this corpus is
     * single-line, so the pluggable segmenter here is fixed `window`-
     * token chunking — the algebra downstream of segmentation (df-count
@@ -232,7 +236,8 @@ object Dedup {
     * handled as a first-class transform instead of a pair generator.
     */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
-                window: Int = 10, minDf: Int = 2): DataFrame = {
+                window: Int = 10, minDf: Int = 2,
+                keepFirst: Boolean = false): DataFrame = {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
     val segs = base
@@ -245,19 +250,26 @@ object Dedup {
         concat_ws(" ", slice(col("w"), col("segno") * window + 1,
           lit(window))).as("seg"))
       .filter(col("seg") =!= "")
+    // keepFirst carries the min occupying doc alongside the df count
+    // (same single aggregation — min rides the countDistinct shuffle),
+    // so a repeated segment survives in its first (minimum-doc_id) host
+    // and within it; the boilerplate mode drops it everywhere
     val boiler = segs.groupBy("seg")
-      .agg(countDistinct("doc_id").as("nd"))
+      .agg(countDistinct("doc_id").as("nd"), min("doc_id").as("first_doc"))
       .filter(col("nd") >= minDf)
-      .select(col("seg"), lit(true).as("__boiler"))
+      .select(col("seg"), col("first_doc"), lit(true).as("__boiler"))
+    val dropCond =
+      if (keepFirst) col("__boiler").isNotNull && col("doc_id") =!= col("first_doc")
+      else col("__boiler").isNotNull
     val reb = segs.join(boiler, Seq("seg"), "left")
+      .withColumn("__drop", dropCond)
       .groupBy("doc_id")
       .agg(
         array_join(expr(
           "transform(array_sort(collect_list(" +
-            "CASE WHEN __boiler IS NULL THEN struct(segno, seg) END))," +
+            "CASE WHEN NOT __drop THEN struct(segno, seg) END))," +
             " x -> x.seg)"), " ").as("clean_text"),
-        sum(when(col("__boiler").isNotNull, 1L).otherwise(0L))
-          .as("n_dropped"))
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"))
     base.select("doc_id").join(reb, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -200,6 +200,15 @@ object DocumentSuite {
         .orderBy("doc_id")
     }),
 
+    // the keep-first variant (CCNet/Dolma paragraph dedup): a repeated
+    // segment keeps one canonical copy — in its minimum-doc_id host —
+    // instead of vanishing everywhere
+    "d17_line_dedup_keep_first" -> ((s, d) => {
+      Dedup.lineDedup(Tables.documents(s, d), "doc_id", "text",
+        window = 10, minDf = 2, keepFirst = true)
+        .orderBy("doc_id")
+    }),
+
     // a 10%-of-corpus stand-in plays the benchmark/eval set (the real
     // pipeline reads a separate, small eval table); 8-gram collisions
     // are the standard decontamination window
@@ -622,6 +631,39 @@ object DocumentSuite {
       c => s"$c % 5 >= 3",
       (e, x) => s"$e % 5 < 3 OR $e % 4 < $x % 4 OR ($e % 4 = $x % 4 AND $e < $x)")
 
+  /** The d16/d17 oracle: the same fixed-width segmentation as
+    * Dedup.lineDedup (1-based list slice = Spark's
+    * slice(w, segno*W+1, W)), df-counted with the min host doc, the
+    * caller's drop condition over the boiler left join, reassembly via
+    * ORDER BY segno string_agg (string_agg skips the CASE's NULLs);
+    * the empty-segment filter mirrors the Spark side so an empty-text
+    * doc contributes no segments on either engine.
+    */
+  private def lineDedupSql(dropCond: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |seg AS (
+       |  SELECT doc_id, CAST(i AS INT) AS segno,
+       |         list_aggregate(w[i*10+1 : i*10+10], 'string_agg', ' ') AS seg
+       |  FROM t, UNNEST(range(0, CAST(ceil(len(w)/10.0) AS BIGINT))) AS u(i)),
+       |segs AS (SELECT * FROM seg WHERE seg <> ''),
+       |boiler AS (
+       |  SELECT seg, first_doc FROM (
+       |    SELECT seg, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS first_doc
+       |    FROM segs GROUP BY seg) WHERE nd >= 2),
+       |fl AS (
+       |  SELECT s.doc_id, s.segno, s.seg, $dropCond AS dropped
+       |  FROM segs s LEFT JOIN boiler b ON s.seg = b.seg),
+       |reb AS (
+       |  SELECT doc_id,
+       |    COALESCE(string_agg(CASE WHEN NOT dropped THEN seg END,
+       |                        ' ' ORDER BY segno), '') AS clean_text,
+       |    CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |  FROM fl GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+       |       COALESCE(reb.n_dropped, 0) AS n_dropped
+       |FROM documents d LEFT JOIN reb USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** The WITH-chain of the d3 algebra up to the per-pair signature
     * agreement estimate `est(id_a, id_b, ej)` — composable: callers
     * append their own CTEs with a leading comma or select directly.
@@ -992,35 +1034,14 @@ object DocumentSuite {
     // would be captured by the enumerator column u(i) (DuckDB 1.0 lambda
     // shadowing — the same reason d3 hashes in a separate CTE), making
     // the hash depend on the window's position in its document
-    // d16: the same fixed-width segmentation as Dedup.lineDedup (1-based
-    // list slice = Spark's slice(w, segno*W+1, W)), df-counted, >= 2
-    // distinct docs = boilerplate dropped everywhere, reassembly via
-    // ORDER BY segno string_agg (string_agg skips the CASE's NULLs);
-    // the empty-segment filter mirrors the Spark side so an empty-text
-    // doc contributes no segments on either engine
-    "d16_line_dedup" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |seg AS (
-        |  SELECT doc_id, CAST(i AS INT) AS segno,
-        |         list_aggregate(w[i*10+1 : i*10+10], 'string_agg', ' ') AS seg
-        |  FROM t, UNNEST(range(0, CAST(ceil(len(w)/10.0) AS BIGINT))) AS u(i)),
-        |segs AS (SELECT * FROM seg WHERE seg <> ''),
-        |boiler AS (
-        |  SELECT seg FROM (SELECT seg, COUNT(DISTINCT doc_id) AS nd
-        |                   FROM segs GROUP BY seg) WHERE nd >= 2),
-        |fl AS (
-        |  SELECT s.doc_id, s.segno, s.seg, b.seg IS NOT NULL AS dropped
-        |  FROM segs s LEFT JOIN boiler b ON s.seg = b.seg),
-        |reb AS (
-        |  SELECT doc_id,
-        |    COALESCE(string_agg(CASE WHEN NOT dropped THEN seg END,
-        |                        ' ' ORDER BY segno), '') AS clean_text,
-        |    CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-        |  FROM fl GROUP BY doc_id)
-        |SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
-        |       COALESCE(reb.n_dropped, 0) AS n_dropped
-        |FROM documents d LEFT JOIN reb USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+    // d16: repeated segments (df >= 2) are boilerplate, dropped from
+    // every host (see lineDedupSql for the shared CTE chain)
+    "d16_line_dedup" -> lineDedupSql("b.seg IS NOT NULL"),
+
+    // keep-first: a repeated segment is dropped only OUTSIDE its
+    // minimum-doc_id host (same CTEs; first_doc rides the df aggregate)
+    "d17_line_dedup_keep_first" ->
+      lineDedupSql("b.seg IS NOT NULL AND s.doc_id <> b.first_doc"),
 
     "d8_dedup_substring" ->
       s"""WITH toks AS (

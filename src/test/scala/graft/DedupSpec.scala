@@ -596,6 +596,24 @@ class DedupSpec extends SparkSpec {
     untouched.foreach { case (id, (ct, _)) =>
       assert(ct == raw(id), s"untouched doc $id did not round-trip") }
     assert(got == want)
+
+    // keep-first variant: the same recompute, but a repeated segment
+    // survives inside its minimum-doc_id host
+    val gotKF = Dedup.lineDedup(docs, "doc_id", "text", window = 10,
+      minDf = 2, keepFirst = true)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val firstHost = raw.toSeq.flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).min }
+    val wantKF = raw.map { case (id, t) =>
+      val (kept, dropped) = segsOf(t).partition(s =>
+        df(s) < 2 || firstHost(s) == id)
+      id -> ((kept.mkString(" "), dropped.size.toLong))
+    }
+    // non-vacuity: some repeated segment is actually preserved in its
+    // first host (d17 strictly drops less than d16 somewhere)
+    assert(wantKF.exists { case (id, (_, nd)) => nd < want(id)._2 },
+      "keep-first never preserved a canonical copy — vacuous")
+    assert(gotKF == wantKF)
   }
 
   test("incrementalSurvivors classifies batch docs by the earliest near-dup neighbor") {
