@@ -209,6 +209,14 @@ object DocumentSuite {
         .orderBy("doc_id")
     }),
 
+    // deterministic seeded global shuffle + contiguous shard layout
+    // (range-sort + zipWithIndex: no single-reducer window)
+    "t15_shuffle_shard" -> ((s, d) => {
+      graft.operators.Sharding.shuffleShard(s, Tables.documents(s, d),
+        "doc_id", seed = "42", shardSize = 64)
+        .orderBy("doc_id")
+    }),
+
     // a 10%-of-corpus stand-in plays the benchmark/eval set (the real
     // pipeline reads a separate, small eval table); 8-gram collisions
     // are the standard decontamination window
@@ -1042,6 +1050,21 @@ object DocumentSuite {
     // minimum-doc_id host (same CTEs; first_doc rides the df aggregate)
     "d17_line_dedup_keep_first" ->
       lineDedupSql("b.seg IS NOT NULL AND s.doc_id <> b.first_doc"),
+
+    // t15: the seeded shuffle key is the shared fnv-mod-M61 kernel over
+    // 's42|doc_id'; the oracle can afford the global ROW_NUMBER the
+    // Spark side deliberately avoids (range-sort + zipWithIndex)
+    "t15_shuffle_shard" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    (${fnvSql("'s42|' || CAST(doc_id AS VARCHAR)")}) % $M61::HUGEINT AS k
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+         |  FROM k)
+         |SELECT doc_id, pos, pos // 64 AS shard, pos % 64 AS slot
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "d8_dedup_substring" ->
       s"""WITH toks AS (
