@@ -60,4 +60,26 @@ object Sharding {
       expr(s"pos DIV $shardSize").as("shard"),
       pmod(col("pos"), lit(shardSize.toLong)).as("slot"))
   }
+
+  /** Materialize a [[shuffleShard]] layout: join the slot assignment
+    * back to the full rows and write ONE slot-ordered parquet file per
+    * shard under `dir/shard=<n>/`. Layout-side columns join back by id
+    * (broadcast when the assignment is small; at corpus scale both
+    * sides hash-join on the id they already carry), the write
+    * repartitions BY the shard column so each task owns whole shards —
+    * `partitionBy` then emits exactly one file per shard directory, the
+    * balanced-output contract (no tiny-file spray, no giant reducer)
+    * that makes the layout consumable by a training loader. Slot order
+    * inside each file is the shuffle order, so sequential reads replay
+    * the global permutation.
+    */
+  def writeShards(spark: SparkSession, docs: DataFrame, idCol: String,
+                  seed: String, shardSize: Int, dir: String): Unit = {
+    val layout = shuffleShard(spark, docs, idCol, seed, shardSize)
+    docs.withColumn("doc_id", col(idCol).cast("long"))
+      .join(layout, Seq("doc_id"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "slot")
+      .write.partitionBy("shard").mode("overwrite").parquet(dir)
+  }
 }

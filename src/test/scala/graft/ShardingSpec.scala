@@ -29,4 +29,32 @@ class ShardingSpec extends SparkSpec {
     // seed sensitivity: a different seed is a different permutation
     assert(run("7").toSet != a.toSet)
   }
+
+  test("writeShards materializes one slot-ordered file per shard") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val dir = graft.sources.Spool.tempRoot("shards_spec")
+    Sharding.writeShards(spark, docs, "doc_id", seed = "42",
+      shardSize = 16, dir = dir)
+    val layout = Sharding.shuffleShard(spark, docs, "doc_id", "42", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val shardDirs = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("shard=")).toSeq
+    assert(shardDirs.size == layout.map(_._2).distinct.length)
+    shardDirs.foreach { sd =>
+      val files = Files.list(sd).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+      assert(files.size == 1, s"$sd has ${files.size} files")
+      val shardNo = sd.getFileName.toString.stripPrefix("shard=").toLong
+      val rows = spark.read.parquet(files.head.toString)
+        .select("doc_id", "slot").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // slot-ordered within the file, and exactly the layout's docs
+      assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+      val want = layout.filter(_._2 == shardNo).sortBy(_._3)
+        .map(t => (t._1, t._3)).toSeq
+      assert(rows.toSeq == want)
+    }
+  }
 }
