@@ -113,6 +113,70 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "sum_lp_fp", "avg_lp_fp")
   }
 
+  /** BM25 retrieval scoring of the corpus against a fixed query-term
+    * set — the relevance ranking the reference's consumers run over a
+    * landed corpus (and the standard retrieval baseline next to the a*
+    * vector searches; Robertson/Spärck Jones BM25 with the usual
+    * k1 = 1.2, b = 0.75 and the Lucene `ln(1 + (N - df + 0.5)/(df + 0.5))`
+    * non-negative idf).
+    *
+    * Plan shape (the t9 family): ONE corpus scan feeds the (doc, term)
+    * partial-agg shuffle; document length and term df both derive from
+    * that aggregated table (dl via a doc-keyed agg of it, df via the
+    * t9 `count(tf >= 1)` guard that keeps the exchange reusable); N and
+    * Σdl are one-row broadcasts; the query-term filter cuts the scored
+    * stream to |Q| rows per doc BEFORE any further join, and df rows for
+    * those |Q| terms broadcast. The global top-k is orderBy+limit —
+    * TakeOrderedAndProject's per-partition heaps, never a global sort.
+    * At 100 TB: one scan, two keyed exchanges (both Θ(corpus)), then
+    * everything is Θ(docs·|Q|) or smaller.
+    *
+    * Exactness contract: every per-(doc, term) contribution hits a
+    * 4-decimal fixed point (floor(x·1e4 + 0.5), the a4/a5 convention —
+    * floor, not round, because round's half-tie rule differs across
+    * engines) BEFORE the per-doc sum, so the total is a BIGINT sum of
+    * BIGINTs — partial-aggregate merge order can never matter, and the
+    * DuckDB twin replays the identical double sequence (same
+    * parenthesization, same BIGINT→DOUBLE promotions, ln on the same
+    * IEEE argument).
+    */
+  def bm25TopDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, queryTerms: Seq[String], k: Int,
+                  minTermLen: Int = 3): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(split(lower(col(textCol)), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // dl aggregates the already-aggregated tf table; the count(tf >= 1)
+    // guard on df is the t9 exchange-reuse contract (see tfidfTopTerms)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfreq = tf.groupBy("term")
+      .agg(count(when(col("tf") >= 1, lit(1))).as("df"))
+      .filter(col("term").isin(queryTerms: _*))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val total = dl.agg(sum("dl").as("total"))
+    val avgdl = col("total").cast("double") / col("n").cast("double")
+    val idf = log((col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val contrib = idf * (col("tf") * (lit(1.2) + lit(1.0))) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / avgdl))
+    val scored = tf.filter(col("term").isin(queryTerms: _*))
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        floor(contrib * lit(10000.0) + lit(0.5)).cast("long").as("c_fp"))
+    val top = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum("c_fp").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(k)
+    // rank over the k surviving rows only (a k-row single-task window,
+    // not a global sort — the heavy ordering was TakeOrdered above)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select("doc_id", "rank", "n_hits", "score_fp")
+  }
+
   /** Within-document n-gram repetition (the Gopher/C4 family of
     * repetition quality rules): the fraction of a document's word
     * n-grams that are repeats of an earlier n-gram —

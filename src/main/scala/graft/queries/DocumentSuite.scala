@@ -31,6 +31,11 @@ object DocumentSuite {
     */
   private val DomainMixTarget = 200L
 
+  /** t16's fixed retrieval query — one rare term ("dup" lands only in
+    * the near-duplicate fixture docs) among common ones, so the idf
+    * spread actually exercises the BM25 weighting. */
+  private val Bm25QueryTerms = Seq("dup", "vector", "stream", "join", "slow")
+
   val queries: Map[String, Q] = Map(
     // --- text analysis -----------------------------------------------------
     "t1_lang_id" -> ((s, d) => {
@@ -139,6 +144,12 @@ object DocumentSuite {
       TextAnalysis.qualityDeciles(Tables.documents(s, d),
         "doc_id", "text", "n_chars", "source")
         .orderBy("doc_id")
+    }),
+
+    "t16_bm25" -> ((s, d) => {
+      TextAnalysis.bm25TopDocs(Tables.documents(s, d), "doc_id", "text",
+        Bm25QueryTerms, k = 25)
+        .orderBy("rank")
     }),
 
     // --- dedup -------------------------------------------------------------
@@ -979,6 +990,44 @@ object DocumentSuite {
         |  FROM scored)
         |SELECT doc_id, rnk, term, tf, df, tfidf
         |FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+
+    // BM25 over the same tok/tf/dfreq CTE family as t9. Every
+    // per-(doc, term) contribution hits floor(x·1e4 + 0.5) BIGINT
+    // fixed point BEFORE the per-doc sum (order-independent, exact),
+    // and the double sequence — BIGINT→DOUBLE promotions, left-assoc
+    // parenthesization, ln argument — mirrors the Spark side verbatim;
+    // constants are written as the same foldable expressions
+    // ((1.2 + 1.0), not 2.2) so both engines fold to the identical
+    // double.
+    "t16_bm25" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, t AS term
+        |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS u(t)
+        |  WHERE length(t) >= 3),
+        |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, SUM(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT (SELECT COUNT(*)::BIGINT FROM documents) AS n,
+        |                 (SELECT SUM(dl)::BIGINT FROM dl) AS total),
+        |qt AS (SELECT unnest([${Bm25QueryTerms.map(t => s"'$t'").mkString(", ")}]) AS term),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(FLOOR(
+        |      ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+        |        * (tf * (1.2 + 1.0))
+        |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+        |             / (CAST(total AS DOUBLE) / CAST(n AS DOUBLE))))
+        |      * 10000.0 + 0.5) AS BIGINT) AS c_fp
+        |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+        |       JOIN dl USING (doc_id), stats),
+        |top AS (
+        |  SELECT doc_id, COUNT(*)::BIGINT AS n_hits, SUM(c_fp)::BIGINT AS score_fp
+        |  FROM contrib GROUP BY 1
+        |  ORDER BY score_fp DESC, doc_id LIMIT 25)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank,
+        |  n_hits, score_fp
+        |FROM top ORDER BY rank""".stripMargin,
 
     "t6_repetition_score" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

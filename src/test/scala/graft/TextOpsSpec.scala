@@ -223,6 +223,53 @@ class TextOpsSpec extends SparkSpec {
     assert(expected.map(_._4).distinct.size > 5, "fixture must spread the scores")
   }
 
+  test("bm25TopDocs fuzz: ranking matches a scalar BM25 reference exactly") {
+    // the scalar reference replays the operator's exact double sequence
+    // (StrictMath.log like Spark's log codegen, the same left-assoc
+    // parenthesization and long→double promotions, floor(x·1e4 + 0.5)
+    // per-term fixed point before the per-doc BIGINT sum), so the
+    // compare is == on longs — any drift in the arithmetic contract the
+    // DuckDB oracle depends on fails here first
+    val rnd = new scala.util.Random(1616)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "rarely", "often",
+      "xyz", "qq", "topic", "noise")
+    val query = Seq("rarely", "topic", "alpha")
+    val docs = (0 until 60).map { i =>
+      val len = rnd.nextInt(30) // 0-length docs stay in N but score nothing
+      val toks = (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, toks.mkString(" "))
+    }
+    val k = 15
+    val got = graft.operators.TextAnalysis.bm25TopDocs(
+        docs.toDF("doc_id", "text"), "doc_id", "text", query, k)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    def toks(t: String) =
+      t.toLowerCase.split("[^a-z]+").filter(_.length >= 3).toSeq
+    val tf = docs.flatMap { case (id, t) =>
+      toks(t).groupBy(identity).map { case (w, o) => ((id, w), o.size.toLong) } }
+      .toMap
+    val dl = docs.map { case (id, t) => id -> toks(t).size.toLong }.toMap
+    val dfreq = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = docs.size.toLong
+    val avgdl = dl.values.sum.toDouble / n.toDouble
+    val scored = docs.flatMap { case (id, _) =>
+      val hits = query.flatMap { w => tf.get((id, w)).map { f =>
+        val df = dfreq(w)
+        val idf = StrictMath.log((n.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+        val c = idf * (f * (1.2 + 1.0)) /
+          (f + 1.2 * (1.0 - 0.75 + 0.75 * dl(id) / avgdl))
+        math.floor(c * 10000.0 + 0.5).toLong
+      } }
+      if (hits.isEmpty) None else Some((id, hits.size.toLong, hits.sum))
+    }
+    val expected = scored.sortBy { case (id, _, s) => (-s, id) }.take(k)
+      .zipWithIndex.map { case ((id, h, s), i) => (id, i + 1L, h, s) }
+    assert(got == expected)
+    assert(expected.map(_._4).distinct.size > 5, "fixture must spread the scores")
+  }
+
   test("repetitionScore fuzz: random repetitive corpora match a scalar n-gram count") {
     val rnd = new scala.util.Random(777)
     val vocab = Vector("aa", "bb", "cc", "dd")
