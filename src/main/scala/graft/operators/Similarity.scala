@@ -73,18 +73,25 @@ object Similarity {
     * key, so per-query work is bounded by nProbe/nCentroids of the
     * corpus.
     */
+  /** Nearest-cell assignment against a broadcast centroid sample: keep
+    * the `keep` argmax-cosine cells per row (cid tie-break). Shared by
+    * [[ivfTopK]] and [[ivfPqTopK]].
+    */
+  private def ivfAssign(cents: DataFrame, df: DataFrame, id: String,
+                        vec: String, keep: Int): DataFrame = {
+    val scored = df.join(broadcast(cents))
+      .withColumn("__cc", HashExpressions.cosine(col(vec), col("cv")))
+    val w = Window.partitionBy(id).orderBy(col("__cc").desc, col("cid").asc)
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= keep)
+      .select(col(id), col(vec), col("cid"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
     val cents = md5Sample(corpus, idCol, vecCol, nCentroids, "cid", "cv")
 
-    // nearest-cell assignment: broadcast the centroids, keep argmax-cosine
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(cents))
-        .withColumn("__cc", HashExpressions.cosine(col(vec), col("cv")))
-      val w = Window.partitionBy(id).orderBy(col("__cc").desc, col("cid").asc)
-      scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= keep)
-        .select(col(id), col(vec), col("cid"))
-    }
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
+      ivfAssign(cents, df, id, vec, keep)
 
     val corpusCells = assign(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2")), "neighbor_id", "cv2", 1)
@@ -268,6 +275,58 @@ object Similarity {
         floor(sqL2(col("vs"), col("cs")) * lit(1000000.0) + lit(0.5))
           .cast("long").as("dfp"))
     val scored = codes.join(broadcast(adc), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dfp")).as("adc_fp"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_fp").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_fp"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** IVF + PQ-ADC composed search — the faiss `IndexIVFPQ` query path
+    * and the production shape of a 100 TB vector index: the corpus is
+    * BOTH cell-pruned (only the `nProbe`/`nCentroids` fraction a query
+    * probes is visited) and compressed (visited rows are read as m
+    * small codes, never as float vectors). [[ivfTopK]] contributes the
+    * coarse quantizer (md5-sampled centroids, argmax-cosine cells);
+    * [[pqAdcTopK]] contributes the residual-free ADC scoring (per-query
+    * distance tables over the shared codebook, fixed-point BEFORE the
+    * sum so the total is an order-independent BIGINT).
+    *
+    * Plan: centroids, query probes and the per-query ADC tables all
+    * broadcast; the only corpus-sized work is the code table's id-keyed
+    * join to its cell assignment and the partial-aggregated per-pair
+    * sum over candidates — Θ(corpus·m/nCentroids·nProbe) rows into the
+    * final exchange. Ranking reuses the a1/a3/a7 per-query top-k window
+    * (partial WindowGroupLimit before the shuffle). In production the
+    * a6 codes and cell ids land once as bucketed parquet and this
+    * recomputation disappears; the operator is self-contained over raw
+    * vectors so the oracle can replay it from the table alone.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, nCentroids: Int, nProbe: Int, m: Int, kCodes: Int): DataFrame = {
+    val cents = md5Sample(corpus, idCol, vecCol, nCentroids, "cid", "cv")
+    val corpusCells = ivfAssign(cents,
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2")),
+      "neighbor_id", "cv2", 1).select("neighbor_id", "cid")
+    val queryProbes = ivfAssign(cents,
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv", nProbe).select("query_id", "cid")
+    val codes = pqEncode(corpus, idCol, vecCol, m, kCodes)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+    val adc = subVectors(queries, idCol, vecCol, m, "query_id")
+      .join(broadcast(codebookSubs(corpus, idCol, vecCol, m, kCodes)), Seq("sub"))
+      .select(col("query_id"), col("sub").cast("long").as("sub"), col("code"),
+        floor(sqL2(col("vs"), col("cs")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("dfp"))
+    // a corpus vector lives in exactly ONE cell (keep = 1), so a
+    // candidate (query, neighbor) pair arises from at most one probed
+    // cell and needs no dedup before the sum
+    val scored = codes.join(corpusCells, "neighbor_id")
+      .join(broadcast(queryProbes), Seq("cid"))
+      .join(broadcast(adc), Seq("query_id", "sub", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("dfp")).as("adc_fp"))

@@ -386,6 +386,15 @@ object DocumentSuite {
         .orderBy("query_id", "rank")
     }),
 
+    // the composed production path: cell-pruned AND compressed — each
+    // query visits only its probed cells, and only through PQ codes
+    "a9_ivf_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4, m = 4, kCodes = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     // ADC over int8 scalar-quantized codes: the corpus is visited only
     // through its a4-rule code arrays (4× less scan IO than float32)
     "a8_sq_adc" -> ((s, d) => {
@@ -1319,6 +1328,40 @@ object DocumentSuite {
          |sc AS (
          |  SELECT a.query_id, c.vec_id AS neighbor_id, CAST(SUM(a.dfp) AS BIGINT) AS adc_fp
          |  FROM codes c JOIN adc a ON a.sub = c.sub AND a.code = c.code
+         |  WHERE a.query_id <> c.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, adc_fp,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS BIGINT) AS rank
+         |FROM sc QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // a3's cell CTEs composed with a7's ADC CTEs: candidates are the
+    // (probed cell × cell member) pairs, scored only through codes; a
+    // corpus vector lives in exactly one cell so no pair dedup is needed
+    "a9_ivf_pq" ->
+      s"""WITH cents AS ${centsSampleSql(16)},
+         |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cassign AS ${ivfAssignCte("", keep = 1, "neighbor_id", "cv2")},
+         |qassign AS ${ivfAssignCte("WHERE e.id < 10", keep = 4, "query_id", "qv")},
+         |$PqCtes,
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM pqscored
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+         |qs AS (
+         |  SELECT query_id, sub,
+         |    qv[CAST(sub * (len(qv) // 4) + 1 AS INT) : CAST((sub + 1) * (len(qv) // 4) AS INT)] AS qsv
+         |  FROM q, subs),
+         |adc AS (
+         |  SELECT query_id, sub, code,
+         |    CAST(FLOOR(list_reduce(list_transform(list_zip(qsv, csv), p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS dfp
+         |  FROM qs JOIN cs USING (sub)),
+         |sc AS (
+         |  SELECT a.query_id, c.vec_id AS neighbor_id, CAST(SUM(a.dfp) AS BIGINT) AS adc_fp
+         |  FROM codes c
+         |  JOIN cassign ca ON ca.neighbor_id = c.vec_id
+         |  JOIN qassign qa ON qa.cid = ca.cid
+         |  JOIN adc a ON a.query_id = qa.query_id AND a.sub = c.sub AND a.code = c.code
          |  WHERE a.query_id <> c.vec_id
          |  GROUP BY 1, 2)
          |SELECT query_id, neighbor_id, adc_fp,

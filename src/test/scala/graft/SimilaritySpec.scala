@@ -271,6 +271,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("ivfPqTopK equals a7's ADC scores filtered to a3's probed cells") {
+    // the composition contract: a9 = (a7 pairs) ∩ (query probes × cell
+    // members), scores bit-identical — proven by recomputing both sides
+    // from the already-tested operators
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < 10)
+    val a9 = Similarity.ivfPqTopK(q, e, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4, m = 4, kCodes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // unrestricted ADC scores for every pair (k large enough to keep all)
+    val n = e.count().toInt
+    val full = Similarity.pqAdcTopK(q, e, "vec_id", "embedding",
+        k = n, m = 4, kCodes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the cell filter, recomputed via ivfTopK's own assignment (k = n
+    // keeps every cell member a query probes)
+    val cells = Similarity.ivfTopK(q, e, "vec_id", "embedding",
+        k = n, nCentroids = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.view.filterKeys(cells).toMap
+    // a9's ranked output = top-5 of expected per query, same fixed-point scores
+    val byQ = expected.groupBy(_._1._1)
+    val expTop = byQ.flatMap { case (qid, m) =>
+      m.toSeq.sortBy { case ((_, nid), fp) => (fp, nid) }.take(5)
+        .zipWithIndex.map { case (((_, nid), fp), i) => (qid, nid) -> (fp, i + 1L) }
+    }
+    assert(a9 == expTop)
+  }
+
   test("lshTopK achieves high recall vs brute force on real embeddings") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter($"vec_id" < 10)
