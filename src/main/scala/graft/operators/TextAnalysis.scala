@@ -177,6 +177,59 @@ object TextAnalysis {
       .select("doc_id", "rank", "n_hits", "score_fp")
   }
 
+  /** Exact corpus heavy hitters (tokens with count ≥ `threshold`)
+    * through a Count-Min sketch candidate filter — the
+    * Cormode/Muthukrishnan sketch-then-verify shape for the regime
+    * where the token vocabulary is web-scale: a plain
+    * `groupBy(token).count()` is map-side combined, but its exchange
+    * still carries every per-partition-distinct token, which at 100 TB
+    * of web text (vocabulary ≫ memory, dominated by hapax noise) is the
+    * dominant shuffle. Here NOTHING full-vocabulary ever shuffles:
+    *
+    *  - pass 1 folds the token stream into a d×w CMS grid (explode d
+    *    hash rows per token, partial-agg to ≤ d·w rows per partition;
+    *    the exchange carries ≤ d·w·partitions tiny cells). The grid
+    *    (d·w longs, a few hundred KB) is a DOCUMENTED bounded
+    *    driver-side collect (the d11 InSet precedent) re-broadcast as
+    *    array literals.
+    *  - pass 2 re-scans (column-pruned — the trade is a second cheap
+    *    scan for never shuffling the vocabulary) and keeps only tokens
+    *    whose CMS estimate `min_j grid[j][h_j(tok)]` clears the
+    *    threshold — a codegen `least(element_at(...))` chain over the
+    *    broadcast literals, no UDF. CMS never underestimates (counts
+    *    only increase), so the surviving candidates are a SUPERSET of
+    *    the true heavy hitters; the exact groupBy over candidate
+    *    occurrences (a shuffle bounded by candidate mass, not
+    *    vocabulary) plus the final `count ≥ threshold` filter trims the
+    *    collisions' false positives.
+    *
+    * The output is therefore EXACT — the sketch is purely a shuffle-
+    * volume device, which is what makes the operator oracle-checkable
+    * by a plain GROUP BY/HAVING twin with no hash replication at all.
+    */
+  def heavyHitters(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   threshold: Long, d: Int = 4, w: Int = 1024,
+                   minTermLen: Int = 3): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+    def cell(j: Int) = pmod(xxhash64(lit(j), col("term")), lit(w)).cast("int")
+    val cms = toks
+      .select(explode(array((0 until d).map(j =>
+        struct(lit(j).as("row"), cell(j).as("cell"))): _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .collect() // bounded: ≤ d·w cells, independent of corpus size
+    val grid = Array.fill(d)(Array.fill(w)(0L))
+    cms.foreach(r => grid(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val est = least((0 until d).map(j =>
+      element_at(typedlit(grid(j).toSeq), cell(j) + lit(1))): _*)
+    toks.filter(est >= threshold)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .orderBy(col("n").desc, col("term").asc)
+  }
+
   /** Within-document n-gram repetition (the Gopher/C4 family of
     * repetition quality rules): the fraction of a document's word
     * n-grams that are repeats of an earlier n-gram —

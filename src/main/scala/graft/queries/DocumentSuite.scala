@@ -152,6 +152,11 @@ object DocumentSuite {
         .orderBy("rank")
     }),
 
+    "t17_heavy_hitters" -> ((s, d) => {
+      TextAnalysis.heavyHitters(Tables.documents(s, d), "text", threshold = 900L)
+        .orderBy(col("n").desc, col("term").asc)
+    }),
+
     // --- dedup -------------------------------------------------------------
     "d1_dedup_exact" -> ((s, d) => {
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -1037,6 +1042,18 @@ object DocumentSuite {
         |  CAST(ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank,
         |  n_hits, score_fp
         |FROM top ORDER BY rank""".stripMargin,
+
+    // no sketch replication: the CMS is only a candidate filter whose
+    // overestimate guarantee keeps every true heavy hitter, and the
+    // exact verify pass trims the collisions — so ground truth is the
+    // plain GROUP BY/HAVING
+    "t17_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT t AS term
+        |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS u(t)
+        |  WHERE length(t) >= 3)
+        |SELECT term, COUNT(*)::BIGINT AS n FROM tok GROUP BY 1
+        |HAVING COUNT(*) >= 900 ORDER BY n DESC, term""".stripMargin,
 
     "t6_repetition_score" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

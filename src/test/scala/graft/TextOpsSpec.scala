@@ -270,6 +270,38 @@ class TextOpsSpec extends SparkSpec {
     assert(expected.map(_._4).distinct.size > 5, "fixture must spread the scores")
   }
 
+  test("heavyHitters fuzz: exact under heavy CMS collisions (tiny grid)") {
+    // planted heavy hitters + a hapax tail; w = 2 forces nearly every
+    // token into a colliding cell, so the candidate filter passes lots
+    // of false positives — the exact verify pass must trim them all.
+    // Equality with the scalar count also proves no true hitter was
+    // dropped (the CMS overestimate guarantee).
+    val rnd = new scala.util.Random(1717)
+    val heavy = Vector("aaa", "bbb", "ccc")
+    val docs = (0 until 50).map { i =>
+      val toks = (0 until 40).map { _ =>
+        val r = rnd.nextInt(10)
+        if (r < 6) heavy(rnd.nextInt(heavy.size))
+        else "tl" + ('a' + rnd.nextInt(20)).toChar + ('a' + rnd.nextInt(20)).toChar // long tail, few repeats
+      }
+      (i.toLong, toks.mkString(" "))
+    }
+    val threshold = 50L
+    for (w <- Seq(2, 1024)) {
+      val got = graft.operators.TextAnalysis.heavyHitters(
+          docs.toDF("doc_id", "text"), "text", threshold, d = 4, w = w)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val counts = docs.flatMap(_._2.split(" ", -1)).filter(_.length >= 3)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = counts.filter(_._2 >= threshold).toSeq
+        .sortBy { case (t, n) => (-n, t) }
+      assert(got == expected, s"w=$w")
+      assert(expected.size >= 3 && counts.size > 100 &&
+        counts.values.count(_ < threshold) > 100,
+        "fixture must have hitters above a real sub-threshold tail")
+    }
+  }
+
   test("repetitionScore fuzz: random repetitive corpora match a scalar n-gram count") {
     val rnd = new scala.util.Random(777)
     val vocab = Vector("aa", "bb", "cc", "dd")
