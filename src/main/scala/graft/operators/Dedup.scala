@@ -235,12 +235,13 @@ object Dedup {
     * degenerate-duplication regime (d8's pruneSingletonBuckets gate)
     * handled as a first-class transform instead of a pair generator.
     */
-  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
-                window: Int = 10, minDf: Int = 2,
-                keepFirst: Boolean = false): DataFrame = {
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).as("text"))
-    val segs = base
+  /** The d16/st13 segmenter: fixed-`window`-token chunks of each doc
+    * (production corpora segment on newlines; this corpus is
+    * single-line). Returns (doc_id, segno, seg), empty segments
+    * dropped. One codegen pass, no shuffle.
+    */
+  private[graft] def segmentDocs(base: DataFrame, window: Int): DataFrame =
+    base
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(sequence(lit(0),
         greatest((ceil(size(col("w")).cast("double") / window) - 1)
@@ -250,6 +251,33 @@ object Dedup {
         concat_ws(" ", slice(col("w"), col("segno") * window + 1,
           lit(window))).as("seg"))
       .filter(col("seg") =!= "")
+
+  /** The d16/st13 positional reassembly: surviving segments back into
+    * document order, plus the dropped count; every doc id in `ids`
+    * survives (a fully-boilerplate doc keeps an empty clean_text).
+    * `flagged` = (doc_id, segno, seg, __drop).
+    */
+  private def reassembleSegs(ids: DataFrame, flagged: DataFrame): DataFrame = {
+    val reb = flagged
+      .groupBy("doc_id")
+      .agg(
+        array_join(expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN NOT __drop THEN struct(segno, seg) END))," +
+            " x -> x.seg)"), " ").as("clean_text"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"))
+    ids.join(reb, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 10, minDf: Int = 2,
+                keepFirst: Boolean = false): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val segs = segmentDocs(base, window)
     // keepFirst carries the min occupying doc alongside the df count
     // (same single aggregation — min rides the countDistinct shuffle),
     // so a repeated segment survives in its first (minimum-doc_id) host
@@ -261,19 +289,99 @@ object Dedup {
     val dropCond =
       if (keepFirst) col("__boiler").isNotNull && col("doc_id") =!= col("first_doc")
       else col("__boiler").isNotNull
-    val reb = segs.join(boiler, Seq("seg"), "left")
+    val flagged = segs.join(boiler, Seq("seg"), "left")
       .withColumn("__drop", dropCond)
-      .groupBy("doc_id")
-      .agg(
-        array_join(expr(
-          "transform(array_sort(collect_list(" +
-            "CASE WHEN NOT __drop THEN struct(segno, seg) END))," +
-            " x -> x.seg)"), " ").as("clean_text"),
-        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"))
-    base.select("doc_id").join(reb, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+    reassembleSegs(base.select("doc_id"), flagged)
+  }
+
+  // --- incremental line dedup (st13): the streaming twin of d16 -----------
+  // The boilerplate knowledge evolves with the corpus: a segment's df
+  // accumulates as documents arrive, and each arrival is cleaned against
+  // the df state AS OF ITS ARRIVAL — the first minDf-1 hosts keep their
+  // copy (they were emitted before the segment became boilerplate; a
+  // stream cannot retro-edit), every later host drops it. That is
+  // exactly d17's keep-first rule generalized to arrival order.
+
+  /** Land the segment-df index for `docs`: `<tableBase>_segdf`
+    * (batch_id, skey, seg, nd) bucketed by skey = xxhash64(seg) —
+    * df DELTAS, one row per (batch, segment), summed at probe time —
+    * and `<tableBase>_docs` (id), the arrival/redelivery guard.
+    * The landed corpus writes batch_id = -1.
+    *
+    * Idempotence contract (at-least-once foreachBatch): delta rows
+    * carry their batch_id and the probe aggregates
+    * `sum(max(nd) per (batch_id, seg))` over batches EARLIER than the
+    * probing batch — so a replayed batch neither double-counts its own
+    * half-committed deltas (excluded: same batch_id) nor loses earlier
+    * ones (max collapses duplicate appends of the identical replayed
+    * content). `_docs` appends LAST so the guard key commits only
+    * after the deltas are durable.
+    */
+  def landSegDfIndex(spark: SparkSession, docs: DataFrame, idCol: String,
+                     textCol: String, window: Int, tableBase: String,
+                     dir: String, nBuckets: Int = 8): Unit = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val deltas = segmentDocs(base, window)
+      .select("doc_id", "seg").distinct()
+      .groupBy("seg").agg(count(lit(1)).as("nd"))
+      .select(lit(-1L).as("batch_id"), xxhash64(col("seg")).as("skey"),
+        col("seg"), col("nd"))
+    graft.sources.Sinks.bucketed(deltas, s"${tableBase}_segdf", "skey",
+      nBuckets, path = Some(s"$dir/segdf"))
+    graft.sources.Sinks.bucketed(base.select(col("doc_id").as("id")),
+      s"${tableBase}_docs", "id", nBuckets, path = Some(s"$dir/docs"))
+  }
+
+  /** One st13 micro-batch: clean the arriving docs against the landed
+    * segment-df state, spool (doc_id, clean_text, n_dropped) verdicts,
+    * absorb the batch's df deltas. A segment instance is dropped iff
+    * `prior_df + batch_host_rank >= minDf`, where prior_df sums the
+    * index deltas of STRICTLY EARLIER batches and batch_host_rank is
+    * the doc's 1-based rank among the batch's distinct hosts of that
+    * segment (id order) — the arrival-ordered keep-first fold.
+    *
+    * Plan: one segmentation pass localCheckpointed and reused; the
+    * batch's segment keys broadcast INTO the bucketed index scan (the
+    * d11 probe shape — at 100 TB the scan prunes to the buckets the
+    * batch touches); the host rank is a batch-sized window; reassembly
+    * is the d16 groupBy. Absorb appends under the same bucket spec.
+    */
+  def classifyAbsorbSegBatch(spark: SparkSession, batch: DataFrame,
+                             idCol: String, textCol: String,
+                             tableBase: String, batchId: Long,
+                             window: Int, minDf: Int,
+                             outDir: String, nBuckets: Int = 8): Unit = {
+    val base = batch.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val segs = segmentDocs(base, window).localCheckpoint()
+    val hosts = segs.select("doc_id", "seg").distinct()
+    val batchSegs = hosts.select("seg").distinct()
+      .withColumn("skey", xxhash64(col("seg")))
+    val prior = spark.table(s"${tableBase}_segdf")
+      .filter(col("batch_id") < batchId)
+      .join(broadcast(batchSegs), Seq("skey", "seg"))
+      .groupBy("batch_id", "seg").agg(max("nd").as("nd"))
+      .groupBy("seg").agg(sum("nd").as("prior"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg").orderBy("doc_id")
+    val verdict = hosts.withColumn("__r", row_number().over(w))
+      .join(prior, Seq("seg"), "left")
+      .select(col("seg"), col("doc_id"),
+        (coalesce(col("prior"), lit(0L)) + col("__r") >= minDf).as("__drop"))
+    val flagged = segs.join(verdict, Seq("seg", "doc_id"))
+    reassembleSegs(base.select("doc_id"), flagged)
+      .repartition(1)
+      .write.mode(SaveMode.Append).parquet(outDir)
+    val deltas = hosts.groupBy("seg").agg(count(lit(1)).as("nd"))
+      .select(lit(batchId).as("batch_id"), xxhash64(col("seg")).as("skey"),
+        col("seg"), col("nd"))
+    graft.sources.Sinks.bucketed(deltas, s"${tableBase}_segdf", "skey",
+      nBuckets, mode = SaveMode.Append)
+    graft.sources.Sinks.bucketed(base.select(col("doc_id").as("id")),
+      s"${tableBase}_docs", "id", nBuckets, mode = SaveMode.Append)
+    spark.catalog.refreshTable(s"${tableBase}_segdf")
+    spark.catalog.refreshTable(s"${tableBase}_docs")
   }
 
   /** Benchmark decontamination — the training-data hygiene step every

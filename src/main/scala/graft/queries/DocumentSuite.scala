@@ -757,6 +757,45 @@ object DocumentSuite {
       c => s"$c % 5 >= 3",
       (e, x) => s"$e % 5 < 3 OR $e % 4 < $x % 4 OR ($e % 4 = $x % 4 AND $e < $x)")
 
+  /** st13's arrival-ordered segment fold: a segment instance in an
+    * arriving doc is dropped iff its count of EARLIER hosts (landed
+    * corpus slice, earlier chunks, smaller-id batch mates) + itself
+    * reaches minDf = 2 — d17's keep-first rule generalized to arrival
+    * order. Same window-10 segmentation and reassembly CTEs as
+    * [[lineDedupSql]].
+    */
+  private[queries] def streamLineDedupSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |seg AS (
+      |  SELECT doc_id, CAST(i AS INT) AS segno,
+      |         list_aggregate(w[i*10+1 : i*10+10], 'string_agg', ' ') AS seg
+      |  FROM t, UNNEST(range(0, CAST(ceil(len(w)/10.0) AS BIGINT))) AS u(i)),
+      |segs AS (SELECT * FROM seg WHERE seg <> ''),
+      |hosts AS (SELECT DISTINCT doc_id, seg FROM segs),
+      |early AS (
+      |  SELECT x.doc_id, x.seg, CAST(COUNT(*) AS BIGINT) AS ne
+      |  FROM hosts x JOIN hosts h ON h.seg = x.seg
+      |  WHERE x.doc_id % 5 >= 3 AND (
+      |    h.doc_id % 5 < 3 OR
+      |    (h.doc_id % 5 >= 3 AND (h.doc_id % 4 < x.doc_id % 4
+      |       OR (h.doc_id % 4 = x.doc_id % 4 AND h.doc_id < x.doc_id))))
+      |  GROUP BY 1, 2),
+      |fl AS (
+      |  SELECT s.doc_id, s.segno, s.seg,
+      |    COALESCE(e.ne, 0) + 1 >= 2 AS dropped
+      |  FROM segs s LEFT JOIN early e ON e.doc_id = s.doc_id AND e.seg = s.seg
+      |  WHERE s.doc_id % 5 >= 3),
+      |reb AS (
+      |  SELECT doc_id,
+      |    COALESCE(string_agg(CASE WHEN NOT dropped THEN seg END,
+      |                        ' ' ORDER BY segno), '') AS clean_text,
+      |    CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      |  FROM fl GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+      |       COALESCE(reb.n_dropped, 0) AS n_dropped
+      |FROM documents d LEFT JOIN reb USING (doc_id)
+      |WHERE d.doc_id % 5 >= 3 ORDER BY d.doc_id""".stripMargin
+
   /** The stub decoder's dimension arithmetic over the document payload —
     * the DuckDB twin of [[Multimodal.StubDecoder.decode]] (FNV of the
     * payload bytes, then bit-field extraction), shared by m2 and m3.

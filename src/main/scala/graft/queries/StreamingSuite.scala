@@ -65,6 +65,13 @@ object StreamingSuite {
     "st12_stream_semantic_survivors" -> ((s, d) => {
       graft.streaming.DocStreams.streamSemanticSurvivors(s, d)
         .orderBy("vec_id")
+    }),
+    // d16/d17's boilerplate stage as continuous ingest: each arrival
+    // cleaned against the segment-df state as of its arrival (the
+    // keep-first rule in arrival order), then its df deltas absorbed
+    "st13_stream_line_dedup" -> ((s, d) => {
+      graft.streaming.DocStreams.streamLineDedup(s, d)
+        .orderBy("doc_id")
     })
   )
 
@@ -188,6 +195,10 @@ object StreamingSuite {
 
     // the embedding twin over the st10 frozen-centroid pair algebra
     "st12_stream_semantic_survivors" ->
-      graft.queries.DocumentSuite.streamSemanticSurvivorsSql
+      graft.queries.DocumentSuite.streamSemanticSurvivorsSql,
+
+    // the arrival-ordered segment fold (keep-first in arrival order)
+    "st13_stream_line_dedup" ->
+      graft.queries.DocumentSuite.streamLineDedupSql
   )
 }

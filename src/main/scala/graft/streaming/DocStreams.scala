@@ -226,6 +226,62 @@ object DocStreams {
     spark.read.schema(classSchema("doc_id")).parquet(outDir).distinct()
   }
 
+  private val cleanSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("clean_text", StringType),
+    StructField("n_dropped", LongType)))
+
+  /** st13: streaming line-level boilerplate dedup — the continuous twin
+    * of the d16/d17 cross-document repeated-segment stage. The corpus
+    * slice (doc_id % 5 < 3) lands once as the segment-df index
+    * ([[Dedup.landSegDfIndex]]); the remaining docs arrive as a
+    * timestamp-ordered file sequence, one micro-batch each. Per batch,
+    * behind the `_docs` redelivery guard,
+    * [[Dedup.classifyAbsorbSegBatch]] cleans each doc against the df
+    * state AS OF ITS ARRIVAL — a segment instance is dropped iff
+    * `earlier_hosts + 1 >= minDf`, where earlier = landed, an earlier
+    * chunk, or a smaller-id batch mate — spools the cleaned doc, and
+    * absorbs the batch's df deltas (batch_id-tagged for at-least-once
+    * idempotence; see landSegDfIndex's contract). The first minDf-1
+    * hosts of a repeated segment keep their copy — d17's keep-first
+    * rule generalized to arrival order, which is the only causal
+    * option for a stream (emitted text cannot be retro-edited).
+    * Drained stream ≡ one arrival-ordered fold over the full segment
+    * algebra — the DuckDB oracle.
+    */
+  def streamLineDedup(spark: SparkSession, dir: String,
+                      window: Int = 10, minDf: Int = 2): DataFrame = {
+    val id = qid.incrementAndGet()
+    val tableBase = s"graft_st13_$id"
+    val root = graft.sources.Spool.tempRoot(s"st13_$id")
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    Dedup.landSegDfIndex(spark, docs.filter(col("doc_id") % 5 < 3),
+      "doc_id", "text", window, tableBase, s"$root/idx")
+    writeOrderedChunks(s"$root/arrive", "docs_", 4, "doc_id")(
+      docs.filter(col("doc_id") % 5 >= 3))
+    val outDir = s"$root/clean"
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/arrive")
+    val q = EventStreams.withDrainConf(spark) {
+      stream.writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val landedIds = spark.table(s"${tableBase}_docs")
+            .select(col("id").as("doc_id"))
+          val fresh = graft.sources.Sinks
+            .notYetIngested(batch, landedIds, "doc_id").localCheckpoint()
+          if (!fresh.isEmpty) {
+            Dedup.classifyAbsorbSegBatch(spark, fresh, "doc_id", "text",
+              tableBase, batchId, window, minDf, outDir)
+          }
+        }
+        .start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    Seq("segdf", "docs").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
+    spark.read.schema(cleanSchema).parquet(outDir).distinct()
+  }
+
   /** st12: streaming semantic ingest classification — the embedding
     * twin of [[streamIncrementalSurvivors]] (st12 : st10 :: st11 :
     * st9): frozen-centroid cell index landed once from the

@@ -644,4 +644,49 @@ class StreamingSpec extends SparkSpec {
     assert(got == want,
       s"only-streamed=${(got -- want).take(3)} only-fold=${(want -- got).take(3)}")
   }
+
+  test("st13: streamed line dedup equals the arrival-ordered segment fold") {
+    // the d16/d17-per-micro-batch contract: each arrival is cleaned
+    // against the segment-df state as of its arrival, so the drained
+    // stream must equal a scalar keep-first fold over the full segment
+    // algebra under earlier = landed ∨ earlier-chunk ∨ smaller-id
+    // chunk mate — with all three earlier-host kinds exercised
+    val got = graft.streaming.DocStreams.streamLineDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def segsOf(t: String): Seq[String] = {
+      val w = t.split(" ", -1) // Spark split keeps trailing empties
+      val n = math.max(math.ceil(w.length / 10.0).toInt, 1)
+      (0 until n).map(i => w.slice(i * 10, i * 10 + 10).mkString(" "))
+        .filter(_.nonEmpty)
+    }
+    def arr(i: Long) = i % 5 >= 3
+    def earlier(e: Long, x: Long) =
+      !arr(e) || e % 4 < x % 4 || (e % 4 == x % 4 && e < x)
+    val hosts: Map[String, Set[Long]] = docs
+      .flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var sawLanded, sawChunk, sawMate = false
+    val want = docs.filter(d => arr(d._1)).map { case (x, t) =>
+      val flags = segsOf(t).map { s =>
+        val es = (hosts(s) - x).filter(e => earlier(e, x))
+        val drop = es.nonEmpty // minDf = 2: any earlier host drops it
+        if (drop) {
+          if (es.exists(e => !arr(e))) sawLanded = true
+          if (es.exists(e => arr(e) && e % 4 != x % 4)) sawChunk = true
+          if (es.exists(e => arr(e) && e % 4 == x % 4)) sawMate = true
+        }
+        (s, drop)
+      }
+      (x, flags.collect { case (s, false) => s }.mkString(" "),
+        flags.count(_._2).toLong)
+    }.toSet
+    assert(sawLanded, "st13: no landed earlier host exercised")
+    assert(sawChunk, "st13: no earlier-chunk host exercised — absorb path untested")
+    assert(sawMate, "st13: no same-chunk host exercised — intra-batch path untested")
+    assert(got == want,
+      s"only-streamed=${(got -- want).take(3)} only-fold=${(want -- got).take(3)}")
+  }
 }
