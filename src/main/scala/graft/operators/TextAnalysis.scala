@@ -143,23 +143,39 @@ object TextAnalysis {
   def bm25TopDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, queryTerms: Seq[String], k: Int,
                   minTermLen: Int = 3): org.apache.spark.sql.DataFrame = {
+    // the explicit isNotNull mirrors the constraint the downstream
+    // doc_id join would otherwise push into ONLY the joined branches —
+    // with it stated up front, every branch's subtree below the
+    // (doc, term) exchange is canonically identical and ReuseExchange
+    // can fire (a null doc_id could never survive the inner joins
+    // anyway)
     val tf = docs
+      .filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc_id"), explode(split(lower(col(textCol)), "[^a-z]+")).as("term"))
       .filter(length(col("term")) >= minTermLen)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    // dl aggregates the already-aggregated tf table; the count(tf >= 1)
-    // guard on df is the t9 exchange-reuse contract (see tfidfTopTerms)
+    // dl aggregates the already-aggregated tf table (same exchange)
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val dfreq = tf.groupBy("term")
+    // The query filter is wrapped so its predicate REFERENCES tf: a bare
+    // term.isin(Q) pushes below the (doc, term) aggregation and into the
+    // scan branch, which makes this branch's exchange canonically
+    // different from tf's — ReuseExchange then never fires and the
+    // corpus is scanned, lowercased, split and exploded once PER BRANCH
+    // (t9's count(tf >= 1) guard, applied to a filter; tf >= 1 is
+    // always true, so semantics are untouched). Asserted in
+    // PlanAuditSpec.
+    val qtf = tf.filter(when(col("tf") >= 1, col("term")).isin(queryTerms: _*))
+    // df per query term aggregates the filtered slice — correct (other
+    // terms can't change a term's df) and tiny (≤ |Q| rows): broadcast
+    val dfreq = qtf.groupBy("term")
       .agg(count(when(col("tf") >= 1, lit(1))).as("df"))
-      .filter(col("term").isin(queryTerms: _*))
     val n = docs.agg(count(lit(1)).as("n"))
     val total = dl.agg(sum("dl").as("total"))
     val avgdl = col("total").cast("double") / col("n").cast("double")
     val idf = log((col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val contrib = idf * (col("tf") * (lit(1.2) + lit(1.0))) /
       (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / avgdl))
-    val scored = tf.filter(col("term").isin(queryTerms: _*))
+    val scored = qtf
       .join(broadcast(dfreq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(n)).crossJoin(broadcast(total))

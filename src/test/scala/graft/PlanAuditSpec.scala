@@ -552,6 +552,59 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition"), plan)
   }
 
+  test("t16: the scored/dl/df/total branches share one tokenizing scan via exchange reuse") {
+    // bm25TopDocs guards its query filter (when(tf >= 1, term).isin)
+    // and states the doc_id isNotNull constraint up front so every
+    // branch below the (doc, term) exchange is canonically identical —
+    // without either, the corpus is scanned, lowercased, split and
+    // exploded once per branch (4×)
+    val df = SparkEntry.queries("t16_bm25")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"),
+      s"t16: branches no longer reuse the (doc, term) exchange\n$finalPlan")
+    // one tokenizing scan + the column-pruned 1-row N count scan
+    assert("FileScan parquet".r.findAllIn(finalPlan).length <= 2,
+      s"t16: expected at most two corpus scans in the final plan\n$finalPlan")
+    // the global top-k is per-partition heaps, never a full sort
+    assert(finalPlan.contains("TakeOrderedAndProject"), finalPlan)
+  }
+
+  test("t17: the verify pass filters by the CMS estimate BEFORE its exchange") {
+    // sketch-then-verify only pays off if the exact aggregation's
+    // shuffle input is already candidate-only: the codegen
+    // least(element_at(...)) estimate filter must sit below the final
+    // groupBy exchange, and the whole query must never shuffle the
+    // full vocabulary (the CMS grid exchange carries ≤ d·w·partitions
+    // cells, the verify exchange only candidate occurrences)
+    val df = SparkEntry.queries("t17_heavy_hitters")(spark, sfDir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalPlan.contains("element_at"),
+      s"t17: CMS estimate filter gone from the verify scan\n$finalPlan")
+    val exIdx = finalPlan.indexOf("Exchange")
+    val filterIdx = finalPlan.indexOf("element_at")
+    assert(filterIdx > exIdx,
+      "t17: estimate filter should appear below (after, in tree print) the verify exchange")
+    assert(finalPlan.contains("partial_count") || finalPlan.contains("partial"),
+      s"t17: verify aggregation lost its map-side partial\n$finalPlan")
+  }
+
+  test("a9: probes, codebook and ADC tables broadcast; candidates never cartesian") {
+    val df = SparkEntry.queries("a9_ivf_pq")(spark, sfDir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    assert("BroadcastHashJoin".r.findAllIn(finalPlan).length >= 2,
+      s"a9: expected the probe/ADC joins to broadcast\n$finalPlan")
+    // the per-pair ADC sum partial-aggregates before its exchange
+    assert(finalPlan.contains("partial_sum"),
+      s"a9: pair sum lost its map-side partial\n$finalPlan")
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
