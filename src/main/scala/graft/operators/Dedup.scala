@@ -384,6 +384,38 @@ object Dedup {
     spark.catalog.refreshTable(s"${tableBase}_docs")
   }
 
+  /** Compact the st13 segment-df index: retire the per-batch small
+    * files AND collapse the delta history — each segment's per-batch
+    * max(nd) rows sum into ONE `batch_id = -1` row (exactly the
+    * aggregation every probe would otherwise redo), and `_docs` is
+    * rewritten to one file per bucket. Probe results over later batches
+    * are bit-identical (spec-pinned): a collapsed row's -1 sorts below
+    * every real batch id, so the `batch_id < probing` prior filter
+    * keeps matching.
+    *
+    * Contract: run AT REST (no active stream) — collapsing batch ids
+    * makes replays of PRE-compaction batches non-idempotent (their own
+    * deltas would read as prior), so compaction is also a checkpoint
+    * barrier, the same no-concurrent-writer cadence rule as
+    * [[compactMinhashIndex]].
+    */
+  def compactSegDfIndex(spark: SparkSession, tableBase: String,
+                        nBuckets: Int = 8): Unit = {
+    // max-per-(batch, seg) BEFORE the cross-batch sum — the probe's own
+    // aggregation, so duplicate appends of a replayed batch collapse
+    // here exactly as they would at probe time
+    val (sb, sa) = compactBucketedTable(spark, s"${tableBase}_segdf", "skey",
+      nBuckets, df => df
+        .groupBy("batch_id", "skey", "seg").agg(max(col("nd")).as("nd"))
+        .groupBy("skey", "seg").agg(sum(col("nd")).as("nd"))
+        .select(lit(-1L).as("batch_id"), col("skey"), col("seg"), col("nd")))
+    val (db, da) = compactBucketedTable(spark, s"${tableBase}_docs", "id",
+      nBuckets, df => df.distinct()) // replayed guard appends collapse too
+    graft.Metrics.set("st13.compact",
+      "segdf_files_before" -> sb, "segdf_files_after" -> sa,
+      "docs_files_before" -> db, "docs_files_after" -> da)
+  }
+
   /** Benchmark decontamination — the training-data hygiene step every
     * large pretraining pipeline runs (the GPT-3/Gopher-style n-gram
     * collision check, reported in their public appendices): a corpus
@@ -1106,7 +1138,9 @@ object Dedup {
     * old files deleted.
     */
   private def compactBucketedTable(spark: SparkSession, t: String,
-                                   bcol: String, nBuckets: Int): (Long, Long) = {
+                                   bcol: String, nBuckets: Int,
+                                   transform: DataFrame => DataFrame = identity)
+      : (Long, Long) = {
     val oldLoc = tableLocation(spark, t)
     val before = parquetFileCount(oldLoc)
     val gen = tableGen(spark, t)
@@ -1122,7 +1156,7 @@ object Dedup {
     spark.sql(s"DROP TABLE IF EXISTS $staged")
     spark.sql(s"DROP TABLE IF EXISTS $aside")
     graft.sources.Sinks.bucketed(
-      spark.read.schema(spark.table(t).schema).parquet(oldLoc),
+      transform(spark.read.schema(spark.table(t).schema).parquet(oldLoc)),
       staged, bcol, nBuckets, path = Some(newLoc))
     spark.sql(s"ALTER TABLE $staged SET TBLPROPERTIES ('graft.compact.gen'='${gen + 1}')")
     spark.sql(s"ALTER TABLE $t RENAME TO $aside")

@@ -527,6 +527,48 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("st13 compaction collapses the delta history; later verdicts bit-identical") {
+    // run the same land → classify × 3 pipeline twice, once compacting
+    // before the last batch: every verdict set must match exactly (the
+    // collapsed batch_id = -1 rows are the same prior the probe's own
+    // per-batch-max + sum aggregation would produce), the segdf table
+    // must be back to <= nBuckets files, and the delta history gone
+    val all = graft.sources.Tables.documents(spark, sfDir)
+    val a = all.filter(col("doc_id") % 5 < 2).select("doc_id", "text")
+    val chunks = (2 to 4).map(i =>
+      all.filter(col("doc_id") % 5 === i).select("doc_id", "text"))
+    def run(tb: String, compactBefore: Int): Seq[Set[(Long, String, Long)]] = {
+      val dir = graft.sources.Spool.tempRoot(tb)
+      try {
+        Dedup.landSegDfIndex(spark, a, "doc_id", "text", 10, tb, dir)
+        chunks.zipWithIndex.map { case (ch, i) =>
+          if (i == compactBefore) Dedup.compactSegDfIndex(spark, tb)
+          val out = s"$dir/out$i"
+          Dedup.classifyAbsorbSegBatch(spark, ch, "doc_id", "text", tb,
+            i.toLong, window = 10, minDf = 2, out)
+          spark.read.parquet(out).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        }
+      } finally {
+        Seq("segdf", "docs", "segdf_compacting", "docs_compacting",
+          "segdf_precompact", "docs_precompact")
+          .foreach(s => spark.sql(s"DROP TABLE IF EXISTS ${tb}_$s"))
+      }
+    }
+    val plain = run("graft_st13_cmp_a", compactBefore = -1)
+    val comp = run("graft_st13_cmp_b", compactBefore = 2)
+    assert(plain == comp, "verdicts changed across compaction")
+    assert(plain.exists(_.exists(_._3 > 0)),
+      "fixture never dropped a segment — parity is vacuous")
+    val m = graft.Metrics.get("st13.compact")
+      .getOrElse(fail("compaction left no st13.compact Metrics entry"))
+    assert(m("segdf_files_before").asInstanceOf[Long] > 8,
+      s"fixture did not accumulate small files: $m")
+    assert(m("segdf_files_after").asInstanceOf[Long] <= 8,
+      s"compaction left small files: $m")
+    assert(m("docs_files_after").asInstanceOf[Long] <= 8, s"$m")
+  }
+
   test("repeated compaction keeps working (generation tracking survives the swap)") {
     // compact twice with an absorb in between: the second rewrite must
     // find the recorded generation on the swapped-in table (a property,
