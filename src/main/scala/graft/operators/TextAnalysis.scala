@@ -246,6 +246,42 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("term").asc)
   }
 
+  /** Blocked inverted-index build (t18) — the posting-list layout a
+    * search/retrieval stack lands next to the corpus (Lucene's
+    * block-postings shape): per token, doc-distinct postings in doc_id
+    * order, cut into fixed `blockSize` blocks, each block summarized by
+    * its size and an order-sensitive md5 fingerprint of the id
+    * sequence. Blocks — not whole lists — are the scale contract: a
+    * stopword-grade token's postings at 100 TB are millions of ids,
+    * and one row per BLOCK keeps every output row bounded while the
+    * fingerprints still pin the exact layout a loader would mmap.
+    *
+    * Plan: one tokenizing scan; the (doc, term) dedup exchange; one
+    * term-keyed window for posting ranks (the block cut), whose
+    * partitioning the block aggregation REUSES (HashPartitioning(term)
+    * already clusters (term, block) — no third exchange, asserted in
+    * PlanAuditSpec). Fingerprints are md5 over the comma-joined sorted
+    * id block, bit-reproducible in any engine.
+    */
+  def postingsIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, blockSize: Int = 128,
+                    minTermLen: Int = 3): org.apache.spark.sql.DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"), explode(split(lower(col(textCol)), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("doc_id")
+    tok
+      .withColumn("__r", (row_number().over(w) - 1).cast("long"))
+      .withColumn("block_no", expr(s"__r div $blockSize"))
+      .groupBy("term", "block_no")
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")))).as("ids_md5"))
+  }
+
   /** Within-document n-gram repetition (the Gopher/C4 family of
     * repetition quality rules): the fraction of a document's word
     * n-grams that are repeats of an earlier n-gram —

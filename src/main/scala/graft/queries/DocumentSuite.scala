@@ -157,6 +157,12 @@ object DocumentSuite {
         .orderBy(col("n").desc, col("term").asc)
     }),
 
+    "t18_postings" -> ((s, d) => {
+      TextAnalysis.postingsIndex(Tables.documents(s, d), "doc_id", "text",
+        blockSize = 128)
+        .orderBy("term", "block_no")
+    }),
+
     // --- dedup -------------------------------------------------------------
     "d1_dedup_exact" -> ((s, d) => {
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -1081,6 +1087,23 @@ object DocumentSuite {
         |  CAST(ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank,
         |  n_hits, score_fp
         |FROM top ORDER BY rank""".stripMargin,
+
+    // block-postings layout: doc-distinct postings in id order cut into
+    // 128-id blocks, each fingerprinted by md5 over the comma-joined
+    // sequence — the same bytes both engines produce
+    "t18_postings" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, t AS term
+        |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS u(t)
+        |  WHERE length(t) >= 3),
+        |rk AS (
+        |  SELECT term, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) - 1 AS r
+        |  FROM tok)
+        |SELECT term, CAST(r // 128 AS BIGINT) AS block_no,
+        |  COUNT(*)::BIGINT AS n_docs,
+        |  md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS ids_md5
+        |FROM rk GROUP BY 1, 2 ORDER BY term, block_no""".stripMargin,
 
     // no sketch replication: the CMS is only a candidate filter whose
     // overestimate guarantee keeps every true heavy hitter, and the

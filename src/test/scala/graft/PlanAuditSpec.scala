@@ -605,6 +605,21 @@ class PlanAuditSpec extends SparkSpec {
       s"a9: pair sum lost its map-side partial\n$finalPlan")
   }
 
+  test("t18: the block aggregation reuses the window's term partitioning (two exchanges total)") {
+    // dedup (doc, term) + the term-keyed posting-rank window are the
+    // only shuffles; HashPartitioning(term) already clusters
+    // (term, block_no), so the block groupBy must NOT add a third
+    val df = SparkEntry.queries("t18_postings")(spark, sfDir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(shuffles <= 2,
+      s"t18: expected <= 2 shuffles (dedup + window), got $shuffles\n$finalPlan")
+    assert("FileScan parquet".r.findAllIn(finalPlan).length == 1,
+      s"t18: expected one corpus scan\n$finalPlan")
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

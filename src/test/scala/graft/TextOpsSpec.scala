@@ -302,6 +302,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("postingsIndex fuzz: blocked postings match a scalar reference (block boundaries exercised)") {
+    // small blockSize forces multi-block terms; the scalar reference
+    // rebuilds doc-distinct postings in id order, cuts blocks, and
+    // fingerprints the same comma-joined byte sequence through the same
+    // md5 — == on strings
+    val rnd = new scala.util.Random(1818)
+    val vocab = Vector("aaa", "bbb", "ccc", "ddd", "eee", "fff")
+    val docs = (0 until 120).map { i =>
+      val toks = (0 until 1 + rnd.nextInt(4)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, toks.mkString(" "))
+    }
+    val got = graft.operators.TextAnalysis.postingsIndex(
+        docs.toDF("doc_id", "text"), "doc_id", "text", blockSize = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val postings = docs.flatMap { case (id, t) =>
+      t.toLowerCase.split("[^a-z]+").filter(_.length >= 3).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expected = postings.toSeq.flatMap { case (term, ids) =>
+      ids.grouped(16).zipWithIndex.map { case (blk, b) =>
+        (term, b.toLong, blk.size.toLong, md5hex(blk.mkString(",")))
+      }
+    }.toSet
+    assert(expected.exists(_._2 >= 2), "fixture must produce multi-block terms")
+    assert(got == expected)
+  }
+
   test("repetitionScore fuzz: random repetitive corpora match a scalar n-gram count") {
     val rnd = new scala.util.Random(777)
     val vocab = Vector("aa", "bb", "cc", "dd")
