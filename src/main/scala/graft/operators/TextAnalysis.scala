@@ -246,6 +246,49 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("term").asc)
   }
 
+  /** Corpus-trained BIGRAM LM quality score (t19) — the t14 CCNet
+    * filtering axis at conditional order: per doc, the add-one-smoothed
+    * negative log-likelihood of its word bigrams under the corpus's own
+    * bigram model, `-ln((c2(a,b) + 1) / (c1(a) + V))` with `c1` the
+    * context mass and `V` the distinct-context count. Degenerate
+    * repetition that a unigram model scores as "likely" (common words,
+    * looping) surfaces here as improbable TRANSITIONS.
+    *
+    * Plan (the t14 shape, one conditional order up): one scan feeds the
+    * (doc, gram) partial-agg shuffle via the ngram kernel; the bigram
+    * vocabulary, context mass and V all derive from that aggregated
+    * table (vocabulary-sized work); V is a 1-row broadcast; the score
+    * join is unhinted (AQE broadcasts a small vocabulary, shuffles a
+    * web-scale one). Per-gram lp hits the 1e6 grid once
+    * (floor(x·1e6 + 0.5)), all accumulation is BIGINT (tf-weighted
+    * sums, integer-div average) — cross-engine exact. Docs with < 2
+    * tokens have no bigrams and no row (the caller's policy layer).
+    */
+  def bigramLogprob(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf2 = docs
+      .select(col(idCol).as("doc_id"), wsTokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.HashExpressions.ngrams(col("w"), 2)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    val c2 = tf2.groupBy("gram").agg(sum("tf").as("c2"))
+    val ctx = c2.withColumn("ctx", substring_index(col("gram"), " ", 1))
+    val c1 = ctx.groupBy("ctx").agg(sum("c2").as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val lp = ctx.join(c1, "ctx").crossJoin(broadcast(v))
+      .select(col("gram"),
+        floor(-log((col("c2") + lit(1L)).cast("double")
+            / (col("c1") + col("v")).cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("lp_fp"))
+    tf2.join(lp, "gram")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("lp_fp")).as("sum_lp_fp"))
+      .withColumn("avg_lp_fp", expr("sum_lp_fp div n_bigrams"))
+      .select("doc_id", "n_bigrams", "sum_lp_fp", "avg_lp_fp")
+  }
+
   /** Blocked inverted-index build (t18) — the posting-list layout a
     * search/retrieval stack lands next to the corpus (Lucene's
     * block-postings shape): per token, doc-distinct postings in doc_id

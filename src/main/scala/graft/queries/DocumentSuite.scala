@@ -163,6 +163,11 @@ object DocumentSuite {
         .orderBy("term", "block_no")
     }),
 
+    "t19_bigram_logprob" -> ((s, d) => {
+      TextAnalysis.bigramLogprob(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // --- dedup -------------------------------------------------------------
     "d1_dedup_exact" -> ((s, d) => {
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -1104,6 +1109,32 @@ object DocumentSuite {
         |  COUNT(*)::BIGINT AS n_docs,
         |  md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS ids_md5
         |FROM rk GROUP BY 1, 2 ORDER BY term, block_no""".stripMargin,
+
+    // the t14 fixed-point contract at bigram order: per-gram
+    // -ln((c2+1)/(c1+V)) hits the 1e6 grid once, BIGINT accumulation,
+    // integer-div average; identical double sequence in both engines
+    "t19_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+        |tf2 AS (SELECT doc_id, gram, COUNT(*)::BIGINT AS tf FROM g GROUP BY 1, 2),
+        |c2 AS (SELECT gram, SUM(tf)::BIGINT AS c2 FROM tf2 GROUP BY 1),
+        |cx AS (SELECT gram, c2, split_part(gram, ' ', 1) AS ctx FROM c2),
+        |c1 AS (SELECT ctx, SUM(c2)::BIGINT AS c1 FROM cx GROUP BY 1),
+        |v AS (SELECT COUNT(*)::BIGINT AS v FROM c1),
+        |lp AS (
+        |  SELECT gram,
+        |    CAST(FLOOR(-ln(CAST(cx.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS lp_fp
+        |  FROM cx JOIN c1 USING (ctx), v)
+        |SELECT tf2.doc_id, SUM(tf)::BIGINT AS n_bigrams,
+        |  SUM(tf * lp_fp)::BIGINT AS sum_lp_fp,
+        |  SUM(tf * lp_fp)::BIGINT // SUM(tf)::BIGINT AS avg_lp_fp
+        |FROM tf2 JOIN lp USING (gram)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // no sketch replication: the CMS is only a candidate filter whose
     // overestimate guarantee keeps every true heavy hitter, and the

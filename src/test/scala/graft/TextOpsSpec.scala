@@ -330,6 +330,45 @@ class TextOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bigramLogprob fuzz: corpus-trained conditional scores match a scalar reference exactly") {
+    // the scalar reference replays the operator's arithmetic — add-one
+    // smoothed -StrictMath.log((c2+1)/(c1+V)) quantized once to the 1e6
+    // grid, tf-weighted BIGINT sums, integer-div average — so the
+    // compare is == on longs (the t14 contract at bigram order)
+    val rnd = new scala.util.Random(1919)
+    val vocab = Vector("the", "cat", "sat", "mat", "dog", "ran", "far")
+    val docs = (0 until 70).map { i =>
+      val len = rnd.nextInt(20) // includes <2-token docs (no bigrams, no row)
+      (i.toLong, (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = graft.operators.TextAnalysis.bigramLogprob(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    def grams(t: String): Seq[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 2) Seq.empty else w.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val allGrams = docs.flatMap(d => grams(d._2))
+    val c2 = allGrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c2.toSeq.groupBy(_._1.split(" ")(0)).view
+      .mapValues(_.map(_._2).sum).toMap
+    val v = c1.size.toLong
+    val lpFp = c2.map { case (g, n) =>
+      g -> math.floor(-StrictMath.log((n + 1).toDouble / (c1(g.split(" ")(0)) + v).toDouble)
+        * 1000000.0 + 0.5).toLong
+    }
+    val expected = docs.flatMap { case (id, t) =>
+      val gs = grams(t)
+      if (gs.isEmpty) None else {
+        val sum = gs.map(lpFp).sum
+        Some((id, gs.size.toLong, sum, sum / gs.size))
+      }
+    }
+    assert(got == expected)
+    assert(expected.map(_._4).distinct.size > 5, "fixture must spread the scores")
+  }
+
   test("repetitionScore fuzz: random repetitive corpora match a scalar n-gram count") {
     val rnd = new scala.util.Random(777)
     val vocab = Vector("aa", "bb", "cc", "dd")
