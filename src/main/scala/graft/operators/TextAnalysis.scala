@@ -275,7 +275,14 @@ object TextAnalysis {
     val c2 = tf2.groupBy("gram").agg(sum("tf").as("c2"))
     val ctx = c2.withColumn("ctx", substring_index(col("gram"), " ", 1))
     val c1 = ctx.groupBy("ctx").agg(sum("c2").as("c1"))
-    val v = c1.agg(count(lit(1)).as("v"))
+    // count(c1 >= 1), not count(1): a bare count lets Catalyst prune
+    // every aggregate out of this branch (only DISTINCT ctx is needed),
+    // collapsing it to a distinct over raw grams whose exchange no
+    // longer matches tf2's — and the corpus is then scanned and
+    // tokenized a second time just to count the vocabulary (the
+    // t9/t14 elision class; c1 >= 1 is always true). Asserted in
+    // PlanAuditSpec.
+    val v = c1.agg(count(when(col("c1") >= 1, lit(1))).as("v"))
     val lp = ctx.join(c1, "ctx").crossJoin(broadcast(v))
       .select(col("gram"),
         floor(-log((col("c2") + lit(1L)).cast("double")

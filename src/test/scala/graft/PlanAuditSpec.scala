@@ -620,6 +620,22 @@ class PlanAuditSpec extends SparkSpec {
       s"t18: expected one corpus scan\n$finalPlan")
   }
 
+  test("t19: one tokenizing scan; the c2/c1/V branches reuse the (doc, gram) exchange") {
+    // the V (distinct-context) branch is the elision hazard: a bare
+    // count(1) over c1 lets Catalyst prune the aggregates and collapse
+    // the branch to a distinct over raw grams — a second full corpus
+    // scan + tokenization (the count(c1 >= 1) guard in bigramLogprob
+    // exists for this)
+    val df = SparkEntry.queries("t19_bigram_logprob")(spark, sfDir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"),
+      s"t19: derived branches no longer reuse the (doc, gram) exchange\n$finalPlan")
+    assert("FileScan parquet".r.findAllIn(finalPlan).length == 1,
+      s"t19: expected a single corpus scan in the final plan\n$finalPlan")
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
