@@ -745,11 +745,21 @@ object Dedup {
     * candidate join key. Verification is a popcount on XOR.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   blocks: Int, maxHamming: Int): DataFrame = {
+                   blocks: Int, maxHamming: Int): DataFrame =
+    hammingPairs(docs.select(col(idCol).as("id"),
+      HashExpressions.simhash(split(col(textCol), " ")).as("sig")),
+      blocks, maxHamming, tag = "d4")
+
+  /** The blocked-Hamming candidate machinery shared by d4 (SimHash over
+    * tokens) and m5 (perceptual hash over media payloads): any 64-bit
+    * signature column works — the pigeonhole block join, salting,
+    * singleton pruning and popcount verify are signature-agnostic.
+    * `sigs` = (id, sig).
+    */
+  private[graft] def hammingPairs(sigs: DataFrame, blocks: Int,
+                                  maxHamming: Int, tag: String): DataFrame = {
     require(maxHamming < blocks, "pigeonhole needs maxHamming < blocks")
     val width = 64 / blocks
-    val sigs = docs.select(col(idCol).as("id"),
-      HashExpressions.simhash(split(col(textCol), " ")).as("sig"))
     val blocked = sigs.select(col("id"), col("sig"),
       posexplode(expr(
         s"transform(sequence(0, ${blocks - 1}), b -> shiftright(sig, b * $width) & ${(1L << width) - 1})"))
@@ -761,7 +771,7 @@ object Dedup {
     // corpora the losing candidates dominate and re-joining sigs to
     // verify them would cost more than carrying 8 bytes per row.
     val salts = 16
-    val multi = pruneSingletonBuckets(blocked, Seq("blk", "bv"), tag = "d4")
+    val multi = pruneSingletonBuckets(blocked, Seq("blk", "bv"), tag = tag)
     val aSide = multi.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
     val bSide = multi.withColumn("salt", pmod(xxhash64(col("id")), lit(salts)).cast("int"))
     aSide.as("a").join(bSide.as("b"),

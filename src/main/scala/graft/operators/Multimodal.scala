@@ -177,4 +177,32 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, decodedSchema)
   }
+
+  /** m5: perceptual-hash near-dup pairs over media payloads — the image
+    * dedup stage of a multimodal pipeline (LAION-style dHash/pHash
+    * dedup): each payload maps to a 64-bit perceptual signature and
+    * pairs within `maxHamming` bits surface through the d4 pigeonhole
+    * block machinery ([[graft.operators.Dedup.hammingPairs]] — block
+    * join, salting, singleton pruning, popcount verify; never
+    * all-pairs, so at 100 TB of images the candidate space stays
+    * bucket-bounded exactly like text SimHash).
+    *
+    * The signature is the operator's swap point, like [[decodeBatch]]'s
+    * decoder: a real deployment computes dHash over the decoded luma
+    * grid (gradient sign bits — the container libs this sandbox lacks);
+    * the stub signature is the codegen fnv61 of the payload bytes,
+    * which keeps the whole pipeline — signature, blocks, candidates,
+    * verify — real, deterministic and oracle-replayable (identical FNV
+    * in DuckDB). Under the stub, near-dups at maxHamming > 0 arise only
+    * from genuinely colliding signatures (exact payload dups are
+    * hamming 0); the spec drives the BLOCK machinery with crafted
+    * signatures at every boundary instead.
+    */
+  def phashNearDup(docs: DataFrame, idCol: String, payloadCol: String,
+                   blocks: Int = 4, maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.hammingPairs(
+      docs.select(col(idCol).as("id"),
+        graft.functions.HashExpressions.fnv61(
+          col(payloadCol).cast("string")).as("sig")),
+      blocks, maxHamming, tag = "m5")
 }

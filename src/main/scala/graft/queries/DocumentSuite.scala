@@ -432,6 +432,23 @@ object DocumentSuite {
         .orderBy("doc_id")
     }),
 
+    // image near-dup over the payload's perceptual signature (stub =
+    // codegen fnv61 of the payload bytes; prod swaps in dHash over the
+    // decoded luma grid) through the d4 pigeonhole block machinery.
+    // The corpus is re-crawl-shaped: every 10th payload re-ingests under
+    // a new id (the repeated-crawl duplication phash dedup exists for),
+    // so the key is non-vacuous — under the stub those pair at hamming
+    // 0; the 1..maxHamming band is the spec's crafted-signature job
+    "m5_phash_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val reingested = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val withPayload = Multimodal.withPayloadMeta(
+        docs.unionByName(reingested), "doc_id", "text")
+      Multimodal.phashNearDup(withPayload, "doc_id", "payload")
+        .orderBy("id_a", "id_b")
+    }),
+
     "m4_resize_plan" -> ((s, d) => {
       // deterministic fake source dims derived from byte_len so the
       // resize arithmetic itself is oracle-checkable
@@ -1561,6 +1578,26 @@ object DocumentSuite {
     // d13's pairs folded into the ingest decision: per batch vector,
     // the minimum earlier semantic near-dup neighbor and newness
     "d15_semantic_incremental_survivors" -> semanticSurvivorsSql,
+
+    // the stub signature replayed byte-for-byte (fnv % M61 is the d8
+    // twin), then the d4 block/candidate/popcount algebra at 4×16 bits
+    "m5_phash_neardup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         |ph AS (
+         |  SELECT doc_id AS id,
+         |    CAST((${fnvSql("text")}) % $M61::HUGEINT AS BIGINT) AS s
+         |  FROM corpus),
+         |blocked AS (
+         |  SELECT id, s, b, (s // (1::BIGINT << CAST(16 * b AS INT))) % 65536 AS bv
+         |  FROM ph, UNNEST(range(0, 4)) AS u(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+         |  FROM blocked a JOIN blocked b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "m4_resize_plan" ->
       """WITH meta AS (

@@ -925,6 +925,54 @@ class DedupSpec extends SparkSpec {
     finally s.sparkContext.setCheckpointDir(null)
   }
 
+  test("m5/hammingPairs: crafted signatures exercise every hamming band and block boundary") {
+    // drive the shared pigeonhole machinery directly with signatures at
+    // the boundaries the corpus stub can't reach: hamming 0 (exact),
+    // 1..3 within one block, 3 spread across blocks (still one shared
+    // block), 4 (over threshold, dropped), and 4 spread so NO block
+    // matches (pigeonhole-dropped before the verify)
+    val base = 0x0123456789ABCDL // fits in 61 bits
+    val sigs = Seq(
+      (0L, base),
+      (1L, base),                          // hamming 0
+      (2L, base ^ 1L),                     // hamming 1, block 0 differs
+      (3L, base ^ 7L),                     // hamming 3, block 0 differs
+      (4L, base ^ (1L | (1L << 16) | (1L << 32))), // hamming 3 across 3 blocks, block 3 shared
+      (5L, base ^ 15L),                    // hamming 4 in one block: over threshold
+      (6L, base ^ (1L | (1L << 16) | (1L << 32) | (1L << 48))) // h=4, no shared block
+    ).toDF("id", "sig")
+    val got = Dedup.hammingPairs(sigs, blocks = 4, maxHamming = 3, tag = "m5spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // scalar reference: all pairs with popcount(xor) <= 3
+    val m = Seq(0L -> base, 1L -> base, 2L -> (base ^ 1L), 3L -> (base ^ 7L),
+      4L -> (base ^ (1L | (1L << 16) | (1L << 32))), 5L -> (base ^ 15L),
+      6L -> (base ^ (1L | (1L << 16) | (1L << 32) | (1L << 48))))
+    val want = (for {
+      (ia, sa) <- m; (ib, sb) <- m if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(got == want, s"only-got=${got -- want} only-want=${want -- got}")
+    assert(want.exists(_._3 == 0) && want.exists(_._3 == 1) && want.exists(_._3 == 3),
+      "fixture must span the hamming bands")
+    assert(!want.exists(p => p._1 == 0L && p._2 == 5L), "h=4 must be dropped")
+  }
+
+  test("m5: re-ingested payloads pair at hamming 0 through the stub signature") {
+    val reing = docs.withColumn("doc_id", col("doc_id") + 100L)
+    val withPayload = Multimodal.withPayloadMeta(
+      docs.select("doc_id", "text").unionByName(reing.select("doc_id", "text")),
+      "doc_id", "text")
+    val pairs = Multimodal.phashNearDup(withPayload, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // every original pairs with its re-ingest at hamming 0; docs 0 and 1
+    // share identical text so the cross pairs appear too
+    assert(pairs.forall(_._3 == 0L))
+    (0L to 4L).foreach { i =>
+      assert(pairs.contains((i, i + 100L, 0L)), s"missing re-ingest pair for $i")
+    }
+    assert(pairs.contains((0L, 1L, 0L)), "exact text dup pair missing")
+  }
+
   test("frame sampling emits every k-th frame per decoded doc") {
     val withPayload = Multimodal.withPayloadMeta(docs, "doc_id", "text")
     val decoded = Multimodal.decodeBatch(withPayload, "doc_id", "payload")
