@@ -239,14 +239,43 @@ object Similarity {
 
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                m: Int, kCodes: Int): DataFrame =
+    pqEncodeWith(broadcast(codebookSubs(corpus, idCol, vecCol, m, kCodes)),
+      corpus, idCol, vecCol, m)
+
+  /** [[pqEncode]] against a prebuilt (broadcast) codebook — shared so
+    * the ADC operators sample the codebook ONCE and feed the same
+    * broadcast to both the encode and query sides (one corpus-wide
+    * md5-ordered sample instead of two, and a single broadcast the
+    * exchange-reuse machinery dedups at execution).
+    */
+  private def pqEncodeWith(cb: DataFrame, corpus: DataFrame, idCol: String,
+                           vecCol: String, m: Int): DataFrame =
     subVectors(corpus, idCol, vecCol, m, "vec_id")
-      .join(broadcast(codebookSubs(corpus, idCol, vecCol, m, kCodes)), Seq("sub"))
+      .join(cb, Seq("sub"))
       .withColumn("dist", sqL2(col("vs"), col("cs")))
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("dist"), col("code"))).as("best"))
       .select(col("vec_id"), col("sub").cast("long").as("sub"),
         col("best.code").as("code"),
         floor(col("best.dist") * lit(1000000.0) + lit(0.5)).cast("long").as("dist_fp"))
+
+  /** The compressed corpus representation + per-query ADC distance
+    * tables, from ONE codebook sample — the shared front half of
+    * [[pqAdcTopK]] and [[ivfPqTopK]].
+    */
+  private def pqCodesAndAdc(queries: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String,
+                            m: Int, kCodes: Int): (DataFrame, DataFrame) = {
+    val cb = broadcast(codebookSubs(corpus, idCol, vecCol, m, kCodes))
+    val codes = pqEncodeWith(cb, corpus, idCol, vecCol, m)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+    val adc = subVectors(queries, idCol, vecCol, m, "query_id")
+      .join(cb, Seq("sub"))
+      .select(col("query_id"), col("sub").cast("long").as("sub"), col("code"),
+        floor(sqL2(col("vs"), col("cs")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("dfp"))
+    (codes, adc)
+  }
 
   /** Asymmetric-distance (ADC) top-k over the PQ codes — the faiss
     * IndexPQ query path: the corpus is visited only through its
@@ -267,13 +296,7 @@ object Similarity {
     */
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int, m: Int, kCodes: Int): DataFrame = {
-    val codes = pqEncode(corpus, idCol, vecCol, m, kCodes)
-      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
-    val adc = subVectors(queries, idCol, vecCol, m, "query_id")
-      .join(broadcast(codebookSubs(corpus, idCol, vecCol, m, kCodes)), Seq("sub"))
-      .select(col("query_id"), col("sub").cast("long").as("sub"), col("code"),
-        floor(sqL2(col("vs"), col("cs")) * lit(1000000.0) + lit(0.5))
-          .cast("long").as("dfp"))
+    val (codes, adc) = pqCodesAndAdc(queries, corpus, idCol, vecCol, m, kCodes)
     val scored = codes.join(broadcast(adc), Seq("sub", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
@@ -314,13 +337,7 @@ object Similarity {
     val queryProbes = ivfAssign(cents,
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "query_id", "qv", nProbe).select("query_id", "cid")
-    val codes = pqEncode(corpus, idCol, vecCol, m, kCodes)
-      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
-    val adc = subVectors(queries, idCol, vecCol, m, "query_id")
-      .join(broadcast(codebookSubs(corpus, idCol, vecCol, m, kCodes)), Seq("sub"))
-      .select(col("query_id"), col("sub").cast("long").as("sub"), col("code"),
-        floor(sqL2(col("vs"), col("cs")) * lit(1000000.0) + lit(0.5))
-          .cast("long").as("dfp"))
+    val (codes, adc) = pqCodesAndAdc(queries, corpus, idCol, vecCol, m, kCodes)
     // a corpus vector lives in exactly ONE cell (keep = 1), so a
     // candidate (query, neighbor) pair arises from at most one probed
     // cell and needs no dedup before the sum

@@ -140,6 +140,19 @@ object TextAnalysis {
     * parenthesization, same BIGINT→DOUBLE promotions, ln on the same
     * IEEE argument).
     */
+  /** The a–z word tokenizer shared by the retrieval/index family
+    * (t9 tfidf, t16 BM25, t17 heavy hitters, t18 postings): lowercase,
+    * split on `[^a-z]+`, keep terms of at least `minTermLen` chars —
+    * ONE spelling for every operator whose DuckDB twin replays
+    * `regexp_split_to_array(lower(text), '[^a-z]+')`, so a tokenizer
+    * tweak has exactly one SQL twin family to update. `keep` columns
+    * ride along (empty for corpus-level consumers).
+    */
+  private def azTerms(docs: org.apache.spark.sql.DataFrame, keep: Seq[Column],
+                      textCol: Column, minTermLen: Int): org.apache.spark.sql.DataFrame =
+    docs.select(keep :+ explode(split(lower(textCol), "[^a-z]+")).as("term"): _*)
+      .filter(length(col("term")) >= minTermLen)
+
   def bm25TopDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, queryTerms: Seq[String], k: Int,
                   minTermLen: Int = 3): org.apache.spark.sql.DataFrame = {
@@ -147,12 +160,10 @@ object TextAnalysis {
     // doc_id join would otherwise push into ONLY the joined branches —
     // with it stated up front, every branch's subtree below the
     // (doc, term) exchange is canonically identical and ReuseExchange
-    // can fire (a null doc_id could never survive the inner joins
-    // anyway)
-    val tf = docs
-      .filter(col(idCol).isNotNull)
-      .select(col(idCol).as("doc_id"), explode(split(lower(col(textCol)), "[^a-z]+")).as("term"))
-      .filter(length(col("term")) >= minTermLen)
+    // can fire. base (not raw docs) also feeds N below, so a null-id
+    // row is a true no-op rather than inflating every idf/avgdl.
+    val base = docs.filter(col(idCol).isNotNull)
+    val tf = azTerms(base, Seq(col(idCol).as("doc_id")), col(textCol), minTermLen)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     // dl aggregates the already-aggregated tf table (same exchange)
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
@@ -169,7 +180,7 @@ object TextAnalysis {
     // terms can't change a term's df) and tiny (≤ |Q| rows): broadcast
     val dfreq = qtf.groupBy("term")
       .agg(count(when(col("tf") >= 1, lit(1))).as("df"))
-    val n = docs.agg(count(lit(1)).as("n"))
+    val n = base.agg(count(lit(1)).as("n"))
     val total = dl.agg(sum("dl").as("total"))
     val avgdl = col("total").cast("double") / col("n").cast("double")
     val idf = log((col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
@@ -226,9 +237,7 @@ object TextAnalysis {
   def heavyHitters(docs: org.apache.spark.sql.DataFrame, textCol: String,
                    threshold: Long, d: Int = 4, w: Int = 1024,
                    minTermLen: Int = 3): org.apache.spark.sql.DataFrame = {
-    val toks = docs
-      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("term"))
-      .filter(length(col("term")) >= minTermLen)
+    val toks = azTerms(docs, Seq.empty, col(textCol), minTermLen)
     def cell(j: Int) = pmod(xxhash64(lit(j), col("term")), lit(w)).cast("int")
     val cms = toks
       .select(explode(array((0 until d).map(j =>
@@ -316,9 +325,10 @@ object TextAnalysis {
   def postingsIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, blockSize: Int = 128,
                     minTermLen: Int = 3): org.apache.spark.sql.DataFrame = {
-    val tok = docs
-      .select(col(idCol).as("doc_id"), explode(split(lower(col(textCol)), "[^a-z]+")).as("term"))
-      .filter(length(col("term")) >= minTermLen)
+    // a non-positive blockSize would make `__r div blockSize` null and
+    // silently fingerprint whole lists under block_no = null
+    require(blockSize > 0, "postingsIndex needs blockSize > 0")
+    val tok = azTerms(docs, Seq(col(idCol).as("doc_id")), col(textCol), minTermLen)
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("term").orderBy("doc_id")
@@ -429,9 +439,7 @@ object TextAnalysis {
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, k: Int, minTermLen: Int = 3): org.apache.spark.sql.DataFrame = {
     val nDocs = docs.select(idCol).count().toDouble
-    val tf = docs
-      .select(col(idCol), explode(split(lower(col(textCol)), "[^a-z]+")).as("term"))
-      .filter(length(col("term")) >= minTermLen)
+    val tf = azTerms(docs, Seq(col(idCol)), col(textCol), minTermLen)
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     // df = docs where the term appears at least once. The tf >= 1 guard
     // is always true, but it must stay: a plain count(*) lets Catalyst

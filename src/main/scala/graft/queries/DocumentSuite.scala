@@ -441,8 +441,11 @@ object DocumentSuite {
     // 0; the 1..maxHamming band is the spec's crafted-signature job
     "m5_phash_neardup" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
+      // 2^40 offset: far above any GenData corpus (review finding — a
+      // 1e6 offset would collide with real ids one order of magnitude
+      // past gen1, and the oracle's identical offset would mask it)
       val reingested = docs.filter(col("doc_id") % 10 === 0)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("doc_id", col("doc_id") + lit(1L << 40))
       val withPayload = Multimodal.withPayloadMeta(
         docs.unionByName(reingested), "doc_id", "text")
       Multimodal.phashNearDup(withPayload, "doc_id", "payload")
@@ -1585,7 +1588,7 @@ object DocumentSuite {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         |  SELECT doc_id + ${1L << 40}, text FROM documents WHERE doc_id % 10 = 0),
          |ph AS (
          |  SELECT doc_id AS id,
          |    CAST((${fnvSql("text")}) % $M61::HUGEINT AS BIGINT) AS s

@@ -584,10 +584,15 @@ class PlanAuditSpec extends SparkSpec {
       .split("== Initial Plan ==").head
     assert(finalPlan.contains("element_at"),
       s"t17: CMS estimate filter gone from the verify scan\n$finalPlan")
-    val exIdx = finalPlan.indexOf("Exchange")
-    val filterIdx = finalPlan.indexOf("element_at")
-    assert(filterIdx > exIdx,
-      "t17: estimate filter should appear below (after, in tree print) the verify exchange")
+    // structural anchor, not bare indexOf: the verify exchange is the
+    // one partitioned on term; the estimate filter must sit in ITS
+    // subtree (printed after it), i.e. the shuffle input is already
+    // candidate-only. A filter hoisted above that exchange prints
+    // before it, leaving the tail segment element_at-free.
+    val termEx = finalPlan.lastIndexOf("Exchange hashpartitioning(term")
+    assert(termEx >= 0, s"t17: no term-keyed verify exchange in the plan\n$finalPlan")
+    assert(finalPlan.substring(termEx).contains("element_at"),
+      s"t17: estimate filter no longer below the verify exchange\n$finalPlan")
     assert(finalPlan.contains("partial_count") || finalPlan.contains("partial"),
       s"t17: verify aggregation lost its map-side partial\n$finalPlan")
   }
