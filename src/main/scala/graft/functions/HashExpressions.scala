@@ -62,6 +62,26 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** binary → mod-(2^61-1) FNV-1a over the RAW bytes — the m5 stub
+    * signature. Byte-identical to [[Fnv61]] on ASCII payloads (where the
+    * UTF-8 bytes ARE the payload bytes — the oracle corpus), but
+    * semantically safe for arbitrary binary: no UTF8String round-trip,
+    * whose unvalidated wrap of non-UTF8 bytes Spark happens to pass
+    * through today but does not contract (r16 ADVICE).
+    */
+  case class Fnv61Bytes(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_fnv61_bytes"
+    protected override def nullSafeEval(input: Any): Any =
+      HashKernels.mod61(HashKernels.fnv1a64Bytes(input.asInstanceOf[Array[Byte]]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashKernels.mod61(graft.functions.HashKernels.fnv1a64Bytes($c))")
+    override protected def withNewChildInternal(newChild: Expression): Fnv61Bytes =
+      copy(child = newChild)
+  }
+
   /** string → min Rabin–Karp window hash (winnowing fingerprint). */
   case class RollingFingerprint(child: Expression, window: Int)
       extends UnaryExpression {
@@ -304,6 +324,7 @@ object HashExpressions {
 
   def minhash(shingles: Column, k: Int): Column = col(MinHashSignature(expr(shingles), k))
   def fnv61(s: Column): Column = col(Fnv61(expr(s)))
+  def fnv61Bytes(b: Column): Column = col(Fnv61Bytes(expr(b)))
   def simhash(tokens: Column): Column = col(SimHash64(expr(tokens)))
   def fingerprint(text: Column, window: Int): Column = col(RollingFingerprint(expr(text), window))
   def cosine(a: Column, b: Column): Column = col(CosineSimilarity(expr(a), expr(b)))

@@ -240,7 +240,12 @@ object Dedup {
     * single-line). Returns (doc_id, segno, seg), empty segments
     * dropped. One codegen pass, no shuffle.
     */
-  private[graft] def segmentDocs(base: DataFrame, window: Int): DataFrame =
+  private[graft] def segmentDocs(base: DataFrame, window: Int): DataFrame = {
+    // guards every consumer (lineDedup, landSegDfIndex,
+    // classifyAbsorbSegBatch): window = 0 would overflow the ceil into
+    // null segnos and silently mis-segment instead of failing fast (the
+    // postingsIndex blockSize precedent)
+    require(window > 0, s"segment window must be positive, got $window")
     base
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(sequence(lit(0),
@@ -251,6 +256,7 @@ object Dedup {
         concat_ws(" ", slice(col("w"), col("segno") * window + 1,
           lit(window))).as("seg"))
       .filter(col("seg") =!= "")
+  }
 
   /** The d16/st13 positional reassembly: surviving segments back into
     * document order, plus the dropped count; every doc id in `ids`
@@ -1094,7 +1100,7 @@ object Dedup {
   }
 
   /** Catalog location of `table` (the URI string Spark records). */
-  private def tableLocation(spark: SparkSession, table: String): String =
+  private[operators] def tableLocation(spark: SparkSession, table: String): String =
     spark.sql(s"DESCRIBE FORMATTED $table")
       .filter(col("col_name") === "Location").head().getString(1)
 
@@ -1147,7 +1153,7 @@ object Dedup {
     * never move or delete files); only after the swap completes are the
     * old files deleted.
     */
-  private def compactBucketedTable(spark: SparkSession, t: String,
+  private[operators] def compactBucketedTable(spark: SparkSession, t: String,
                                    bcol: String, nBuckets: Int,
                                    transform: DataFrame => DataFrame = identity)
       : (Long, Long) = {
@@ -1299,7 +1305,7 @@ object Dedup {
     * absolute 8192 planning-cost ceiling for corpus-sized bucket
     * counts.
     */
-  private def pruneKeyCap(nBuckets: Int): Int =
+  private[operators] def pruneKeyCap(nBuckets: Int): Int =
     math.min(8192, math.ceil(nBuckets * math.log(4.0)).toInt)
 
   /** One full ingest cycle — probe, spool the pairs, absorb — with a

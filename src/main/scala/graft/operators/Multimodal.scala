@@ -70,7 +70,12 @@ object Multimodal {
     *    pipeline drops what it cannot decode rather than dying mid-scan.
     */
   object ImageIoDecoder {
-    def decode(payload: Array[Byte]): Option[Decoded] = {
+    /** First frame + container frame count, or None for anything
+      * undecodable — the shared read behind [[decode]] and
+      * [[Multimodal.dhash64]].
+      */
+    private[operators] def firstFrame(payload: Array[Byte])
+        : Option[(java.awt.image.BufferedImage, Int)] = {
       import javax.imageio.ImageIO
       val in = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
       try {
@@ -81,21 +86,7 @@ object Multimodal {
           try {
             reader.setInput(in, false, true)
             val nFrames = math.max(1, reader.getNumImages(true))
-            val img = reader.read(0)
-            val (w, h) = (img.getWidth, img.getHeight)
-            var sum = 0.0
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sum += 0.299 * ((rgb >> 16) & 0xff) +
-                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                x += 1
-              }
-              y += 1
-            }
-            Some(Decoded(w, h, nFrames, sum / (w.toLong * h) / 255.0))
+            Some((reader.read(0), nFrames))
           } finally reader.dispose()
         }
       } catch {
@@ -106,6 +97,24 @@ object Multimodal {
         case scala.util.control.NonFatal(_) => None
       } finally in.close()
     }
+
+    def decode(payload: Array[Byte]): Option[Decoded] =
+      firstFrame(payload).map { case (img, nFrames) =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Decoded(w, h, nFrames, sum / (w.toLong * h) / 255.0)
+      }
   }
 
   private val decodedSchema = StructType(Seq(
@@ -196,13 +205,99 @@ object Multimodal {
     * in DuckDB). Under the stub, near-dups at maxHamming > 0 arise only
     * from genuinely colliding signatures (exact payload dups are
     * hamming 0); the spec drives the BLOCK machinery with crafted
-    * signatures at every boundary instead.
+    * signatures at every boundary instead. The production signature is
+    * [[dhashNearDup]] — same machinery, real dHash over decoded luma.
     */
   def phashNearDup(docs: DataFrame, idCol: String, payloadCol: String,
                    blocks: Int = 4, maxHamming: Int = 3): DataFrame =
     graft.operators.Dedup.hammingPairs(
       docs.select(col(idCol).as("id"),
-        graft.functions.HashExpressions.fnv61(
-          col(payloadCol).cast("string")).as("sig")),
+        // hash the payload BYTES (not a string cast — non-UTF8 image
+        // bytes have no contracted string round-trip; r16 ADVICE)
+        graft.functions.HashExpressions.fnv61Bytes(
+          col(payloadCol).cast("binary")).as("sig")),
       blocks, maxHamming, tag = "m5")
+
+  /** 64-bit dHash over the decoded first frame's Rec.601 luma — m5's
+    * PRODUCTION signature (the fnv61 stub stays the oracle twin): the
+    * frame resamples to a 9×8 luma grid by box-averaging exact integer
+    * source rectangles (floor partition arithmetic, nonempty by
+    * construction at any dimensions — no interpolation library, so the
+    * same bytes hash identically on every JVM), and bit (row·8 + col)
+    * is set iff the cell to the RIGHT is strictly brighter — 64
+    * horizontal gradient signs, the perceptual invariant that survives
+    * rescaling, recompression and global exposure shifts. Undecodable
+    * payloads return None (the [[decodeBatch]] drop contract).
+    */
+  def dhash64(payload: Array[Byte]): Option[Long] =
+    ImageIoDecoder.firstFrame(payload).map { case (img, _) =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val cells = Array.ofDim[Double](8, 9)
+      var cy = 0
+      while (cy < 8) {
+        val y0 = cy * h / 8
+        val y1 = math.max((cy + 1) * h / 8, y0 + 1)
+        var cx = 0
+        while (cx < 9) {
+          val x0 = cx * w / 9
+          val x1 = math.max((cx + 1) * w / 9, x0 + 1)
+          var sum = 0.0
+          var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          cells(cy)(cx) = sum / n
+          cx += 1
+        }
+        cy += 1
+      }
+      var sig = 0L
+      cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          if (cells(cy)(cx + 1) > cells(cy)(cx)) sig |= 1L << (cy * 8 + cx)
+          cx += 1
+        }
+        cy += 1
+      }
+      sig
+    }
+
+  /** m5's production leg: [[phashNearDup]] with the REAL [[dhash64]]
+    * signature — one decoder pass per partition over the payload column
+    * (the [[decodeBatch]] mapPartitions shape; undecodable payloads are
+    * dropped, never fatal), signatures fed through the same
+    * signature-agnostic pigeonhole machinery
+    * ([[graft.operators.Dedup.hammingPairs]]). Spec-pinned on generated
+    * images: byte-identical payloads pair at hamming 0, a one-cell
+    * luma perturbation pairs at hamming 1, a reversed gradient shares
+    * no block and correctly never surfaces.
+    */
+  def dhashNearDup(docs: DataFrame, idCol: String, payloadCol: String,
+                   blocks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val input = docs.select(col(idCol).cast("long").as("id"),
+      col(payloadCol).cast("binary").as("payload"))
+    val rdd = input.queryExecution.toRdd.mapPartitions { iter =>
+      iter.flatMap { ir =>
+        if (ir.isNullAt(0) || ir.isNullAt(1)) None
+        else dhash64(ir.getBinary(1)).map(s => Row(ir.getLong(0), s))
+      }
+    }
+    val sigs = spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sig", LongType, nullable = false))))
+    graft.operators.Dedup.hammingPairs(sigs, blocks, maxHamming, tag = "m5")
+  }
 }

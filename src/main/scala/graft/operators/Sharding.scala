@@ -45,6 +45,9 @@ object Sharding {
     */
   def shuffleShard(spark: SparkSession, docs: DataFrame, idCol: String,
                    seed: String, shardSize: Int): DataFrame = {
+    // pos DIV 0 yields null shards silently, and writeShards would then
+    // drop rows into a __HIVE_DEFAULT_PARTITION__ directory — fail fast
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
     import spark.implicits._
     val nPart = spark.sessionState.conf.numShufflePartitions
     val sorted = docs

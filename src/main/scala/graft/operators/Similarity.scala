@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -301,6 +301,14 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("dfp")).as("adc_fp"))
+    rankAdcTopK(scored, k)
+  }
+
+  /** Shared ADC ranking tail (a7/a9/a10): per-query rank by (fixed-point
+    * distance asc, neighbor id asc), keep the top k — the distance twin
+    * of [[rankTopK]].
+    */
+  private def rankAdcTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("adc_fp").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -323,10 +331,12 @@ object Similarity {
     * join to its cell assignment and the partial-aggregated per-pair
     * sum over candidates — Θ(corpus·m/nCentroids·nProbe) rows into the
     * final exchange. Ranking reuses the a1/a3/a7 per-query top-k window
-    * (partial WindowGroupLimit before the shuffle). In production the
-    * a6 codes and cell ids land once as bucketed parquet and this
-    * recomputation disappears; the operator is self-contained over raw
-    * vectors so the oracle can replay it from the table alone.
+    * (partial WindowGroupLimit before the shuffle). This composition is
+    * self-contained over raw vectors (so the oracle can replay it from
+    * the table alone); the production path where the codes and cell ids
+    * land ONCE and queries only probe them is [[landIvfPqIndex]] /
+    * [[ivfPqProbe]] (a10), which is spec-pinned bit-identical to this
+    * operator over the same corpus.
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int, nCentroids: Int, nProbe: Int, m: Int, kCodes: Int): DataFrame = {
@@ -347,11 +357,209 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("dfp")).as("adc_fp"))
-    val w = Window.partitionBy("query_id").orderBy(col("adc_fp").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("adc_fp"),
-        col("rank").cast("long").as("rank"))
+    rankAdcTopK(scored, k)
+  }
+
+  // --- landed IVF-PQ index (a10): the production query path [[ivfPqTopK]]
+  // defers — centroids + codebook + codes land ONCE as tables (the
+  // codebook FROZEN at land time, the d13 quantizer-versioning
+  // contract), every later query probes the landed codes with a
+  // cell-bucket prune, arriving vectors absorb by encoding against the
+  // frozen codebook, and compaction retires the append-side small-file
+  // debt. Bit-parity contract: probing an index landed from a corpus
+  // equals [[ivfPqTopK]] over that corpus with the same parameters
+  // (spec-pinned); after absorbs it equals the frozen-quantizer algebra
+  // over corpus ∪ absorbed (the a10 DuckDB oracle), independent of how
+  // arrivals were chunked (spec-pinned).
+
+  /** The cacheable slice of a landed IVF-PQ index's `_meta` row plus the
+    * meta table's resolved location — `n_docs` is the only moving field
+    * (advances on each absorb); everything else is frozen at land time.
+    */
+  private[graft] final case class IvfPqMeta(nDocs: Long, nCents: Int, m: Int,
+                                            kCodes: Int, nBuckets: Int,
+                                            metaPath: String)
+
+  private def writeIvfPqMeta(spark: SparkSession, tableBase: String,
+                             metaPath: String, nDocs: Long, nCents: Int,
+                             m: Int, kCodes: Int, nBuckets: Int): Unit =
+    spark.createDataFrame(Seq((nDocs, nCents, m, kCodes, nBuckets)))
+      .toDF("n_docs", "n_cents", "m", "k_codes", "n_buckets")
+      .write.mode(SaveMode.Overwrite).option("path", metaPath)
+      .saveAsTable(s"${tableBase}_meta")
+
+  private[graft] def readIvfPqMeta(spark: SparkSession,
+                                   tableBase: String): IvfPqMeta = {
+    val r = spark.table(s"${tableBase}_meta").head()
+    IvfPqMeta(r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+      Dedup.tableLocation(spark, s"${tableBase}_meta"))
+  }
+
+  /** Cell assignment + PQ encode of `(id, v)` rows against a LANDED
+    * quantizer — the shared land/absorb body: one keep-1 argmax pass
+    * over the broadcast centroids, one [[pqEncodeWith]] pass over the
+    * broadcast codebook, joined into the denormalized `(id, sub, code,
+    * cid)` layout the probe consumes (the cell id rides every code row,
+    * so the probe needs NO corpus-sized assignment join — the faiss
+    * "codes stored per IVF list" layout). The id-keyed join is
+    * input-sized: corpus-sized once at land, batch-sized per absorb
+    * (where AQE broadcasts it).
+    */
+  private def encodeWithCells(cents: DataFrame, cb: DataFrame,
+                              base: DataFrame, m: Int): DataFrame = {
+    val cells = ivfAssign(cents, base, "id", "v", 1).select("id", "cid")
+    pqEncodeWith(broadcast(cb), base, "id", "v", m)
+      .select(col("vec_id").as("id"), col("sub"), col("code"))
+      .join(cells, "id")
+  }
+
+  /** Land the IVF-PQ state for `embs` as tables under `dir` (catalog
+    * names `<tableBase>_cents` / `_cb` / `_codes` / `_meta`):
+    *
+    *  - `_cents` (cid, cv): the md5-sampled coarse quantizer — dim-scale,
+    *    broadcasts into every probe and absorb;
+    *  - `_cb` (code, sub, cs): the PQ codebook ([[pqEncode]]'s md5
+    *    sample, FROZEN at land time) — dim-scale, broadcasts;
+    *  - `_codes` (id, sub, code, cid) bucketed by cid — the compressed
+    *    corpus, m small codes per vector with its cell id denormalized
+    *    in: a probe joins probed cells on cid with zero index-side
+    *    shuffle and the query's cid InSet prunes index FILES via bucket
+    *    pruning;
+    *  - `_meta` one row (n_docs, n_cents, m, k_codes, n_buckets).
+    *
+    * Assignments and codes derive from the LANDED `_cents`/`_cb` tables,
+    * so land-time and absorb-time encodes read bit-identical quantizer
+    * rows (parquet roundtrips doubles exactly). Re-quantization — new
+    * centroids/codebook for a corpus that outgrew them — is an explicit
+    * re-land, never an absorb side effect (meta's n_docs vs n_cents is
+    * the signal to watch, the d13 contract).
+    */
+  def landIvfPqIndex(embs: DataFrame, idCol: String, vecCol: String,
+                     nCentroids: Int, m: Int, kCodes: Int,
+                     tableBase: String, dir: String,
+                     nBuckets: Int = 32): Unit = {
+    val spark = embs.sparkSession
+    val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val nDocs = base.count()
+    md5Sample(embs, idCol, vecCol, nCentroids, "cid", "cv")
+      .write.mode(SaveMode.Overwrite).option("path", s"$dir/cents")
+      .saveAsTable(s"${tableBase}_cents")
+    codebookSubs(embs, idCol, vecCol, m, kCodes)
+      .write.mode(SaveMode.Overwrite).option("path", s"$dir/cb")
+      .saveAsTable(s"${tableBase}_cb")
+    graft.sources.Sinks.bucketed(
+      encodeWithCells(spark.table(s"${tableBase}_cents"),
+        spark.table(s"${tableBase}_cb"), base, m),
+      s"${tableBase}_codes", "cid", nBuckets, path = Some(s"$dir/codes"))
+    writeIvfPqMeta(spark, tableBase, s"$dir/meta", nDocs, nCentroids, m,
+      kCodes, nBuckets)
+  }
+
+  /** ADC top-k of `queries` against a landed [[landIvfPqIndex]] — the
+    * production twin of [[ivfPqTopK]]: the corpus is never re-encoded
+    * (its PQ codes are read from the landed `_codes` table) and never
+    * read as float vectors at all. Per probe:
+    *
+    *  - the landed centroids broadcast into the queries' keep-`nProbe`
+    *    argmax assignment (query-sized work);
+    *  - the landed codebook broadcasts into the per-query ADC distance
+    *    tables (m·kCodes rows per query, the a7 shape — fixed-point
+    *    BEFORE the sum so the total is an order-independent BIGINT);
+    *  - the probed cells' distinct cid set becomes an InSet filter on
+    *    the `_codes` scan's BUCKET column ([[Dedup.pruneKeyCap]]-gated,
+    *    Metrics `a10`), so bucket pruning skips every index file whose
+    *    cells no query probes — probe IO is Θ(corpus·nProbe/nCentroids),
+    *    not corpus-proportional;
+    *  - scoring is the broadcast joins codes⋈probes⋈adc and one
+    *    partial-aggregated sum per (query, neighbor); ranking reuses the
+    *    a7/a9 top-k window (partial WindowGroupLimit before the
+    *    shuffle).
+    *
+    * Bit-identical to [[ivfPqTopK]] over the landed corpus when nothing
+    * was absorbed, and to the frozen-quantizer algebra over
+    * corpus ∪ absorbed afterwards (both spec-pinned; the latter is the
+    * a10 DuckDB oracle).
+    */
+  def ivfPqProbe(spark: SparkSession, queries: DataFrame, idCol: String,
+                 vecCol: String, tableBase: String, k: Int, nProbe: Int,
+                 cachedMeta: Option[IvfPqMeta] = None): DataFrame = {
+    val meta = cachedMeta.getOrElse(readIvfPqMeta(spark, tableBase))
+    val cents = spark.table(s"${tableBase}_cents")
+    val cb = broadcast(spark.table(s"${tableBase}_cb"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // checkpointed: the distinct-cid collect and the scoring join both
+    // consume it (localCheckpoint, not cache — the d11 ContextCleaner
+    // rationale, see incrementalMinhashPairs)
+    val probes = ivfAssign(cents, q, "query_id", "qv", nProbe)
+      .select("query_id", "cid").localCheckpoint()
+    val adc = subVectors(q, "query_id", "qv", meta.m, "query_id")
+      .join(cb, Seq("sub"))
+      .select(col("query_id"), col("sub").cast("long").as("sub"), col("code"),
+        floor(sqL2(col("vs"), col("cs")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("dfp"))
+    val idx = spark.table(s"${tableBase}_codes")
+    // the d11/d13 bucket prune with the same break-even cap: the InSet
+    // is a file-skip device, never a correctness ingredient
+    val cap = Dedup.pruneKeyCap(meta.nBuckets)
+    val idxPruned = {
+      val cids = probes.select("cid").distinct().limit(cap + 1).collect()
+      graft.Metrics.set("a10", "probe_cids" -> cids.length.toLong,
+        "prune_cap" -> cap.toLong, "bucket_pruned" -> (cids.length <= cap))
+      if (cids.length > cap) idx
+      else idx.filter(col("cid").isInCollection(cids.map(_.getLong(0)).toSeq))
+    }
+    // a landed vector lives in exactly one cell (keep = 1 at encode), so
+    // a candidate (query, neighbor) pair arises from at most one probed
+    // cell and needs no dedup before the sum
+    val scored = idxPruned.join(broadcast(probes), Seq("cid"))
+      .join(broadcast(adc), Seq("query_id", "sub", "code"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("dfp")).as("adc_fp"))
+    rankAdcTopK(scored, k)
+  }
+
+  /** Absorb an arriving vector batch into a landed [[landIvfPqIndex]]:
+    * assign + encode against the FROZEN centroids/codebook (one
+    * batch-sized pass each), append the `(id, sub, code, cid)` rows
+    * through the bucketed writer (one new file per touched cell bucket
+    * per batch — [[compactIvfPqIndex]] retires the debt), advance meta
+    * `n_docs`, refresh the table cache (the absorbMinhashBatch
+    * visibility lesson). Ids must be disjoint from everything already
+    * landed or absorbed. A landed vector is never re-encoded — the
+    * continuous-ingest contract shared with d11/d13.
+    */
+  def absorbIvfPqBatch(spark: SparkSession, newEmbs: DataFrame,
+                       idCol: String, vecCol: String, tableBase: String,
+                       cachedMeta: Option[IvfPqMeta] = None): IvfPqMeta = {
+    val meta = cachedMeta.getOrElse(readIvfPqMeta(spark, tableBase))
+    val base = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint() // one batch-sized pass; the append + count reuse it
+    graft.sources.Sinks.bucketed(
+      encodeWithCells(spark.table(s"${tableBase}_cents"),
+        spark.table(s"${tableBase}_cb"), base, meta.m),
+      s"${tableBase}_codes", "cid", meta.nBuckets, mode = SaveMode.Append)
+    val advanced = meta.copy(nDocs = meta.nDocs + base.count())
+    writeIvfPqMeta(spark, tableBase, meta.metaPath, advanced.nDocs,
+      meta.nCents, meta.m, meta.kCodes, meta.nBuckets)
+    spark.catalog.refreshTable(s"${tableBase}_codes")
+    advanced
+  }
+
+  /** Compact a landed [[landIvfPqIndex]]'s code table back to one file
+    * per bucket — the a10 twin of [[Dedup.compactMinhashIndex]], via the
+    * shared rewrite (path read so the repartition Exchange survives the
+    * bucket-spec elision, versioned sibling dir, rename-aside swap).
+    * Centroids, codebook and meta are untouched — compaction never
+    * re-quantizes. Probe results are bit-identical before and after
+    * (spec-pinned); Metrics `a10.compact` reports files before/after.
+    */
+  def compactIvfPqIndex(spark: SparkSession, tableBase: String): Unit = {
+    val meta = readIvfPqMeta(spark, tableBase)
+    val (before, after) = Dedup.compactBucketedTable(spark,
+      s"${tableBase}_codes", "cid", meta.nBuckets)
+    graft.Metrics.set("a10.compact",
+      "codes_files_before" -> before, "codes_files_after" -> after)
   }
 
   /** Scalar-quantization ADC top-k — the int8 analog of [[pqAdcTopK]]

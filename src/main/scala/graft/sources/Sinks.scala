@@ -238,6 +238,16 @@ object Sinks {
     * Dedup.compactBucketedTable): a catalog-table read's bucket spec
     * elides the repartition and then disables the bucketed scan,
     * silently destroying the one-file-per-bucket layout.
+    *
+    * PARALLELISM: the co-partition also caps the write at `nBuckets`
+    * tasks, so `nBuckets` must be sized to the data being landed —
+    * corpus-scale lands take corpus-scale bucket counts (thousands at
+    * 100 TB; the same sizing that makes the probe-side bucket prune
+    * effective). The default 32 in callers is the verification-scale
+    * setting, not a production one; a large land through a small bucket
+    * count is a parallelism cliff (r16 ADVICE), and the fix is the
+    * bucket count, not skipping the co-partition (which would
+    * reintroduce the one-file-per-(task, bucket) debt).
     */
   def bucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
                mode: SaveMode = SaveMode.Overwrite,

@@ -22,6 +22,28 @@ object DocStreams {
 
   private val qid = new AtomicInteger(0)
 
+  /** The ingest loops' compaction cadence (r16 VERDICT #5): every
+    * `every` completed absorb cycles, fire `compact` — so file counts
+    * stay bounded by the cadence without any caller-driven compaction
+    * call. 0 disables (the caller owns cadence, the pre-r17 contract).
+    *
+    * Firing AFTER a completed cycle is what makes this safe inside an
+    * at-least-once `foreachBatch`: the cycle's redelivery-guard key
+    * (sigs/vecs/docs — always the LAST append of the cycle) is durable
+    * before the compactor runs, so a replay of any pre-compaction batch
+    * is dropped by the guard anti-join and never observes the collapsed
+    * state (the st13 "at rest" contract holds batch-by-batch).
+    */
+  private final class AutoCompactor(every: Int, compact: () => Unit) {
+    private var absorbs = 0
+    private var fired = 0
+    def cycleDone(): Unit = {
+      absorbs += 1
+      if (every > 0 && absorbs % every == 0) { compact(); fired += 1 }
+    }
+    def firedCount: Int = fired
+  }
+
   private val pairSchema = StructType(Seq(
     StructField("id_a", LongType), StructField("id_b", LongType),
     StructField("est_jaccard", DoubleType)))
@@ -51,10 +73,12 @@ object DocStreams {
     * regardless of chunk processing order. That set is the DuckDB
     * oracle.
     */
-  def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamIncrementalDedup(spark: SparkSession, dir: String,
+                             autoCompactEvery: Int = 0,
+                             rootDir: Option[String] = None): DataFrame = {
     val id = qid.incrementAndGet()
     val tableBase = s"graft_st9_$id"
-    val root = graft.sources.Spool.tempRoot(s"st9_$id")
+    val root = rootDir.getOrElse(graft.sources.Spool.tempRoot(s"st9_$id"))
     val docs = graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "text")
     Dedup.landMinhashIndex(docs.filter(col("doc_id") % 5 < 3),
@@ -72,6 +96,8 @@ object DocStreams {
     // cycles (this loop is the index's only writer); each micro-batch
     // then pays one signature pass and zero meta jobs
     var meta: Option[Dedup.MinhashMeta] = None
+    val compactor = new AutoCompactor(autoCompactEvery,
+      () => Dedup.compactMinhashIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -82,11 +108,13 @@ object DocStreams {
             meta = Some(Dedup.probeAbsorbMinhashBatch(spark, fresh, "doc_id",
               "text", tableBase, threshold = 0.5, pairsDir = outDir,
               cachedMeta = meta))
+            compactor.cycleDone()
           }
         }
         .start()
     }
     try q.processAllAvailable() finally q.stop()
+    graft.Metrics.set("st9.autocompact", "fired" -> compactor.firedCount.toLong)
     // the spool outlives the catalog entries; the result plan reads only it
     Seq("sigs", "bands", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
@@ -115,10 +143,12 @@ object DocStreams {
     * the DuckDB oracle.
     */
   def streamSemanticDedup(spark: SparkSession, dir: String,
-                          threshold: Double = 0.4): DataFrame = {
+                          threshold: Double = 0.4,
+                          autoCompactEvery: Int = 0,
+                          rootDir: Option[String] = None): DataFrame = {
     val id = qid.incrementAndGet()
     val tableBase = s"graft_st10_$id"
-    val root = graft.sources.Spool.tempRoot(s"st10_$id")
+    val root = rootDir.getOrElse(graft.sources.Spool.tempRoot(s"st10_$id"))
     val embs = graft.sources.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding")
     Dedup.landSemanticIndex(embs.filter(col("vec_id") % 5 < 3),
@@ -132,6 +162,8 @@ object DocStreams {
     val stream = spark.readStream.schema(arrivals.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$root/arrive")
     var meta: Option[Dedup.SemanticMeta] = None
+    val compactor = new AutoCompactor(autoCompactEvery,
+      () => Dedup.compactSemanticIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -142,11 +174,13 @@ object DocStreams {
             meta = Some(Dedup.probeAbsorbSemanticBatch(spark, fresh, "vec_id",
               "embedding", tableBase, threshold, pairsDir = outDir,
               cachedMeta = meta))
+            compactor.cycleDone()
           }
         }
         .start()
     }
     try q.processAllAvailable() finally q.stop()
+    graft.Metrics.set("st10.autocompact", "fired" -> compactor.firedCount.toLong)
     Seq("cents", "assign", "vecs", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
     spark.read.schema(cosPairSchema).parquet(outDir).distinct()
@@ -192,10 +226,12 @@ object DocStreams {
     * full pair algebra (the DuckDB oracle): earlier(e, x) ⇔ e landed,
     * or e's chunk precedes x's, or same chunk with e < x.
     */
-  def streamIncrementalSurvivors(spark: SparkSession, dir: String): DataFrame = {
+  def streamIncrementalSurvivors(spark: SparkSession, dir: String,
+                                 autoCompactEvery: Int = 0,
+                                 rootDir: Option[String] = None): DataFrame = {
     val id = qid.incrementAndGet()
     val tableBase = s"graft_st11_$id"
-    val root = graft.sources.Spool.tempRoot(s"st11_$id")
+    val root = rootDir.getOrElse(graft.sources.Spool.tempRoot(s"st11_$id"))
     val docs = graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "text")
     Dedup.landMinhashIndex(docs.filter(col("doc_id") % 5 < 3),
@@ -206,6 +242,8 @@ object DocStreams {
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$root/arrive")
     var meta: Option[Dedup.MinhashMeta] = None
+    val compactor = new AutoCompactor(autoCompactEvery,
+      () => Dedup.compactMinhashIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -216,11 +254,13 @@ object DocStreams {
             meta = Some(Dedup.classifyAbsorbMinhashBatch(spark, fresh, "doc_id",
               "text", tableBase, threshold = 0.5, classDir = outDir,
               cachedMeta = meta))
+            compactor.cycleDone()
           }
         }
         .start()
     }
     try q.processAllAvailable() finally q.stop()
+    graft.Metrics.set("st11.autocompact", "fired" -> compactor.firedCount.toLong)
     Seq("sigs", "bands", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
     spark.read.schema(classSchema("doc_id")).parquet(outDir).distinct()
@@ -249,10 +289,12 @@ object DocStreams {
     * algebra — the DuckDB oracle.
     */
   def streamLineDedup(spark: SparkSession, dir: String,
-                      window: Int = 10, minDf: Int = 2): DataFrame = {
+                      window: Int = 10, minDf: Int = 2,
+                      autoCompactEvery: Int = 0,
+                      rootDir: Option[String] = None): DataFrame = {
     val id = qid.incrementAndGet()
     val tableBase = s"graft_st13_$id"
-    val root = graft.sources.Spool.tempRoot(s"st13_$id")
+    val root = rootDir.getOrElse(graft.sources.Spool.tempRoot(s"st13_$id"))
     val docs = graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "text")
     Dedup.landSegDfIndex(spark, docs.filter(col("doc_id") % 5 < 3),
@@ -262,6 +304,13 @@ object DocStreams {
     val outDir = s"$root/clean"
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$root/arrive")
+    // safe mid-stream despite compactSegDfIndex's at-rest contract: the
+    // compactor only ever runs AFTER classifyAbsorbSegBatch committed
+    // the `_docs` guard key, so a replay of any pre-compaction batch is
+    // dropped by the guard anti-join and never re-reads the collapsed
+    // deltas as prior state
+    val compactor = new AutoCompactor(autoCompactEvery,
+      () => Dedup.compactSegDfIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -272,11 +321,13 @@ object DocStreams {
           if (!fresh.isEmpty) {
             Dedup.classifyAbsorbSegBatch(spark, fresh, "doc_id", "text",
               tableBase, batchId, window, minDf, outDir)
+            compactor.cycleDone()
           }
         }
         .start()
     }
     try q.processAllAvailable() finally q.stop()
+    graft.Metrics.set("st13.autocompact", "fired" -> compactor.firedCount.toLong)
     Seq("segdf", "docs").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
     spark.read.schema(cleanSchema).parquet(outDir).distinct()
@@ -293,10 +344,12 @@ object DocStreams {
     * frozen-centroid pair algebra.
     */
   def streamSemanticSurvivors(spark: SparkSession, dir: String,
-                              threshold: Double = 0.4): DataFrame = {
+                              threshold: Double = 0.4,
+                              autoCompactEvery: Int = 0,
+                              rootDir: Option[String] = None): DataFrame = {
     val id = qid.incrementAndGet()
     val tableBase = s"graft_st12_$id"
-    val root = graft.sources.Spool.tempRoot(s"st12_$id")
+    val root = rootDir.getOrElse(graft.sources.Spool.tempRoot(s"st12_$id"))
     val embs = graft.sources.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding")
     Dedup.landSemanticIndex(embs.filter(col("vec_id") % 5 < 3),
@@ -307,6 +360,8 @@ object DocStreams {
     val stream = spark.readStream.schema(embs.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$root/arrive")
     var meta: Option[Dedup.SemanticMeta] = None
+    val compactor = new AutoCompactor(autoCompactEvery,
+      () => Dedup.compactSemanticIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -317,11 +372,13 @@ object DocStreams {
             meta = Some(Dedup.classifyAbsorbSemanticBatch(spark, fresh, "vec_id",
               "embedding", tableBase, threshold, classDir = outDir,
               cachedMeta = meta))
+            compactor.cycleDone()
           }
         }
         .start()
     }
     try q.processAllAvailable() finally q.stop()
+    graft.Metrics.set("st12.autocompact", "fired" -> compactor.firedCount.toLong)
     Seq("cents", "assign", "vecs", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
     spark.read.schema(classSchema("vec_id")).parquet(outDir).distinct()

@@ -63,9 +63,17 @@ class CrawlSpec extends SparkSpec {
       else ScraperSpecFixtures.serveFixture(nid)
     }
     val before = spark.sparkContext.getPersistentRDDs.keySet
+    val crawlSpool = java.nio.file.Files.createTempDirectory("graft_crawl_sp").toString + "/corpus"
     val pages = Crawl.crawlAndFetch(spark,
       Seq("https://example.test/leagues/MLB/2020-schedule.shtml"),
-      () => new graft.sources.PageRetriever(cacheDir, fetch, 0L))
+      () => new graft.sources.PageRetriever(cacheDir, fetch, 0L),
+      spoolDir = Some(crawlSpool))
+    // the de-drivered frontier landed per wave under the underscore-
+    // hidden dir (wave 0 = seed, 1 = games, 2 = rosters) and corpus
+    // reads of the spool never pick the frontier files up
+    assert(new java.io.File(s"$crawlSpool/_frontier/w1").isDirectory)
+    assert(new java.io.File(s"$crawlSpool/_frontier/w2").isDirectory)
+    assert(pages.columns.toSet == Set("name_id", "page_type", "html", "ok", "err"))
     // the flaky game is a reportable failure row; the healthy game's
     // subtree (page + its roster players) was still crawled in full
     assert(pages.filter(!col("ok")).collect()
@@ -78,6 +86,27 @@ class CrawlSpec extends SparkSpec {
     val tables = Entities.starSchema(pages.filter(col("ok")), parsed)
     assert(tables("game").count() == 1L)
     assert(tables("play").count() > 50L)
+  }
+
+  test("crawl frontier never collects: urlOfCol ≡ urlOf, and no driver-side collect in the loop") {
+    import spark.implicits._
+    // the codegen URL column must agree with its scalar twin on every
+    // id shape (game ids, player ids with digits/dots/apostrophes)
+    val ids = Seq("WAS201710120", "OAK201903200", "jayjo02", "o'neipa01",
+      "d.arnau01", "gordode01")
+    val got = ids.toDF("name_id")
+      .select(col("name_id"), Crawl.urlOfCol(col("name_id")).as("url"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    ids.foreach(id => assert(got(id) == Crawl.urlOf(id), id))
+    // the no-collect contract (r16 VERDICT #4): the crawlAndFetch loop's
+    // frontier stays executor-side — pin it at the source so a future
+    // "just collect the wave" regression fails a test, not a review
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/scrape/Crawl.scala")), "UTF-8")
+    val body = src.substring(src.indexOf("def crawlAndFetch"))
+    val loop = body.substring(0, body.indexOf("\n  def "))
+    assert(!loop.contains(".collect("),
+      "crawlAndFetch must not collect the frontier to the driver")
   }
 
   test("frontier scans the wholetext HTML corpus exactly once") {

@@ -1076,6 +1076,56 @@ class DedupSpec extends SparkSpec {
     assert(frames.count(_._1 == 4L) == 2) // frames 0 and 2
   }
 
+  test("m5 real leg: dHash over decoded luma — gradient bits, perturbation hamming, near-dup pairs") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // grayscale pixels (v,v,v): Rec.601 luma == v exactly, so the 9×8
+    // cell averages are fully controlled by the ramp below
+    def grayImg(w: Int, h: Int)(v: (Int, Int) => Int): BufferedImage = {
+      val b = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = math.max(0, math.min(255, v(x, y)))
+        b.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      b
+    }
+    def png(b: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(b, "png", bos); bos.toByteArray
+    }
+    // left→right luma ramp: every 9-grid cell strictly brighter than its
+    // left neighbor → all 64 gradient bits set
+    val ramp = png(grayImg(90, 80)((x, _) => x * 255 / 90))
+    assert(Multimodal.dhash64(ramp).contains(-1L))
+    // reversed ramp: every right cell strictly darker → no bit set;
+    // constant image: no STRICT increase → no bit set
+    val reversed = png(grayImg(90, 80)((x, _) => (89 - x) * 255 / 90))
+    assert(Multimodal.dhash64(reversed).contains(0L))
+    assert(Multimodal.dhash64(png(grayImg(90, 80)((_, _) => 128))).contains(0L))
+    assert(Multimodal.dhash64(Array[Byte](9, 9, 9)).isEmpty) // undecodable
+    // one-cell perturbation: blacking out grid cell (row 0, col 1)
+    // (x ∈ [10, 20), y ∈ [0, 10)) flips exactly bit 0 (cell 1 was
+    // brighter than cell 0; cell 2 stays brighter than the now-black
+    // cell 1) — hamming 1 against the clean ramp
+    val perturbed = png(grayImg(90, 80)((x, y) =>
+      if (x >= 10 && x < 20 && y < 10) 0 else x * 255 / 90))
+    val Seq(hRamp, hPert) =
+      Seq(ramp, perturbed).map(p => Multimodal.dhash64(p).get)
+    assert(java.lang.Long.bitCount(hRamp ^ hPert) == 1)
+    // end-to-end: byte-identical copies pair at hamming 0, the
+    // perturbation pairs at hamming 1, the reversed gradient shares no
+    // 16-bit block with the ramp (64 differing bits) and never
+    // surfaces, the undecodable payload drops silently
+    val docs = Seq(
+      (1L, ramp), (2L, ramp.clone()), (3L, perturbed), (4L, reversed),
+      (5L, Array[Byte](1, 2, 3))
+    ).toDF("doc_id", "payload")
+    val pairs = Multimodal.dhashNearDup(docs, "doc_id", "payload")
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
   test("multimodal stub decode is deterministic and preserves row count") {
     val withPayload = Multimodal.withPayloadMeta(docs, "doc_id", "text")
     val out = Multimodal.decodeBatch(withPayload, "doc_id", "payload")

@@ -301,6 +301,56 @@ class SimilaritySpec extends SparkSpec {
     assert(a9 == expTop)
   }
 
+  test("a10 landed IVF-PQ index: probe ≡ a9, absorb chunking-invariant, compaction bit-parity") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+
+    // 1. probe of an index landed from the FULL corpus is bit-identical
+    //    to the self-contained a9 composition with the same parameters —
+    //    the landed layout changes plan shape, never scores
+    Similarity.landIvfPqIndex(e, "vec_id", "embedding", 16, 4, 16,
+      "a10_spec_full", graft.sources.Spool.dir(spark, "a10sp_full"))
+    val probedFull = rows(Similarity.ivfPqProbe(spark, q, "vec_id", "embedding",
+      "a10_spec_full", k = 5, nProbe = 4))
+    val a9 = rows(Similarity.ivfPqTopK(q, e, "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 4, m = 4, kCodes = 16))
+    assert(probedFull == a9)
+
+    // 2. frozen-codebook absorb is chunking-invariant: land 90%, absorb
+    //    the arriving 10% as one chunk vs two — probes bit-identical
+    //    (the codebook is frozen, so absorb order cannot matter)
+    val landed = e.filter($"vec_id" % 10 =!= 8)
+    val arrivals = e.filter($"vec_id" % 10 === 8)
+    Similarity.landIvfPqIndex(landed, "vec_id", "embedding", 16, 4, 16,
+      "a10_spec_one", graft.sources.Spool.dir(spark, "a10sp_one"))
+    Similarity.absorbIvfPqBatch(spark, arrivals, "vec_id", "embedding", "a10_spec_one")
+    val probeOne = rows(Similarity.ivfPqProbe(spark, q, "vec_id", "embedding",
+      "a10_spec_one", k = 5, nProbe = 4))
+    Similarity.landIvfPqIndex(landed, "vec_id", "embedding", 16, 4, 16,
+      "a10_spec_two", graft.sources.Spool.dir(spark, "a10sp_two"))
+    Similarity.absorbIvfPqBatch(spark, arrivals.filter($"vec_id" % 20 === 8),
+      "vec_id", "embedding", "a10_spec_two")
+    Similarity.absorbIvfPqBatch(spark, arrivals.filter($"vec_id" % 20 =!= 8),
+      "vec_id", "embedding", "a10_spec_two")
+    val probeTwo = rows(Similarity.ivfPqProbe(spark, q, "vec_id", "embedding",
+      "a10_spec_two", k = 5, nProbe = 4))
+    assert(probeOne == probeTwo)
+    assert(Similarity.readIvfPqMeta(spark, "a10_spec_one").nDocs ==
+      Similarity.readIvfPqMeta(spark, "a10_spec_two").nDocs)
+
+    // 3. compaction retires the absorb small files (back to ≤ 1 file per
+    //    bucket) with bit-identical probe results
+    Similarity.compactIvfPqIndex(spark, "a10_spec_two")
+    val before = Metrics.scalar("a10.compact", "codes_files_before").get
+    val after = Metrics.scalar("a10.compact", "codes_files_after").get
+    assert(before > after, s"compaction must shrink files: $before -> $after")
+    assert(after <= 32, s"one file per non-empty bucket, got $after")
+    assert(rows(Similarity.ivfPqProbe(spark, q, "vec_id", "embedding",
+      "a10_spec_two", k = 5, nProbe = 4)) == probeTwo)
+  }
+
   test("lshTopK achieves high recall vs brute force on real embeddings") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter($"vec_id" < 10)

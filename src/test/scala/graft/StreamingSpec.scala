@@ -540,6 +540,52 @@ class StreamingSpec extends SparkSpec {
       s"only-streamed=${(got -- want).take(3)} only-batch=${(want -- got).take(3)}")
   }
 
+  test("st9/st13 auto-compaction: bounded file counts with no manual call, outputs bit-identical") {
+    def parquetFiles(dir: String): Long = {
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(p)) 0L
+      else {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(f => f.toString.endsWith(".parquet")).count()
+        finally s.close()
+      }
+    }
+    // st9 with a 2-cycle cadence over the 4-chunk drain: the loop fires
+    // its own compactions (VERDICT #5 — no caller-driven call), the
+    // index ends at one file per non-empty bucket, and the drained pair
+    // set still equals the batch recompute bit-for-bit
+    val root9 = graft.sources.Spool.tempRoot("st9_auto")
+    val got9 = graft.streaming.DocStreams.streamIncrementalDedup(spark, sfDir,
+        autoCompactEvery = 2, rootDir = Some(root9))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(Metrics.scalar("st9.autocompact", "fired").contains(2L))
+    // last cycle compacted: sigs + bands are each ≤ one file per bucket
+    // (32), meta is 1 — nothing accumulated the per-absorb small files
+    assert(parquetFiles(s"$root9/idx") <= 65L,
+      s"auto-compacted index still carries small files: ${parquetFiles(s"$root9/idx")}")
+    val want9 = graft.operators.Dedup.minhashLshPairs(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5)
+      .filter(col("id_a") % 5 >= 3 || col("id_b") % 5 >= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got9 == want9,
+      s"only-auto=${(got9 -- want9).take(3)} only-batch=${(want9 -- got9).take(3)}")
+    // st13: same cadence over the delta-df index — the auto-fired
+    // compactSegDfIndex collapses delta history mid-stream and the
+    // drained verdicts equal a plain (never-compacted) drain
+    val root13 = graft.sources.Spool.tempRoot("st13_auto")
+    val got13 = graft.streaming.DocStreams.streamLineDedup(spark, sfDir,
+        autoCompactEvery = 2, rootDir = Some(root13))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(Metrics.scalar("st13.autocompact", "fired").contains(2L))
+    assert(parquetFiles(s"$root13/idx") <= 17L, // 8 segdf + 8 docs + margin
+      s"auto-compacted segdf index still carries small files: ${parquetFiles(s"$root13/idx")}")
+    val plain13 = graft.streaming.DocStreams.streamLineDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got13 == plain13,
+      s"only-auto=${(got13 -- plain13).take(2)} only-plain=${(plain13 -- got13).take(2)}")
+  }
+
   test("st10: streamed semantic probe+absorb union equals the frozen-centroid recompute") {
     // the d13 continuous-ingest contract under streaming: drained pairs
     // = the frozen-centroid (landed slice's centroids!) d10 algebra
