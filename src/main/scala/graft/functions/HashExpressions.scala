@@ -82,6 +82,30 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** int cell index → value of an EMBEDDED long table (t17's CMS grid
+    * rows): the table rides the expression as a codegen reference
+    * object, NOT as literal array elements — at corpus-sized widths a
+    * `typedlit` of w longs inflates every plan print and taxes every
+    * Catalyst transform that walks the literal's children, while a
+    * reference object ships once per task closure and costs the plan
+    * tree one pointer (r16 VERDICT #3). Equality is reference-based
+    * (fine: the grid is per-query state, never an exchange-reuse key).
+    */
+  case class LongTableLookup(child: Expression, table: Array[Long])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_cms_lookup"
+    protected override def nullSafeEval(input: Any): Any =
+      table(input.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tbl = ctx.addReferenceObj("cmsRow", table, "long[]")
+      defineCodeGen(ctx, ev, c => s"$tbl[$c]")
+    }
+    override def toString: String = s"graft_cms_lookup($child, long[${table.length}])"
+    override protected def withNewChildInternal(newChild: Expression): LongTableLookup =
+      copy(child = newChild)
+  }
+
   /** string → min Rabin–Karp window hash (winnowing fingerprint). */
   case class RollingFingerprint(child: Expression, window: Int)
       extends UnaryExpression {
@@ -325,6 +349,8 @@ object HashExpressions {
   def minhash(shingles: Column, k: Int): Column = col(MinHashSignature(expr(shingles), k))
   def fnv61(s: Column): Column = col(Fnv61(expr(s)))
   def fnv61Bytes(b: Column): Column = col(Fnv61Bytes(expr(b)))
+  def cmsLookup(cell: Column, table: Array[Long]): Column =
+    col(LongTableLookup(expr(cell), table))
   def simhash(tokens: Column): Column = col(SimHash64(expr(tokens)))
   def fingerprint(text: Column, window: Int): Column = col(RollingFingerprint(expr(text), window))
   def cosine(a: Column, b: Column): Column = col(CosineSimilarity(expr(a), expr(b)))

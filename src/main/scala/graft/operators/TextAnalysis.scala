@@ -232,28 +232,55 @@ object TextAnalysis {
     *
     * The output is therefore EXACT — the sketch is purely a shuffle-
     * volume device, which is what makes the operator oracle-checkable
-    * by a plain GROUP BY/HAVING twin with no hash replication at all.
+    * by a plain GROUP BY/HAVING twin with no hash replication at all —
+    * and w-INVARIANT, so the corpus-sized default width ([[cmsWidthFor]])
+    * never appears in the oracle, only in the shuffle volume.
     */
   def heavyHitters(docs: org.apache.spark.sql.DataFrame, textCol: String,
-                   threshold: Long, d: Int = 4, w: Int = 1024,
+                   threshold: Long, d: Int = 4, w: Int = 0,
                    minTermLen: Int = 3): org.apache.spark.sql.DataFrame = {
+    // w ≤ 0 = "size from the corpus" (the production default; explicit
+    // w remains for the fuzz spec's forced-collision w = 2 regime).
+    // The count is a parquet-footer scan on a bare table read — the
+    // same sanctioned scalar as lshPlanesFor/ivfCellsFor sizing.
+    val w1 = if (w > 0) w else cmsWidthFor(docs.count())
     val toks = azTerms(docs, Seq.empty, col(textCol), minTermLen)
-    def cell(j: Int) = pmod(xxhash64(lit(j), col("term")), lit(w)).cast("int")
+    def cell(j: Int) = pmod(xxhash64(lit(j), col("term")), lit(w1)).cast("int")
     val cms = toks
       .select(explode(array((0 until d).map(j =>
         struct(lit(j).as("row"), cell(j).as("cell"))): _*)).as("rc"))
       .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
       .agg(count(lit(1)).as("n"))
       .collect() // bounded: ≤ d·w cells, independent of corpus size
-    val grid = Array.fill(d)(Array.fill(w)(0L))
+    graft.Metrics.set("t17", "w" -> w1.toLong, "grid_cells" -> cms.length.toLong)
+    val grid = Array.fill(d)(Array.fill(w1)(0L))
     cms.foreach(r => grid(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    // grid rows ride the plan as codegen REFERENCE OBJECTS, not literal
+    // arrays: at corpus-sized w a typedlit's w children tax every
+    // Catalyst transform and bloat every plan print (r16 VERDICT #3)
     val est = least((0 until d).map(j =>
-      element_at(typedlit(grid(j).toSeq), cell(j) + lit(1))): _*)
+      graft.functions.HashExpressions.cmsLookup(cell(j), grid(j))): _*)
     toks.filter(est >= threshold)
       .groupBy("term").agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)
       .orderBy(col("n").desc, col("term").asc)
   }
+
+  /** t17's corpus-sized CMS width — the d5/d10 sizing precedent
+    * (lshPlanesFor/ivfCellsFor): w grows linearly with the corpus so
+    * the expected colliding mass per cell (≈ total tokens / w) stays
+    * CONSTANT as the corpus scales. A fixed w lets collisions inflate
+    * the candidate set the exact verify must shuffle — the very cost
+    * t17 exists to avoid (r16 VERDICT #3). Clamped to [1024, 2^18]:
+    * the floor keeps small corpora from degenerate collision rates,
+    * the ceiling caps the documented bounded driver collect at
+    * d·2^18 cells (8 MB of longs at d = 4) — past ~2^15 documents per
+    * unit width the candidate set grows with the corpus again, the
+    * explicit trade for keeping the grid driver-resident. Output is
+    * exact at ANY width, so this is a shuffle-volume knob only.
+    */
+  def cmsWidthFor(nDocs: Long): Int =
+    math.min(1L << 18, math.max(1024L, 8L * nDocs)).toInt
 
   /** Corpus-trained BIGRAM LM quality score (t19) — the t14 CCNet
     * filtering axis at conditional order: per doc, the add-one-smoothed

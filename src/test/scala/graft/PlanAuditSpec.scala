@@ -582,19 +582,26 @@ class PlanAuditSpec extends SparkSpec {
     df.collect()
     val finalPlan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(finalPlan.contains("element_at"),
+    assert(finalPlan.contains("graft_cms_lookup"),
       s"t17: CMS estimate filter gone from the verify scan\n$finalPlan")
+    // the grid rides as reference objects, never as w-element literal
+    // arrays (a corpus-sized w would bloat every plan transform)
+    assert(!finalPlan.contains("element_at"),
+      s"t17: grid regressed to literal-array element_at\n$finalPlan")
     // structural anchor, not bare indexOf: the verify exchange is the
     // one partitioned on term; the estimate filter must sit in ITS
     // subtree (printed after it), i.e. the shuffle input is already
     // candidate-only. A filter hoisted above that exchange prints
-    // before it, leaving the tail segment element_at-free.
+    // before it, leaving the tail segment lookup-free.
     val termEx = finalPlan.lastIndexOf("Exchange hashpartitioning(term")
     assert(termEx >= 0, s"t17: no term-keyed verify exchange in the plan\n$finalPlan")
-    assert(finalPlan.substring(termEx).contains("element_at"),
+    assert(finalPlan.substring(termEx).contains("graft_cms_lookup"),
       s"t17: estimate filter no longer below the verify exchange\n$finalPlan")
     assert(finalPlan.contains("partial_count") || finalPlan.contains("partial"),
       s"t17: verify aggregation lost its map-side partial\n$finalPlan")
+    // the corpus-sized width actually engaged (sf0.001 docs → the 1024
+    // floor would need < 128 docs; Metrics records the resolved w)
+    assert(Metrics.scalar("t17", "w").exists(_ >= 1024L))
   }
 
   test("a9: probes, codebook and ADC tables broadcast; candidates never cartesian") {

@@ -287,7 +287,9 @@ class TextOpsSpec extends SparkSpec {
       (i.toLong, toks.mkString(" "))
     }
     val threshold = 50L
-    for (w <- Seq(2, 1024)) {
+    // w = 0 exercises the corpus-sized default (cmsWidthFor → the 1024
+    // floor at 50 docs), same exact output as any explicit width
+    for (w <- Seq(2, 1024, 0)) {
       val got = graft.operators.TextAnalysis.heavyHitters(
           docs.toDF("doc_id", "text"), "text", threshold, d = 4, w = w)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
