@@ -36,6 +36,13 @@ object DocumentSuite {
     * spread actually exercises the BM25 weighting. */
   private val Bm25QueryTerms = Seq("dup", "vector", "stream", "join", "slow")
 
+  /** The st9–st13 arrival chunk count — the ONE constant the streaming
+    * oracles' arrival-order folds share with the Scala drains
+    * ([[graft.streaming.DocStreams.ArrivalChunks]]), so the cadence can
+    * move without the SQL silently folding a different order.
+    */
+  private val StChunks = graft.streaming.DocStreams.ArrivalChunks
+
   val queries: Map[String, Q] = Map(
     // --- text analysis -----------------------------------------------------
     "t1_lang_id" -> ((s, d) => {
@@ -707,8 +714,8 @@ object DocumentSuite {
   /** The st12 classification oracle: the arrival-ordered fold over the
     * frozen-centroid algebra (centroids from the landed vec_id % 5 < 3
     * slice) — earlier(e, x) ⇔ e landed, or e's arrival chunk
-    * (vec_id % 4) precedes x's, or same chunk with e < x. Chunk order
-    * is deterministic because the stream's drops carry strictly
+    * (vec_id % StChunks) precedes x's, or same chunk with e < x. Chunk
+    * order is deterministic because the stream's drops carry strictly
     * increasing mtimes.
     */
   private[queries] def streamSemanticSurvivorsSql: String =
@@ -717,7 +724,8 @@ object DocumentSuite {
         |       WHERE cos >= 0.4 AND (id_a % 5 >= 3 OR id_b % 5 >= 3)""".stripMargin,
       "vec_id", "embeddings",
       c => s"$c % 5 >= 3",
-      (e, x) => s"$e % 5 < 3 OR $e % 4 < $x % 4 OR ($e % 4 = $x % 4 AND $e < $x)")
+      (e, x) => s"$e % 5 < 3 OR $e % $StChunks < $x % $StChunks" +
+        s" OR ($e % $StChunks = $x % $StChunks AND $e < $x)")
 
   /** The d16/d17 oracle: the same fixed-width segmentation as
     * Dedup.lineDedup (1-based list slice = Spark's
@@ -801,8 +809,8 @@ object DocumentSuite {
 
   /** The st11 classification oracle: the arrival-ordered fold over the
     * d3 MinHash algebra — earlier(e, x) ⇔ e landed (doc_id % 5 < 3),
-    * or e's arrival chunk (doc_id % 4) precedes x's, or same chunk
-    * with e < x (chunk order pinned by the drops' mtimes).
+    * or e's arrival chunk (doc_id % StChunks) precedes x's, or same
+    * chunk with e < x (chunk order pinned by the drops' mtimes).
     */
   private[queries] def streamSurvivorsSql: String =
     earlierFoldSql(minhashEstCtes,
@@ -810,7 +818,8 @@ object DocumentSuite {
         |       WHERE ej >= 0.5 AND (id_a % 5 >= 3 OR id_b % 5 >= 3)""".stripMargin,
       "doc_id", "documents",
       c => s"$c % 5 >= 3",
-      (e, x) => s"$e % 5 < 3 OR $e % 4 < $x % 4 OR ($e % 4 = $x % 4 AND $e < $x)")
+      (e, x) => s"$e % 5 < 3 OR $e % $StChunks < $x % $StChunks" +
+        s" OR ($e % $StChunks = $x % $StChunks AND $e < $x)")
 
   /** st13's arrival-ordered segment fold: a segment instance in an
     * arriving doc is dropped iff its count of EARLIER hosts (landed
@@ -820,7 +829,7 @@ object DocumentSuite {
     * [[lineDedupSql]].
     */
   private[queries] def streamLineDedupSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |seg AS (
       |  SELECT doc_id, CAST(i AS INT) AS segno,
       |         list_aggregate(w[i*10+1 : i*10+10], 'string_agg', ' ') AS seg
@@ -832,8 +841,8 @@ object DocumentSuite {
       |  FROM hosts x JOIN hosts h ON h.seg = x.seg
       |  WHERE x.doc_id % 5 >= 3 AND (
       |    h.doc_id % 5 < 3 OR
-      |    (h.doc_id % 5 >= 3 AND (h.doc_id % 4 < x.doc_id % 4
-      |       OR (h.doc_id % 4 = x.doc_id % 4 AND h.doc_id < x.doc_id))))
+      |    (h.doc_id % 5 >= 3 AND (h.doc_id % $StChunks < x.doc_id % $StChunks
+      |       OR (h.doc_id % $StChunks = x.doc_id % $StChunks AND h.doc_id < x.doc_id))))
       |  GROUP BY 1, 2),
       |fl AS (
       |  SELECT s.doc_id, s.segno, s.seg,

@@ -188,7 +188,7 @@ object StreamingSuite {
 
     // the arrival-ordered earlier-fold over the st9 pair algebra: each
     // arrival's verdict depends only on the landed corpus, earlier
-    // chunks (doc_id % 4, mtime-pinned order), and smaller-id chunk
+    // chunks (doc_id % ArrivalChunks, mtime-pinned order), and smaller-id chunk
     // mates — so the drained stream equals this single SQL fold
     "st11_stream_incremental_survivors" ->
       graft.queries.DocumentSuite.streamSurvivorsSql,

@@ -22,6 +22,20 @@ object DocStreams {
 
   private val qid = new AtomicInteger(0)
 
+  /** Arrival chunk count for the five ingest-loop drains (st9–st13):
+    * every loop splits its arrival slice into this many single-file
+    * drops (id mod [[ArrivalChunks]]), each one micro-batch. THE shared
+    * constant: the st11/st12/st13 oracles' arrival-order fold and the
+    * StreamingSpec scalar folds all derive their chunk rule from it, so
+    * the cadence can move without the two sides drifting. 3 is the
+    * floor that still exercises every cross-batch contract (landed vs
+    * arrival, earlier-chunk vs same-chunk-mate, multi-absorb
+    * visibility) — each drain's cost is dominated by the per-micro-
+    * batch scheduling floor, so fewer chunks is the direct gate-cost
+    * lever (r16 VERDICT #6; 4 → 3 cut ~25% of each drain).
+    */
+  val ArrivalChunks = 3
+
   /** The ingest loops' compaction cadence (r16 VERDICT #5): every
     * `every` completed absorb cycles, fire `compact` — so file counts
     * stay bounded by the cadence without any caller-driven compaction
@@ -83,11 +97,11 @@ object DocStreams {
       .select("doc_id", "text")
     Dedup.landMinhashIndex(docs.filter(col("doc_id") % 5 < 3),
       "doc_id", "text", n = 3, k = 64, bands = 16, tableBase, s"$root/idx")
-    // arrivals: 4 single-file drops, chunked deterministically by id
+    // arrivals: ArrivalChunks single-file drops, chunked by id
     val arrivals = docs.filter(col("doc_id") % 5 >= 3)
-    (0 until 4).foreach { i =>
+    (0 until ArrivalChunks).foreach { i =>
       graft.GenData.writeSingleParquetFile(s"$root/arrive/docs_$i.parquet")(
-        arrivals.filter(pmod(col("doc_id"), lit(4)) === i))
+        arrivals.filter(pmod(col("doc_id"), lit(ArrivalChunks)) === i))
     }
     val outDir = s"$root/pairs"
     val stream = spark.readStream.schema(arrivals.schema)
@@ -154,9 +168,9 @@ object DocStreams {
     Dedup.landSemanticIndex(embs.filter(col("vec_id") % 5 < 3),
       "vec_id", "embedding", tableBase, s"$root/idx")
     val arrivals = embs.filter(col("vec_id") % 5 >= 3)
-    (0 until 4).foreach { i =>
+    (0 until ArrivalChunks).foreach { i =>
       graft.GenData.writeSingleParquetFile(s"$root/arrive/embs_$i.parquet")(
-        arrivals.filter(pmod(col("vec_id"), lit(4)) === i))
+        arrivals.filter(pmod(col("vec_id"), lit(ArrivalChunks)) === i))
     }
     val outDir = s"$root/pairs"
     val stream = spark.readStream.schema(arrivals.schema)
@@ -236,7 +250,7 @@ object DocStreams {
       .select("doc_id", "text")
     Dedup.landMinhashIndex(docs.filter(col("doc_id") % 5 < 3),
       "doc_id", "text", n = 3, k = 64, bands = 16, tableBase, s"$root/idx")
-    writeOrderedChunks(s"$root/arrive", "docs_", 4, "doc_id")(
+    writeOrderedChunks(s"$root/arrive", "docs_", ArrivalChunks, "doc_id")(
       docs.filter(col("doc_id") % 5 >= 3))
     val outDir = s"$root/class"
     val stream = spark.readStream.schema(docs.schema)
@@ -299,7 +313,7 @@ object DocStreams {
       .select("doc_id", "text")
     Dedup.landSegDfIndex(spark, docs.filter(col("doc_id") % 5 < 3),
       "doc_id", "text", window, tableBase, s"$root/idx")
-    writeOrderedChunks(s"$root/arrive", "docs_", 4, "doc_id")(
+    writeOrderedChunks(s"$root/arrive", "docs_", ArrivalChunks, "doc_id")(
       docs.filter(col("doc_id") % 5 >= 3))
     val outDir = s"$root/clean"
     val stream = spark.readStream.schema(docs.schema)
@@ -354,7 +368,7 @@ object DocStreams {
       .select("vec_id", "embedding")
     Dedup.landSemanticIndex(embs.filter(col("vec_id") % 5 < 3),
       "vec_id", "embedding", tableBase, s"$root/idx")
-    writeOrderedChunks(s"$root/arrive", "embs_", 4, "vec_id")(
+    writeOrderedChunks(s"$root/arrive", "embs_", ArrivalChunks, "vec_id")(
       embs.filter(col("vec_id") % 5 >= 3))
     val outDir = s"$root/class"
     val stream = spark.readStream.schema(embs.schema)

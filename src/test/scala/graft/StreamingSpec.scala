@@ -8,6 +8,10 @@ import graft.streaming.EventStreams
 
 class StreamingSpec extends SparkSpec {
 
+  // the st9-st13 arrival chunk count, shared with the drains and the
+  // oracles so the scalar folds here can never run a different cadence
+  private val C = graft.streaming.DocStreams.ArrivalChunks
+
   /** Land `df` as a SINGLE parquet file `root/fileName` — the shape the
     * event stream's file source picks up as one arrival.
     */
@@ -533,7 +537,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(want.nonEmpty, "no arrival pairs at this sf — test is vacuous")
     val crossBatch = want.filter { case (a, b, _) =>
-      a % 5 >= 3 && b % 5 >= 3 && a % 4 != b % 4 }
+      a % 5 >= 3 && b % 5 >= 3 && a % C != b % C }
     assert(crossBatch.nonEmpty,
       "no cross-micro-batch arrival pair expected — absorb path untested")
     assert(got == want,
@@ -550,15 +554,17 @@ class StreamingSpec extends SparkSpec {
         finally s.close()
       }
     }
-    // st9 with a 2-cycle cadence over the 4-chunk drain: the loop fires
-    // its own compactions (VERDICT #5 — no caller-driven call), the
-    // index ends at one file per non-empty bucket, and the drained pair
-    // set still equals the batch recompute bit-for-bit
+    // st9 with an every-cycle cadence over the C-chunk drain: the loop
+    // fires its own compactions (VERDICT #5 — no caller-driven call)
+    // after EVERY absorb, so later micro-batches probe the collapsed
+    // index mid-stream, the index ends at one file per non-empty
+    // bucket, and the drained pair set still equals the batch recompute
+    // bit-for-bit
     val root9 = graft.sources.Spool.tempRoot("st9_auto")
     val got9 = graft.streaming.DocStreams.streamIncrementalDedup(spark, sfDir,
-        autoCompactEvery = 2, rootDir = Some(root9))
+        autoCompactEvery = 1, rootDir = Some(root9))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(Metrics.scalar("st9.autocompact", "fired").contains(2L))
+    assert(Metrics.scalar("st9.autocompact", "fired").contains(C.toLong))
     // last cycle compacted: sigs + bands are each ≤ one file per bucket
     // (32), meta is 1 — nothing accumulated the per-absorb small files
     assert(parquetFiles(s"$root9/idx") <= 65L,
@@ -575,9 +581,9 @@ class StreamingSpec extends SparkSpec {
     // drained verdicts equal a plain (never-compacted) drain
     val root13 = graft.sources.Spool.tempRoot("st13_auto")
     val got13 = graft.streaming.DocStreams.streamLineDedup(spark, sfDir,
-        autoCompactEvery = 2, rootDir = Some(root13))
+        autoCompactEvery = 1, rootDir = Some(root13))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    assert(Metrics.scalar("st13.autocompact", "fired").contains(2L))
+    assert(Metrics.scalar("st13.autocompact", "fired").contains(C.toLong))
     assert(parquetFiles(s"$root13/idx") <= 17L, // 8 segdf + 8 docs + margin
       s"auto-compacted segdf index still carries small files: ${parquetFiles(s"$root13/idx")}")
     val plain13 = graft.streaming.DocStreams.streamLineDedup(spark, sfDir)
@@ -610,7 +616,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(want.nonEmpty, "no arrival pairs at this sf — test is vacuous")
     val crossBatch = want.filter { case (a, b, _) =>
-      a % 5 >= 3 && b % 5 >= 3 && a % 4 != b % 4 }
+      a % 5 >= 3 && b % 5 >= 3 && a % C != b % C }
     assert(crossBatch.nonEmpty,
       "no cross-micro-batch arrival pair expected — absorb path untested")
     assert(got == want,
@@ -627,7 +633,7 @@ class StreamingSpec extends SparkSpec {
                                  what: String): Set[(Long, Option[Long], Boolean)] = {
     def arr(i: Long) = i % 5 >= 3
     def earlier(e: Long, x: Long) =
-      !arr(e) || e % 4 < x % 4 || (e % 4 == x % 4 && e < x)
+      !arr(e) || e % C < x % C || (e % C == x % C && e < x)
     val arrivals = ids.filter(arr)
     val folded = arrivals.map { x =>
       val es = pairs.collect {
@@ -638,9 +644,9 @@ class StreamingSpec extends SparkSpec {
     }
     assert(folded.exists { case (_, es) => es.exists(e => !arr(e)) },
       s"$what: no landed earlier neighbor exercised")
-    assert(folded.exists { case (x, es) => es.exists(e => arr(e) && e % 4 != x % 4) },
+    assert(folded.exists { case (x, es) => es.exists(e => arr(e) && e % C != x % C) },
       s"$what: no earlier-CHUNK neighbor exercised — absorb path untested")
-    assert(folded.exists { case (x, es) => es.exists(e => arr(e) && e % 4 == x % 4) },
+    assert(folded.exists { case (x, es) => es.exists(e => arr(e) && e % C == x % C) },
       s"$what: no same-chunk neighbor exercised — intra-batch path untested")
     folded.map { case (x, es) =>
       (x, if (es.isEmpty) None else Some(es.min), es.isEmpty)
@@ -710,7 +716,7 @@ class StreamingSpec extends SparkSpec {
     }
     def arr(i: Long) = i % 5 >= 3
     def earlier(e: Long, x: Long) =
-      !arr(e) || e % 4 < x % 4 || (e % 4 == x % 4 && e < x)
+      !arr(e) || e % C < x % C || (e % C == x % C && e < x)
     val hosts: Map[String, Set[Long]] = docs
       .flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -721,8 +727,8 @@ class StreamingSpec extends SparkSpec {
         val drop = es.nonEmpty // minDf = 2: any earlier host drops it
         if (drop) {
           if (es.exists(e => !arr(e))) sawLanded = true
-          if (es.exists(e => arr(e) && e % 4 != x % 4)) sawChunk = true
-          if (es.exists(e => arr(e) && e % 4 == x % 4)) sawMate = true
+          if (es.exists(e => arr(e) && e % C != x % C)) sawChunk = true
+          if (es.exists(e => arr(e) && e % C == x % C)) sawMate = true
         }
         (s, drop)
       }
