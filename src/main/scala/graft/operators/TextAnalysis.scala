@@ -11,6 +11,52 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** t20: overlapping token-window chunking — the context-window prep
+    * stage of a pretraining/RAG pipeline (HF `tokenizers`-style strided
+    * text splitting): each document becomes chunks of `window` tokens
+    * whose starts step by `stride` (< window ⇒ consecutive chunks
+    * overlap by window − stride tokens, the continuity a training
+    * loader or retrieval embedder wants across hard cuts).
+    *
+    * Chunk rule (exact, integer-only, replayed by the DuckDB oracle):
+    * n_chunks = max(ceil((n_tokens − window) / stride), 0) + 1; chunk i
+    * covers tokens [i·stride, min(i·stride + window, n)) — every token
+    * is covered, only the LAST chunk may be short (a strided start past
+    * the end would be fully contained in its predecessor and is never
+    * emitted). Empty documents yield zero chunks.
+    *
+    * Distinct from its two neighbors: t8 packs whole documents into
+    * fixed budgets (no splitting), d16's segmentation is a dedup
+    * keyspace (disjoint windows, segment identity matters). Chunking
+    * wants OVERLAP and per-chunk text.
+    *
+    * Scale: one codegen scan — split once, explode over a computed
+    * index sequence, slice per chunk; a pure map-side projection with
+    * ZERO shuffle at any corpus size (output is input-proportional ×
+    * window/stride). Nothing aggregates, so 100 TB is embarrassingly
+    * parallel; the only knob is output file sizing downstream.
+    */
+  def chunkWindows(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, window: Int = 12,
+                   stride: Int = 7): org.apache.spark.sql.DataFrame = {
+    require(window > 0, s"chunk window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        wsTokens(col(textCol)).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0),
+          greatest(ceil((size(col("w")) - window).cast("double") / stride)
+            .cast("int"), lit(0)))).as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no"),
+        concat_ws(" ", slice(col("w"), col("chunk_no") * stride + 1,
+          lit(window))).as("chunk_text"),
+        least(size(col("w")) - col("chunk_no") * stride, lit(window))
+          .cast("long").as("n_tokens"))
+      .filter(col("chunk_text") =!= "")
+  }
+
   /** Small fixed stopword lists per language — enough for a deterministic
     * n-gram/stopword-hit language-ID heuristic. Alphabetical language
     * order is also the tie-break order. Canonical definition lives next

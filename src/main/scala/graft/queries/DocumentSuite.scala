@@ -175,6 +175,15 @@ object DocumentSuite {
         .orderBy("doc_id")
     }),
 
+    // window 12 / stride 7 are co-prime and small against the fixture
+    // docs, so the gate exercises single-chunk docs, multi-chunk
+    // overlap, and short tails in one run
+    "t20_chunk_windows" -> ((s, d) => {
+      TextAnalysis.chunkWindows(Tables.documents(s, d), "doc_id", "text",
+        window = 12, stride = 7)
+        .orderBy("doc_id", "chunk_no")
+    }),
+
     // --- dedup -------------------------------------------------------------
     "d1_dedup_exact" -> ((s, d) => {
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -1235,6 +1244,21 @@ object DocumentSuite {
         |  SUM(tf * lp_fp)::BIGINT // SUM(tf)::BIGINT AS avg_lp_fp
         |FROM tf2 JOIN lp USING (gram)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // the t20 chunk rule replayed exactly: strided starts, inclusive
+    // 1-based list slices (the d16 segmentation spelling), only the
+    // last chunk short; range(0, k+1) = Spark's sequence(0, k)
+    "t20_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_no,
+        |         list_aggregate(w[i*7+1 : i*7+12], 'string_agg', ' ') AS chunk_text,
+        |         CAST(LEAST(len(w) - i*7, 12) AS BIGINT) AS n_tokens
+        |  FROM t, UNNEST(range(0,
+        |    GREATEST(CAST(CEIL(CAST(len(w) - 12 AS DOUBLE) / 7) AS BIGINT), 0) + 1)) AS u(i))
+        |SELECT doc_id, chunk_no, chunk_text, n_tokens
+        |FROM c WHERE chunk_text <> ''
+        |ORDER BY doc_id, chunk_no""".stripMargin,
 
     // no sketch replication: the CMS is only a candidate filter whose
     // overestimate guarantee keeps every true heavy hitter, and the

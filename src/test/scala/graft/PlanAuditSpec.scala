@@ -282,6 +282,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("t20: chunking is one scan + one Generate — no shuffle at any corpus size") {
+    // strided chunking is a pure map-side projection (split once,
+    // explode a computed index range, slice per chunk): nothing may
+    // aggregate or exchange — that property IS the 100 TB story
+    val plan = graft.operators.TextAnalysis
+      .chunkWindows(graft.sources.Tables.documents(spark, sfDir),
+        "doc_id", "text", window = 12, stride = 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert("Generate".r.findAllIn(plan).length == 1,
+      s"exactly one explode expected\n$plan")
+  }
+
   test("d2: the prefix-filtered strategy stays equi-joined — no cartesian, no payload in the candidate space") {
     // the fixture's df stats route the adaptive front door to the direct
     // path, so the prefix path's plan shape is pinned here explicitly:

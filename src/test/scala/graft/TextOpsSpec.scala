@@ -421,6 +421,41 @@ class TextOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("chunkWindows fuzz: strided chunks match a scalar reference at every boundary") {
+    // random token counts around the window/stride boundaries (0, 1,
+    // window, window+1, window+stride, exact multiples, long docs) —
+    // every chunk must start at i*stride, only the LAST may be short,
+    // every token covered, no fully-contained chunk ever emitted
+    val rnd = new scala.util.Random(77)
+    val (window, stride) = (5, 3)
+    val docs = (0 until 80).map { i =>
+      val n = Seq(0, 1, window - 1, window, window + 1, window + stride,
+        2 * window, rnd.nextInt(40))(rnd.nextInt(8))
+      (i.toLong, (0 until n).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val got = TextAnalysis.chunkWindows(docs.toDF("doc_id", "text"),
+        "doc_id", "text", window, stride)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    val expected = docs.flatMap { case (id, text) =>
+      val w = text.split(" ", -1).toSeq // split keeps empties, like Spark's
+      val toks = if (text.isEmpty) Seq("") else w
+      val n = toks.length
+      val nChunks = math.max(math.ceil((n - window).toDouble / stride).toInt, 0) + 1
+      (0 until nChunks).flatMap { i =>
+        val chunk = toks.slice(i * stride, i * stride + window)
+        val txt = chunk.mkString(" ")
+        if (txt.isEmpty) None
+        else Some((id, i) -> (txt, math.min(n - i * stride, window).toLong))
+      }
+    }.toMap
+    assert(got == expected)
+    // boundary sanity: some doc produced >1 chunk and some tail is short
+    assert(expected.keys.exists(_._2 > 0), "no multi-chunk doc — vacuous")
+    assert(expected.values.exists(_._2 < window), "no short tail exercised")
+  }
+
   test("domainMixSample fuzz: integer quota allocation matches a scalar reference") {
     val rnd = new scala.util.Random(808)
     val rows = (0 until 300).map(i => (i.toLong, s"s${rnd.nextInt(6)}"))

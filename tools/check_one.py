@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""check.py for ONE query in a fresh process with explicit DuckDB
+resource pragmas — the big-corpus (gen10) oracle replays exhaust the
+default config when run back-to-back in one process (temp spill
+accumulates across queries and hash joins multiply per-thread memory).
+
+Usage: tools/check_one.py <sfDir> <verifyOutDir> <queryName>
+       [memory_limit] [threads]
+"""
+import sys, json, glob, os, math
+import duckdb
+import pyarrow.parquet as pq
+
+sf, out, name = sys.argv[1], sys.argv[2], sys.argv[3]
+mem = sys.argv[4] if len(sys.argv) > 4 else "60GB"
+thr = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
+con = duckdb.connect()
+con.execute(f"PRAGMA memory_limit='{mem}'")
+con.execute(f"PRAGMA threads={thr}")
+tmpdir = os.path.join(out, "_duck_tmp")
+os.makedirs(tmpdir, exist_ok=True)
+con.execute(f"PRAGMA temp_directory='{tmpdir}'")
+for f in glob.glob(os.path.join(sf, "*.parquet")):
+    t = os.path.basename(f)[:-len(".parquet")]
+    src = os.path.join(f, "*.parquet") if os.path.isdir(f) else f
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    recs = df.values.tolist()
+
+    def key(row):
+        o = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                o.append("")
+            elif isinstance(v, float):
+                o.append(f"{v:.6g}")
+            else:
+                o.append(str(v))
+        return o
+    return cols, sorted(recs, key=key)
+
+
+def vals_eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    return str(a) == str(b)
+
+
+want = con.execute(oracle[name]).df()
+got_files = glob.glob(os.path.join(out, name, "*.parquet"))
+got = con.execute(
+    f"SELECT * FROM read_parquet({got_files!r})").df()
+wc, wr = canon(want)
+gc, gr = canon(got)
+if [c.lower() for c in wc] != [c.lower() for c in gc]:
+    print(f"FAIL {name}: schema {gc} vs oracle {wc}")
+    sys.exit(1)
+if len(wr) != len(gr):
+    print(f"FAIL {name}: rows {len(gr)} vs oracle {len(wr)}")
+    sys.exit(1)
+for i, (a, b) in enumerate(zip(gr, wr)):
+    for x, y in zip(a, b):
+        if not vals_eq(x, y):
+            print(f"FAIL {name}: row {i} value {x!r} vs oracle {y!r}")
+            sys.exit(1)
+print(f"OK   {name} ({len(gr)} rows)")
