@@ -631,4 +631,48 @@ object Similarity {
       round(HashExpressions.cosine(col("qv"), col("cv")), 6))
     rankTopK(scored, k)
   }
+
+  /** a11: recall@k of the approximate ANN paths against exact brute
+    * force — the evaluation harness every production vector deployment
+    * runs before trusting an index (faiss's own benchmark protocol):
+    * per (query, method), how many of the method's top-k ids appear in
+    * the exact top-k. `recall_fp` = floor(1e6·n_hit/k + 0.5), the
+    * repo-wide fixed-point grid so the compare is integer-exact.
+    *
+    * Methods evaluated: `lsh` ([[lshTopK]]) and `ivf` ([[ivfTopK]]),
+    * each under exactly its oracled parameters — the point is to tune
+    * tables/planes/nProbe against measured recall, so the scoring and
+    * tie-breaks must be bit-identical to the operators being tuned
+    * (same rounded-cosine rank, same id tie-break).
+    *
+    * Scale posture: recall is always measured on a SAMPLED query set
+    * (the brute-force side costs |sample|·|corpus| — that is the price
+    * of ground truth, paid for tens of queries, never corpus×corpus);
+    * the approximate sides run at their production cost. Every join
+    * after the top-k sets is on (query, method) cardinality —
+    * |sample|·k rows, broadcast-sized by construction. A query with NO
+    * approximate candidates (empty LSH buckets) still reports, with
+    * n_hit = 0 — silent dropout would read as perfect recall.
+    */
+  def annRecall(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, tables: Int, planes: Int,
+                nCentroids: Int, nProbe: Int): DataFrame = {
+    import queries.sparkSession.implicits._
+    val exact = bruteTopK(queries, corpus, idCol, vecCol, k)
+      .select("query_id", "neighbor_id")
+    val appr =
+      lshTopK(queries, corpus, idCol, vecCol, k, tables, planes)
+        .select(col("query_id"), col("neighbor_id"), lit("lsh").as("method"))
+        .union(ivfTopK(queries, corpus, idCol, vecCol, k, nCentroids, nProbe)
+          .select(col("query_id"), col("neighbor_id"), lit("ivf").as("method")))
+    val hits = appr.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id", "method").agg(count(lit(1)).as("n_hit"))
+    exact.select("query_id").distinct()
+      .crossJoin(Seq("ivf", "lsh").toDF("method"))
+      .join(hits, Seq("query_id", "method"), "left")
+      .select(col("query_id"), col("method"),
+        coalesce(col("n_hit"), lit(0L)).cast("long").as("n_hit"),
+        floor(coalesce(col("n_hit"), lit(0L)) * lit(1000000.0) / k + lit(0.5))
+          .cast("long").as("recall_fp"))
+  }
 }

@@ -390,6 +390,17 @@ object DocumentSuite {
         .orderBy("query_id", "rank")
     }),
 
+    // recall@5 of the approximate paths against exact brute force,
+    // under exactly the a2/a3 oracled parameters — the tuning loop a
+    // production index runs (sampled queries vs the full corpus)
+    "a11_ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annRecall(e.filter(col("vec_id") < 10), e, "vec_id",
+        "embedding", k = 5, tables = 8, planes = 4, nCentroids = 16,
+        nProbe = 4)
+        .orderBy("query_id", "method")
+    }),
+
     "a4_embed_quantize" -> ((s, d) => {
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy("vec_id")
@@ -1528,6 +1539,57 @@ object DocumentSuite {
          |SELECT query_id, neighbor_id, cos,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
          |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the a1/a2/a3 top-k sets recomputed under their exact oracled
+    // arithmetic (a1's UNguarded cosine, a2/a3's zero-guarded one,
+    // rounded-cos rank, id tie-break) then intersected per query —
+    // a query with no approximate candidates still reports n_hit 0
+    "a11_ann_recall" ->
+      s"""WITH ${lshSigsCte(tables = 8, planes = 4)},
+         |lcand AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+         |  FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.id <> c.id
+         |  WHERE q.id < 10),
+         |lsh AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY ROUND(${cosSqlZ("a.v", "b.v")}, 6) DESC, neighbor_id) AS r
+         |    FROM lcand JOIN e a ON a.id = query_id JOIN e b ON b.id = neighbor_id)
+         |  WHERE r <= 5),
+         |cents AS ${centsSampleSql(16)},
+         |cassign AS ${ivfAssignCte("", keep = 1, "neighbor_id", "cv2")},
+         |qassign AS ${ivfAssignCte("WHERE e.id < 10", keep = 4, "query_id", "qv")},
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT qa.query_id, ca.neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qa.query_id
+         |        ORDER BY ROUND(${cosSqlZ("qa.qv", "ca.cv2")}, 6) DESC, ca.neighbor_id) AS r
+         |    FROM cassign ca JOIN qassign qa USING (cid)
+         |    WHERE qa.query_id <> ca.neighbor_id)
+         |  WHERE r <= 5),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.id AS query_id, c.id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.id
+         |        ORDER BY ROUND(${cosSql("q.v", "c.v")}, 6) DESC, c.id) AS r
+         |    FROM e q, e c WHERE q.id < 10 AND q.id <> c.id)
+         |  WHERE r <= 5),
+         |appr AS (
+         |  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+         |  UNION ALL SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf),
+         |hits AS (
+         |  SELECT a.method, a.query_id, COUNT(*) AS n_hit
+         |  FROM appr a JOIN exact x USING (query_id, neighbor_id)
+         |  GROUP BY 1, 2),
+         |qs AS (SELECT DISTINCT query_id FROM exact),
+         |ms AS (SELECT * FROM (VALUES ('ivf'), ('lsh')) AS m(method))
+         |SELECT q.query_id, m.method,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(FLOOR(COALESCE(h.n_hit, 0) * 1000000.0 / 5 + 0.5) AS BIGINT) AS recall_fp
+         |FROM qs q CROSS JOIN ms m
+         |LEFT JOIN hits h ON h.query_id = q.query_id AND h.method = m.method
+         |ORDER BY q.query_id, m.method""".stripMargin,
 
     // codebook = the a3 md5 sample coded in order; squared-L2 folds
     // left-to-right like cosSql; argmin ties break on the code index

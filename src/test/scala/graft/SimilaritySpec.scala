@@ -271,6 +271,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("annRecall equals the scalar intersection of each method's top-k with exact") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < 10)
+    def topkSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topkSet(Similarity.bruteTopK(q, e, "vec_id", "embedding", 5))
+    val byMethod = Map(
+      "lsh" -> topkSet(Similarity.lshTopK(q, e, "vec_id", "embedding", 5,
+        tables = 8, planes = 4)),
+      "ivf" -> topkSet(Similarity.ivfTopK(q, e, "vec_id", "embedding", 5,
+        nCentroids = 16, nProbe = 4)))
+    val got = Similarity.annRecall(q, e, "vec_id", "embedding", k = 5,
+        tables = 8, planes = 4, nCentroids = 16, nProbe = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // every (query, method) cell reports — including methods that found
+    // nothing for a query (n_hit 0), never a dropped row
+    assert(got.size == exact.map(_._1).size * 2)
+    got.foreach { case ((qid, m), (nHit, recallFp)) =>
+      val want = byMethod(m).count { case (a, b) => a == qid && exact((a, b)) }
+      assert(nHit == want, s"($qid, $m): $nHit vs scalar $want")
+      assert(recallFp == math.floor(nHit * 1000000.0 / 5 + 0.5).toLong)
+    }
+    // the eval is discriminating on this corpus: not all cells perfect
+    assert(got.values.exists(_._1 < 5), "all-perfect recall — vacuous eval")
+  }
+
   test("ivfPqTopK equals a7's ADC scores filtered to a3's probed cells") {
     // the composition contract: a9 = (a7 pairs) ∩ (query probes × cell
     // members), scores bit-identical — proven by recomputing both sides
