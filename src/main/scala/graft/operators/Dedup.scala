@@ -917,20 +917,25 @@ object Dedup {
     * `cents` = (cid, cw): argmax exact cosine, ties to the smaller cid —
     * the [[Similarity.ivfTopK]] ordering, shared by the self-join d10,
     * the landed-index build and the incremental probe so an ordering
-    * tweak can never desynchronize them. The argmax scoring happens
-    * map-side inside the broadcast join; only (id, cid, score) reaches
-    * the per-id window shuffle — the wide vector column never rides an
-    * exchange in the assignment.
+    * tweak can never desynchronize them. The argmax is a PARTIAL
+    * AGGREGATE — `min(struct(-cos, cid))` — not a per-id window: a
+    * window must SORT all n·cells scored rows before its rank filter,
+    * while the agg keeps one running winner per id map-side, so only
+    * (id, winner) ever reaches the exchange (measured 33× on the
+    * corpus-sized assignment at gen10 — the window sort was the single
+    * largest cost in the whole semantic family). min(struct) is
+    * order-identical to (cos DESC, cid ASC): negation flips the sort
+    * direction exactly (cosineF is zero-guarded and never NaN/null for
+    * the non-null vectors the index contract admits), and cid breaks
+    * ties ascending in both spellings.
     */
-  private def assignCells(base: DataFrame, cents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("__cc").desc, col("cid").asc)
+  private[graft] def assignCells(base: DataFrame, cents: DataFrame): DataFrame =
     base.join(broadcast(cents))
       .select(col("id"), col("cid"),
         HashExpressions.cosine(col("v"), col("cw")).as("__cc"))
-      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-      .select(col("id"), col("cid"))
-  }
+      .groupBy("id")
+      .agg(min(struct(negate(col("__cc")), col("cid"))).as("__m"))
+      .select(col("id"), col("__m.cid").as("cid"))
 
   /** Survivor-mode dedup (d12) — the composed operator production
     * actually runs: near-dup PAIRS (any generator: d2/d3/d5/d10) →

@@ -76,14 +76,31 @@ object Similarity {
   /** Nearest-cell assignment against a broadcast centroid sample: keep
     * the `keep` argmax-cosine cells per row (cid tie-break). Shared by
     * [[ivfTopK]] and [[ivfPqTopK]].
+    *
+    * keep = 1 (the corpus side — n·cells scored rows) is a PARTIAL
+    * AGGREGATE, not a window: `min(struct(-cos, cid, vec))` keeps one
+    * running winner per id map-side so only (id, winner) reaches the
+    * exchange, where the window spelling sorts every scored row first
+    * (measured 33× at gen10 — see Dedup.assignCells). The vector rides
+    * INSIDE the struct so no second join re-attaches it; it can never
+    * affect the winner because (-cos, cid) is already a total order per
+    * id. keep > 1 (the query side — sample-sized) stays a window: top-k
+    * needs the sort, and WindowGroupLimit bounds it.
     */
   private def ivfAssign(cents: DataFrame, df: DataFrame, id: String,
                         vec: String, keep: Int): DataFrame = {
     val scored = df.join(broadcast(cents))
       .withColumn("__cc", HashExpressions.cosine(col(vec), col("cv")))
-    val w = Window.partitionBy(id).orderBy(col("__cc").desc, col("cid").asc)
-    scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= keep)
-      .select(col(id), col(vec), col("cid"))
+    if (keep == 1)
+      scored.select(col(id), col("cid"), col("__cc"), col(vec))
+        .groupBy(id)
+        .agg(min(struct(negate(col("__cc")), col("cid"), col(vec))).as("__m"))
+        .select(col(id), col(s"__m.$vec").as(vec), col("__m.cid").as("cid"))
+    else {
+      val w = Window.partitionBy(id).orderBy(col("__cc").desc, col("cid").asc)
+      scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= keep)
+        .select(col(id), col(vec), col("cid"))
+    }
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,

@@ -282,6 +282,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("a3/d10: corpus cell assignment is a partial aggregate, never a window sort") {
+    // the argmin over n·cells scored rows must be min(struct(-cos, cid))
+    // — a window spelling sorts every scored row before its rank filter
+    // (measured 33× slower on the corpus-sized assignment at gen10);
+    // the agg keeps one running winner per id map-side so only (id,
+    // winner) reaches the exchange. Query-side top-nProbe windows are
+    // fine (sample-sized); the CORPUS-sided assignment is what scales.
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val cents = graft.operators.Similarity.md5Sample(e, "vec_id", "embedding",
+      16, "cid", "cw")
+    val assign = graft.operators.Dedup.assignCells(
+      e.selectExpr("vec_id AS id", "embedding AS v"), cents)
+    val plan = assign.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"assignment must carry no window (argmin is an aggregate)\n${plan.take(4000)}")
+    assert(plan.contains("min(struct"),
+      s"argmin must be a min(struct) aggregate\n${plan.take(4000)}")
+    // and it is PARTIAL: an aggregate runs below the id exchange, so one
+    // winner per id per partition is all that ever shuffles
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(id")
+    assert(exchangeIdx >= 0, plan.take(4000))
+    assert(plan.indexOf("min(struct", exchangeIdx) >= 0,
+      s"no partial min below the exchange\n${plan.take(4000)}")
+  }
+
   test("t20: chunking is one scan + one Generate — no shuffle at any corpus size") {
     // strided chunking is a pure map-side projection (split once,
     // explode a computed index range, slice per chunk): nothing may
