@@ -807,14 +807,24 @@ object Dedup {
       math.ceil(math.log(math.max(n, 1L).toDouble / target) / math.log(2.0)).toInt))
 
   /** Voronoi cell count for corpus-size-scaled semantic dedup (the IVF
-    * sizing rule): `ceil(n / target)` cells keep the expected cell
-    * population near `target`, so the in-cell pair space stays linear in
-    * n. Floor 16 preserves verification-scale behavior (and oracle
-    * results) on small corpora. The DuckDB d10 oracle replays this
-    * formula verbatim.
+    * sizing rule): `ceil(sqrt(n))` cells — the faiss-practice balance
+    * point. Every vector must score against every centroid (the
+    * assignment cross is n·cells rows) and every vector verifies
+    * against its in-cell peers (n·(n/cells) candidate rows); the sum is
+    * minimized at cells = Θ(√n), where both legs are Θ(n^1.5). The
+    * previous linear rule (n/128) kept verify Θ(n) but made the
+    * assignment Θ(n²/128) and the centroid broadcast corpus-sized —
+    * VecBench measured the land leg 42× slower for a 10× corpus at
+    * gen10, and at 10^9 vectors the cross is 10^16 rows: it breaks
+    * outright, the sqrt rule is what still runs. Floor 16 keeps tiny
+    * corpora (sf0.001's 20 vectors) at verification-scale behavior;
+    * sf0.01 (2,000 vectors) moves 16 → 45 cells and its oracle moves
+    * in lockstep. The DuckDB d10 oracle replays this formula verbatim
+    * (IEEE sqrt is correctly rounded in both engines, so ceil agrees
+    * bit-exactly).
     */
-  def ivfCellsFor(n: Long, target: Int = 128): Int =
-    math.max(16, math.ceil(math.max(n, 1L).toDouble / target).toInt)
+  def ivfCellsFor(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt)
 
   /** Corpus-size-scaled variant of the parameterized overload below:
     * one scalar count sizes the plane count by [[lshPlanesFor]]. The
@@ -1587,7 +1597,7 @@ object Dedup {
     * (id, cid) and (id, v) through the bucketed writers, advance meta
     * `n_docs`, refresh the table cache (the [[absorbMinhashBatch]]
     * visibility lesson). Cell populations grow past the
-    * [[ivfCellsFor]] target as absorption proceeds — when they do,
+    * [[ivfCellsFor]] sizing as absorption proceeds — when they do,
     * re-landing IS the re-quantization (new centroids sized to the
     * grown corpus); meta's n_docs vs the landed centroid count is the
     * signal to watch.

@@ -550,7 +550,8 @@ object DocumentSuite {
 
   /** [[centsSampleSql]] with the cell count computed from the corpus
     * size — the exact [[graft.operators.Dedup.ivfCellsFor]] formula
-    * (GREATEST(16, CEIL(n / 128))), the d10 twin at every scale.
+    * (GREATEST(16, CEIL(SQRT(n))) — the faiss √n balance, r17), the
+    * d10 twin at every scale.
     */
   private def centsSampleSqlSized: String = centsSampleSqlSizedOver("")
 
@@ -564,7 +565,7 @@ object DocumentSuite {
        |      ROW_NUMBER() OVER (ORDER BY ${md5OrderSql("vec_id")}) AS __rn,
        |      COUNT(*) OVER () AS __n
        |    FROM embeddings $where)
-       |  WHERE __rn <= GREATEST(16, CEIL(__n / 128.0)))""".stripMargin
+       |  WHERE __rn <= GREATEST(16, CEIL(SQRT(CAST(__n AS DOUBLE)))))""".stripMargin
   // Same left-to-right double fold as Similarity.cosineSql /
   // HashKernels.cosineF, so cosines are bit-identical across engines.
   private def dotSql(a: String, b: String) =

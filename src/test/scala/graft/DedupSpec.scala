@@ -46,8 +46,8 @@ class DedupSpec extends SparkSpec {
     val planes = (1 to 30).map(e => Dedup.lshPlanesFor(1L << e))
     assert(planes == planes.sorted)
     assert(Dedup.ivfCellsFor(0) == 16 && Dedup.ivfCellsFor(200) == 16)
-    assert(Dedup.ivfCellsFor(2000) == 16)      // gate scales: historical 16
-    assert(Dedup.ivfCellsFor(20000) == 157)    // ceil(20000/128)
+    assert(Dedup.ivfCellsFor(2000) == 45)      // ceil(sqrt(2000))
+    assert(Dedup.ivfCellsFor(20000) == 142)    // ceil(sqrt(20000))
     val cells = (1 to 30).map(e => Dedup.ivfCellsFor(1L << e))
     assert(cells == cells.sorted)
   }
