@@ -300,6 +300,52 @@ object Dedup {
     reassembleSegs(base.select("doc_id"), flagged)
   }
 
+  /** d18: the standard corpus-cleaning recipe as ONE declarative plan —
+    * the composition a real pretraining pipeline runs end-to-end
+    * (reference analog: the CCNet/RefinedWeb stage order):
+    *
+    *  1. exact dedup, keep-first: one survivor per sha256(text)
+    *     (minimum doc_id — the [[exactDedup]] rule);
+    *  2. keep-first line dedup over those survivors ([[lineDedup]] with
+    *     `keepFirst`): cross-document boilerplate segments survive only
+    *     in their first host — and the boilerplate df counts are
+    *     measured AFTER exact dedup, so a page duplicated 1,000×
+    *     contributes ONE host, not 1,000 (running the stages in this
+    *     order is the recipe's point);
+    *  3. quality filter on the CLEANED text: [[TextAnalysis.qualityScore]]
+    *     over clean_text with n_chars = length(clean_text) — scoring the
+    *     text a model would actually train on, not the raw page — keep
+    *     score ≥ minScore (empty-after-cleaning docs drop first; they
+    *     have no length to divide by and nothing to train on).
+    *
+    * Output: (doc_id, clean_text, n_dropped, score) for the surviving
+    * corpus. Composing DECLARATIVELY (no materialization between
+    * stages) lets Catalyst plan the whole recipe at once: the sha
+    * groupBy and the segment-df groupBy are the only corpus shuffles,
+    * stage 3 is a pure projection fused onto stage 2's reassembly
+    * output, and at 100 TB the recipe's cost is exactly its two
+    * aggregations plus one semi-join — no intermediate parquet, no
+    * second scan of the raw corpus.
+    */
+  def cleanPipeline(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int = 10, minDf: Int = 2,
+                    minScore: Double = 0.5): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val keep1 = base
+      .groupBy(sha2(col("text").cast("binary"), 256).as("__sha"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val survivors1 = base.join(keep1, Seq("doc_id"), "left_semi")
+    val cleaned = lineDedup(survivors1, "doc_id", "text", window, minDf,
+      keepFirst = true)
+    cleaned
+      .filter(length(col("clean_text")) > 0)
+      .withColumn("score", graft.operators.TextAnalysis.qualityScore(
+        col("clean_text"), length(col("clean_text"))))
+      .filter(col("score") >= minScore)
+      .select("doc_id", "clean_text", "n_dropped", "score")
+  }
+
   // --- incremental line dedup (st13): the streaming twin of d16 -----------
   // The boilerplate knowledge evolves with the corpus: a segment's df
   // accumulates as documents arrive, and each arrival is cleaned against

@@ -243,6 +243,15 @@ object DocumentSuite {
         .orderBy("doc_id")
     }),
 
+    // the whole cleaning recipe as one declarative plan: exact
+    // keep-first dedup -> keep-first line dedup over the survivors ->
+    // quality filter on the CLEANED text (score >= 0.5)
+    "d18_clean_pipeline" -> ((s, d) => {
+      Dedup.cleanPipeline(Tables.documents(s, d), "doc_id", "text",
+        window = 10, minDf = 2, minScore = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // the keep-first variant (CCNet/Dolma paragraph dedup): a repeated
     // segment keeps one canonical copy — in its minimum-doc_id host —
     // instead of vanishing everywhere
@@ -519,19 +528,21 @@ object DocumentSuite {
     })
   )
 
-  private def hits(langWords: Seq[String]) =
-    s"len(list_filter(string_split(text, ' '), t -> t IN (${langWords.map(w => s"'$w'").mkString(", ")})))"
+  private def hits(langWords: Seq[String], textCol: String = "text") =
+    s"len(list_filter(string_split($textCol, ' '), t -> t IN (${langWords.map(w => s"'$w'").mkString(", ")})))"
 
   /** TextAnalysis.qualityScore replayed op-for-op — ONE definition
-    * shared by the t2 and t13 oracles so the score arithmetic cannot
-    * drift between them.
+    * shared by the t2/t13/d18 oracles so the score arithmetic cannot
+    * drift between them. `textCol`/`nCharsSql` parameterize the d18
+    * variant (score over the CLEANED text, n_chars = its length).
     */
-  private def qualityScoreSql: String =
-    s"""LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.3
-       |    + (CAST(${hits(stop("en"))} AS DOUBLE)
-       |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
-       |    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
-       |       / CAST(n_chars AS DOUBLE)) * 0.3""".stripMargin
+  private def qualityScoreSqlOver(textCol: String, nCharsSql: String): String =
+    s"""LEAST(CAST(len(string_split($textCol, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.3
+       |    + (CAST(${hits(stop("en"), textCol)} AS DOUBLE)
+       |       / CAST(len(string_split($textCol, ' ')) AS DOUBLE)) * 0.4
+       |    + (1.0 - CAST(len(regexp_extract_all($textCol, '[^a-z0-9 ]')) AS DOUBLE)
+       |       / CAST($nCharsSql AS DOUBLE)) * 0.3""".stripMargin
+  private def qualityScoreSql: String = qualityScoreSqlOver("text", "n_chars")
 
   // --- shared DuckDB arithmetic for the embedding oracles -----------------
   // The Similarity.md5Sample ordering replayed in SQL — ONE spelling for
@@ -756,8 +767,8 @@ object DocumentSuite {
     * the empty-segment filter mirrors the Spark side so an empty-text
     * doc contributes no segments on either engine.
     */
-  private def lineDedupSql(dropCond: String): String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  private def lineDedupChain(dropCond: String, src: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
        |seg AS (
        |  SELECT doc_id, CAST(i AS INT) AS segno,
        |         list_aggregate(w[i*10+1 : i*10+10], 'string_agg', ' ') AS seg
@@ -775,7 +786,10 @@ object DocumentSuite {
        |    COALESCE(string_agg(CASE WHEN NOT dropped THEN seg END,
        |                        ' ' ORDER BY segno), '') AS clean_text,
        |    CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-       |  FROM fl GROUP BY doc_id)
+       |  FROM fl GROUP BY doc_id)""".stripMargin
+
+  private def lineDedupSql(dropCond: String): String =
+    s"""WITH ${lineDedupChain(dropCond, "documents")}
        |SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
        |       COALESCE(reb.n_dropped, 0) AS n_dropped
        |FROM documents d LEFT JOIN reb USING (doc_id)
@@ -1347,6 +1361,27 @@ object DocumentSuite {
     // shadowing — the same reason d3 hashes in a separate CTE), making
     // the hash depend on the window's position in its document
     // d16: repeated segments (df >= 2) are boilerplate, dropped from
+    // the full cleaning recipe composed: exact keep-first (min doc_id
+    // per sha256), the d17 keep-first line-dedup chain over those
+    // survivors, then the t2 score arithmetic over the CLEANED text
+    // (n_chars = len(clean_text)); score filter at >= 0.5 — the same
+    // double sequence both engines compute, so the cut agrees
+    "d18_clean_pipeline" ->
+      s"""WITH keep1 AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         |docs1 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep1 USING (doc_id)),
+         |${lineDedupChain("b.seg IS NOT NULL AND s.doc_id <> b.first_doc", "docs1")},
+         |led AS (
+         |  SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+         |         COALESCE(reb.n_dropped, 0) AS n_dropped
+         |  FROM docs1 d LEFT JOIN reb USING (doc_id)),
+         |sc AS (
+         |  SELECT doc_id, clean_text, n_dropped,
+         |    ${qualityScoreSqlOver("clean_text", "len(clean_text)")} AS score
+         |  FROM led WHERE len(clean_text) > 0)
+         |SELECT doc_id, clean_text, n_dropped, score
+         |FROM sc WHERE score >= 0.5 ORDER BY doc_id""".stripMargin,
+
     // every host (see lineDedupSql for the shared CTE chain)
     "d16_line_dedup" -> lineDedupSql("b.seg IS NOT NULL"),
 

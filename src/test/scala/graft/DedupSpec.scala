@@ -612,6 +612,51 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cleanPipeline: composition equals the stage-by-stage recompute and every stage bites") {
+    // the fixture carries no exact duplicates, so re-ingest every 5th
+    // text under a high id — the re-crawl shape the exact stage exists
+    // for (and the stage-order point: those copies must NOT inflate the
+    // boilerplate df counts the line stage filters by)
+    val raw = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val docs = raw.unionByName(
+      raw.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val total = docs.count()
+    // stage-by-stage recompute through the same public operators,
+    // materialized between stages — the pipeline must equal it exactly
+    val keepIds = docs.groupBy(sha2(col("text").cast("binary"), 256))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val s1 = docs.join(keepIds, Seq("doc_id"), "left_semi").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(s1.size < total, "exact-dedup stage dropped nothing — vacuous")
+    import spark.implicits._
+    val cleaned = Dedup.lineDedup(s1.toDF("doc_id", "text"), "doc_id", "text",
+      window = 10, minDf = 2, keepFirst = true)
+    val cleanedRows = cleaned.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(cleanedRows.exists(_._3 > 0), "line-dedup stage dropped nothing — vacuous")
+    val scored = cleanedRows.filter(_._2.nonEmpty).map { case (id, t, nd) =>
+      val row = Seq((id, t, t.length.toLong)).toDF("doc_id", "clean_text", "n")
+        .select(graft.operators.TextAnalysis.qualityScore(
+          col("clean_text"), col("n")).as("s")).head()
+      (id, t, nd, row.getDouble(0))
+    }
+    assert(scored.exists(_._4 < 0.5), "score filter dropped nothing — vacuous")
+    val want = scored.filter(_._4 >= 0.5)
+      .map { case (id, t, nd, s) => id -> (t, nd, s) }.toMap
+    val got = Dedup.cleanPipeline(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == want,
+      s"only-pipeline=${(got.keySet -- want.keySet).take(3)} " +
+        s"only-staged=${(want.keySet -- got.keySet).take(3)}")
+    // the fused plan stays join/agg-shaped: no window, no cartesian
+    val plan = Dedup.cleanPipeline(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("lineDedup drops cross-document repeated segments and reassembles in order") {
     // the d16 contract vs a scalar recompute: fixed-width segments
     // occurring in >= minDf distinct docs vanish from every doc; kept
