@@ -1478,8 +1478,16 @@ object Dedup {
     */
   private def earliestNeighborFold(batch: DataFrame, pairs: DataFrame,
                                    outId: String): DataFrame = {
-    val partners = pairs.select(col("id_a").as("x"), col("id_b").as("e"))
-      .unionByName(pairs.select(col("id_b").as("x"), col("id_a").as("e")))
+    // both directions via ONE explode, not a self-union: the union
+    // referenced the pairs plan twice and relied on ReuseExchange to
+    // dedupe the probe underneath (measured: it does, today — gen10
+    // times are unchanged). The single reference doesn't gamble on
+    // that analysis, keeps the plan half the size, and can never
+    // re-run map-side verify work that sits above the last exchange.
+    val partners = pairs.select(explode(array(
+        struct(col("id_a").as("x"), col("id_b").as("e")),
+        struct(col("id_b").as("x"), col("id_a").as("e")))).as("__p"))
+      .select(col("__p.x").as("x"), col("__p.e").as("e"))
     val earlier = partners
       .join(broadcast(batch.withColumnRenamed(outId, "x")), Seq("x"))
       .join(broadcast(batch.select(col(outId).as("e"),
