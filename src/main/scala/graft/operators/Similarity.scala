@@ -656,11 +656,18 @@ object Similarity {
     * the exact top-k. `recall_fp` = floor(1e6·n_hit/k + 0.5), the
     * repo-wide fixed-point grid so the compare is integer-exact.
     *
-    * Methods evaluated: `lsh` ([[lshTopK]]) and `ivf` ([[ivfTopK]]),
-    * each under exactly its oracled parameters — the point is to tune
-    * tables/planes/nProbe against measured recall, so the scoring and
-    * tie-breaks must be bit-identical to the operators being tuned
-    * (same rounded-cosine rank, same id tie-break).
+    * Methods evaluated: `lsh` ([[lshTopK]]), `ivf` ([[ivfTopK]]),
+    * `pq` ([[pqAdcTopK]]) and `ivfpq` ([[ivfPqTopK]]) — each under
+    * exactly its oracled parameters. The point is to tune
+    * tables/planes/nProbe/m/kCodes against measured recall, so the
+    * scoring and tie-breaks must be bit-identical to the operators
+    * being tuned (same rounded-cosine or fixed-point-ADC rank, same id
+    * tie-break). The compressed paths matter most: PQ quantization
+    * loses information in a way lsh/ivf's exact reranking does not, so
+    * `pq`/`ivfpq` recall is what a deployment tunes before trusting an
+    * [[landIvfPqIndex]] — and the a10 probe's recall IS the `ivfpq`
+    * row, because probe ≡ [[ivfPqTopK]] is spec-pinned bit parity
+    * (asserted again recall-side in SimilaritySpec).
     *
     * Scale posture: recall is always measured on a SAMPLED query set
     * (the brute-force side costs |sample|·|corpus| — that is the price
@@ -673,19 +680,22 @@ object Similarity {
     */
   def annRecall(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int, tables: Int, planes: Int,
-                nCentroids: Int, nProbe: Int): DataFrame = {
+                nCentroids: Int, nProbe: Int, m: Int, kCodes: Int): DataFrame = {
     import queries.sparkSession.implicits._
     val exact = bruteTopK(queries, corpus, idCol, vecCol, k)
       .select("query_id", "neighbor_id")
+    def leg(df: DataFrame, method: String): DataFrame =
+      df.select(col("query_id"), col("neighbor_id"), lit(method).as("method"))
     val appr =
-      lshTopK(queries, corpus, idCol, vecCol, k, tables, planes)
-        .select(col("query_id"), col("neighbor_id"), lit("lsh").as("method"))
-        .union(ivfTopK(queries, corpus, idCol, vecCol, k, nCentroids, nProbe)
-          .select(col("query_id"), col("neighbor_id"), lit("ivf").as("method")))
+      leg(lshTopK(queries, corpus, idCol, vecCol, k, tables, planes), "lsh")
+        .union(leg(ivfTopK(queries, corpus, idCol, vecCol, k, nCentroids, nProbe), "ivf"))
+        .union(leg(pqAdcTopK(queries, corpus, idCol, vecCol, k, m, kCodes), "pq"))
+        .union(leg(ivfPqTopK(queries, corpus, idCol, vecCol, k, nCentroids,
+          nProbe, m, kCodes), "ivfpq"))
     val hits = appr.join(exact, Seq("query_id", "neighbor_id"))
       .groupBy("query_id", "method").agg(count(lit(1)).as("n_hit"))
     exact.select("query_id").distinct()
-      .crossJoin(Seq("ivf", "lsh").toDF("method"))
+      .crossJoin(Seq("ivf", "ivfpq", "lsh", "pq").toDF("method"))
       .join(hits, Seq("query_id", "method"), "left")
       .select(col("query_id"), col("method"),
         coalesce(col("n_hit"), lit(0L)).cast("long").as("n_hit"),

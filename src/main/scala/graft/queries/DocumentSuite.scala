@@ -400,13 +400,16 @@ object DocumentSuite {
     }),
 
     // recall@5 of the approximate paths against exact brute force,
-    // under exactly the a2/a3 oracled parameters — the tuning loop a
-    // production index runs (sampled queries vs the full corpus)
+    // under exactly the a2/a3/a7/a9 oracled parameters — the tuning
+    // loop a production index runs (sampled queries vs the full
+    // corpus). The compressed paths (pq, ivfpq) are the deployed ones;
+    // the a10 probe's recall IS the ivfpq row by probe bit parity
+    // (spec-pinned in SimilaritySpec).
     "a11_ann_recall" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.annRecall(e.filter(col("vec_id") < 10), e, "vec_id",
         "embedding", k = 5, tables = 8, planes = 4, nCentroids = 16,
-        nProbe = 4)
+        nProbe = 4, m = 4, kCodes = 16)
         .orderBy("query_id", "method")
     }),
 
@@ -1576,10 +1579,13 @@ object DocumentSuite {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
          |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    // the a1/a2/a3 top-k sets recomputed under their exact oracled
-    // arithmetic (a1's UNguarded cosine, a2/a3's zero-guarded one,
-    // rounded-cos rank, id tie-break) then intersected per query —
-    // a query with no approximate candidates still reports n_hit 0
+    // the a1/a2/a3/a7/a9 top-k sets recomputed under their exact
+    // oracled arithmetic (a1's UNguarded cosine, a2/a3's zero-guarded
+    // one with rounded-cos rank, a7/a9's fixed-point ADC rank — id
+    // tie-break everywhere) then intersected per query — a query with
+    // no approximate candidates still reports n_hit 0. The pq/ivfpq
+    // rows are the deployed compressed paths; the a10 probe's recall
+    // equals the ivfpq row by probe bit parity.
     "a11_ann_recall" ->
       s"""WITH ${lshSigsCte(tables = 8, planes = 4)},
          |lcand AS (
@@ -1604,6 +1610,45 @@ object DocumentSuite {
          |    FROM cassign ca JOIN qassign qa USING (cid)
          |    WHERE qa.query_id <> ca.neighbor_id)
          |  WHERE r <= 5),
+         |${pqCtesOver("")},
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM pqscored
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
+         |q2 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+         |qsub AS (
+         |  SELECT query_id, sub,
+         |    qv[CAST(sub * (len(qv) // 4) + 1 AS INT) : CAST((sub + 1) * (len(qv) // 4) AS INT)] AS qsv
+         |  FROM q2, subs),
+         |adc AS (
+         |  SELECT query_id, sub, code,
+         |    CAST(FLOOR(list_reduce(list_transform(list_zip(qsv, csv), p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS dfp
+         |  FROM qsub JOIN cs USING (sub)),
+         |pqsc AS (
+         |  SELECT a.query_id, c.vec_id AS neighbor_id, CAST(SUM(a.dfp) AS BIGINT) AS adc_fp
+         |  FROM codes c JOIN adc a ON a.sub = c.sub AND a.code = c.code
+         |  WHERE a.query_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |pq AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS r
+         |    FROM pqsc)
+         |  WHERE r <= 5),
+         |ipqsc AS (
+         |  SELECT a.query_id, c.vec_id AS neighbor_id, CAST(SUM(a.dfp) AS BIGINT) AS adc_fp
+         |  FROM codes c
+         |  JOIN cassign ca ON ca.neighbor_id = c.vec_id
+         |  JOIN qassign qa ON qa.cid = ca.cid
+         |  JOIN adc a ON a.query_id = qa.query_id AND a.sub = c.sub AND a.code = c.code
+         |  WHERE a.query_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |ivfpq AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS r
+         |    FROM ipqsc)
+         |  WHERE r <= 5),
          |exact AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT q.id AS query_id, c.id AS neighbor_id,
@@ -1613,13 +1658,15 @@ object DocumentSuite {
          |  WHERE r <= 5),
          |appr AS (
          |  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
-         |  UNION ALL SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf),
+         |  UNION ALL SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+         |  UNION ALL SELECT 'pq' AS method, query_id, neighbor_id FROM pq
+         |  UNION ALL SELECT 'ivfpq' AS method, query_id, neighbor_id FROM ivfpq),
          |hits AS (
          |  SELECT a.method, a.query_id, COUNT(*) AS n_hit
          |  FROM appr a JOIN exact x USING (query_id, neighbor_id)
          |  GROUP BY 1, 2),
          |qs AS (SELECT DISTINCT query_id FROM exact),
-         |ms AS (SELECT * FROM (VALUES ('ivf'), ('lsh')) AS m(method))
+         |ms AS (SELECT * FROM (VALUES ('ivf'), ('ivfpq'), ('lsh'), ('pq')) AS m(method))
          |SELECT q.query_id, m.method,
          |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
          |  CAST(FLOOR(COALESCE(h.n_hit, 0) * 1000000.0 / 5 + 0.5) AS BIGINT) AS recall_fp

@@ -282,15 +282,19 @@ class SimilaritySpec extends SparkSpec {
       "lsh" -> topkSet(Similarity.lshTopK(q, e, "vec_id", "embedding", 5,
         tables = 8, planes = 4)),
       "ivf" -> topkSet(Similarity.ivfTopK(q, e, "vec_id", "embedding", 5,
-        nCentroids = 16, nProbe = 4)))
+        nCentroids = 16, nProbe = 4)),
+      "pq" -> topkSet(Similarity.pqAdcTopK(q, e, "vec_id", "embedding", 5,
+        m = 4, kCodes = 16)),
+      "ivfpq" -> topkSet(Similarity.ivfPqTopK(q, e, "vec_id", "embedding", 5,
+        nCentroids = 16, nProbe = 4, m = 4, kCodes = 16)))
     val got = Similarity.annRecall(q, e, "vec_id", "embedding", k = 5,
-        tables = 8, planes = 4, nCentroids = 16, nProbe = 4)
+        tables = 8, planes = 4, nCentroids = 16, nProbe = 4, m = 4, kCodes = 16)
       .collect()
       .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
     // every (query, method) cell reports — including methods that found
     // nothing for a query (n_hit 0), never a dropped row
-    assert(got.size == exact.map(_._1).size * 2)
+    assert(got.size == exact.map(_._1).size * 4)
     got.foreach { case ((qid, m), (nHit, recallFp)) =>
       val want = byMethod(m).count { case (a, b) => a == qid && exact((a, b)) }
       assert(nHit == want, s"($qid, $m): $nHit vs scalar $want")
@@ -298,6 +302,37 @@ class SimilaritySpec extends SparkSpec {
     }
     // the eval is discriminating on this corpus: not all cells perfect
     assert(got.values.exists(_._1 < 5), "all-perfect recall — vacuous eval")
+    // ...and on the compressed paths specifically: PQ distortion is the
+    // thing this eval exists to quantify, so the pq/ivfpq rows must not
+    // be uniformly perfect either
+    assert(Seq("pq", "ivfpq").exists(m =>
+      got.exists { case ((_, mm), (nHit, _)) => mm == m && nHit < 5 }),
+      "compressed-path recall all-perfect — vacuous for PQ tuning")
+  }
+
+  test("a10 probe recall IS the ivfpq recall row (probe bit parity, recall-side)") {
+    // the deployment statement: tuning a landed index's recall needs no
+    // separate harness — annRecall's ivfpq row measures the a10 probe,
+    // because probe ≡ ivfPqTopK is bit parity. Recompute recall FROM the
+    // probe's own output and assert it equals the ivfpq rows.
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < 10)
+    Similarity.landIvfPqIndex(e, "vec_id", "embedding", 16, 4, 16,
+      "a11_probe_recall", graft.sources.Spool.dir(spark, "a11pr"))
+    val probed = Similarity.ivfPqProbe(spark, q, "vec_id", "embedding",
+        "a11_probe_recall", k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteTopK(q, e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probeRecall = exact.map(_._1).map(qid =>
+      qid -> probed.count { case (a, b) => a == qid && exact((a, b)) }.toLong).toMap
+    val ivfpqRows = Similarity.annRecall(q, e, "vec_id", "embedding", k = 5,
+        tables = 8, planes = 4, nCentroids = 16, nProbe = 4, m = 4, kCodes = 16)
+      .filter($"method" === "ivfpq").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(probeRecall == ivfpqRows)
   }
 
   test("ivfPqTopK equals a7's ADC scores filtered to a3's probed cells") {
