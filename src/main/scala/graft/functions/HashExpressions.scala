@@ -95,11 +95,17 @@ object HashExpressions {
       extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_cms_lookup"
+    // floorMod, not a raw index: the only first-party caller already
+    // feeds pmod(hash, w) so this is free there (JIT-predictable), but
+    // the expression is public via cmsLookup — an out-of-range or
+    // negative cell from a future caller must read a well-defined cell,
+    // not throw ArrayIndexOutOfBoundsException from generated code
+    // mid-task (r17 ADVICE)
     protected override def nullSafeEval(input: Any): Any =
-      table(input.asInstanceOf[Int])
+      table(Math.floorMod(input.asInstanceOf[Int], table.length))
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val tbl = ctx.addReferenceObj("cmsRow", table, "long[]")
-      defineCodeGen(ctx, ev, c => s"$tbl[$c]")
+      defineCodeGen(ctx, ev, c => s"$tbl[java.lang.Math.floorMod($c, $tbl.length)]")
     }
     override def toString: String = s"graft_cms_lookup($child, long[${table.length}])"
     override protected def withNewChildInternal(newChild: Expression): LongTableLookup =

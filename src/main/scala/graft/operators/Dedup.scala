@@ -981,16 +981,23 @@ object Dedup {
     * corpus-sized assignment at gen10 — the window sort was the single
     * largest cost in the whole semantic family). min(struct) is
     * order-identical to (cos DESC, cid ASC): negation flips the sort
-    * direction exactly (cosineF is zero-guarded and never NaN/null for
-    * the non-null vectors the index contract admits), and cid breaks
-    * ties ascending in both spellings.
+    * direction exactly, and cid breaks ties ascending in both
+    * spellings. cosineF is zero-guarded and never null, but a NaN
+    * vector COMPONENT still yields a NaN cosine — and plain negation
+    * would then flip the winner (NaN sorts greatest: a desc window
+    * ranks it first, a negated-asc aggregate last), silently
+    * desynchronizing a landed index from its oracle. nanvl pins NaN to
+    * +∞ BEFORE the negation, so both spellings (and DuckDB, where NaN
+    * likewise sorts greatest) agree on NaN-first — a contract
+    * violation stays bit-visible instead of flipping argmax winners.
     */
   private[graft] def assignCells(base: DataFrame, cents: DataFrame): DataFrame =
     base.join(broadcast(cents))
       .select(col("id"), col("cid"),
         HashExpressions.cosine(col("v"), col("cw")).as("__cc"))
       .groupBy("id")
-      .agg(min(struct(negate(col("__cc")), col("cid"))).as("__m"))
+      .agg(min(struct(negate(nanvl(col("__cc"), lit(Double.PositiveInfinity))),
+        col("cid"))).as("__m"))
       .select(col("id"), col("__m.cid").as("cid"))
 
   /** Survivor-mode dedup (d12) — the composed operator production
@@ -1540,16 +1547,41 @@ object Dedup {
       s"${tableBase}_assign", "cid", nBuckets, path = Some(s"$dir/assign"))
     graft.sources.Sinks.bucketed(base,
       s"${tableBase}_vecs", "id", nBuckets, path = Some(s"$dir/vecs"))
-    writeSemanticMeta(spark, tableBase, s"$dir/meta", nDocs, nBuckets)
+    // the frozen cell count rides meta (not a per-absorb _cents scan):
+    // ivfCellsFor(nDocs) clamps at the corpus size, so the sample can
+    // hold fewer rows than the formula on tiny corpora — record the
+    // formula value, the thing staleness is measured against
+    writeSemanticMeta(spark, tableBase, s"$dir/meta", nDocs, nBuckets,
+      ivfCellsFor(nDocs))
   }
 
   private def writeSemanticMeta(spark: SparkSession, tableBase: String,
                                 metaPath: String, nDocs: Long,
-                                nBuckets: Int): Unit =
-    spark.createDataFrame(Seq((nDocs, nBuckets)))
-      .toDF("n_docs", "n_buckets")
+                                nBuckets: Int, nCents: Int): Unit =
+    spark.createDataFrame(Seq((nDocs, nBuckets, nCents)))
+      .toDF("n_docs", "n_buckets", "n_cents")
       .write.mode(SaveMode.Overwrite).option("path", metaPath)
       .saveAsTable(s"${tableBase}_meta")
+
+  /** The quantizer-staleness advisory (the missing half of the frozen-
+    * quantizer versioning contract): absorbs grow `n_docs` while the
+    * coarse quantizer stays frozen at its land-time size, so once the
+    * corpus outgrows the [[ivfCellsFor]] sizing by 2× — i.e. a fresh
+    * land would allocate at least DOUBLE the cells — in-cell verify
+    * cost and quantization distortion have drifted a factor past
+    * design and a re-land (the explicit re-quantization) is due.
+    * Surfaced as Metrics `<family>.stale` (`stale`, `n_docs`,
+    * `frozen_cents`, `sized_cells`) on every absorb; advisory only —
+    * absorbs never mutate the quantizer, and probe bit-parity holds
+    * regardless (spec-pinned).
+    */
+  private[operators] def staleAdvisory(family: String, nDocs: Long,
+                                       frozenCents: Int): Unit =
+    graft.Metrics.set(s"$family.stale",
+      "stale" -> (ivfCellsFor(nDocs) >= 2L * frozenCents),
+      "n_docs" -> nDocs,
+      "frozen_cents" -> frozenCents.toLong,
+      "sized_cells" -> ivfCellsFor(nDocs).toLong)
 
   /** Semantic near-dup pairs INVOLVING an arriving batch of embeddings,
     * probed against a landed [[landSemanticIndex]] — bit-identical to
@@ -1672,12 +1704,12 @@ object Dedup {
     * [[MinhashMeta]] (`n_docs` is the only moving field).
     */
   private[graft] final case class SemanticMeta(nDocs: Long, nBuckets: Int,
-                                               metaPath: String)
+                                               nCents: Int, metaPath: String)
 
   private[graft] def readSemanticMeta(spark: SparkSession,
                                       tableBase: String): SemanticMeta = {
     val m = spark.table(s"${tableBase}_meta").head()
-    SemanticMeta(m.getLong(0), m.getInt(1),
+    SemanticMeta(m.getLong(0), m.getInt(1), m.getInt(2),
       tableLocation(spark, s"${tableBase}_meta"))
   }
 
@@ -1700,7 +1732,8 @@ object Dedup {
       s"${tableBase}_vecs", "id", meta.nBuckets, mode = SaveMode.Append)
     val advanced = meta.copy(nDocs = meta.nDocs + bBase.count())
     writeSemanticMeta(spark, tableBase, meta.metaPath, advanced.nDocs,
-      meta.nBuckets)
+      meta.nBuckets, meta.nCents)
+    staleAdvisory("d13", advanced.nDocs, meta.nCents)
     spark.catalog.refreshTable(s"${tableBase}_assign")
     spark.catalog.refreshTable(s"${tableBase}_vecs")
     advanced

@@ -85,7 +85,10 @@ object Similarity {
     * INSIDE the struct so no second join re-attaches it; it can never
     * affect the winner because (-cos, cid) is already a total order per
     * id. keep > 1 (the query side — sample-sized) stays a window: top-k
-    * needs the sort, and WindowGroupLimit bounds it.
+    * needs the sort, and WindowGroupLimit bounds it. nanvl pins a NaN
+    * cosine (a NaN vector component — contract violation) to +∞ before
+    * the negation so the aggregate and window spellings agree on
+    * NaN-first instead of flipping winners (see Dedup.assignCells).
     */
   private def ivfAssign(cents: DataFrame, df: DataFrame, id: String,
                         vec: String, keep: Int): DataFrame = {
@@ -94,7 +97,8 @@ object Similarity {
     if (keep == 1)
       scored.select(col(id), col("cid"), col("__cc"), col(vec))
         .groupBy(id)
-        .agg(min(struct(negate(col("__cc")), col("cid"), col(vec))).as("__m"))
+        .agg(min(struct(negate(nanvl(col("__cc"), lit(Double.PositiveInfinity))),
+          col("cid"), col(vec))).as("__m"))
         .select(col(id), col(s"__m.$vec").as(vec), col("__m.cid").as("cid"))
     else {
       val w = Window.partitionBy(id).orderBy(col("__cc").desc, col("cid").asc)
@@ -542,23 +546,49 @@ object Similarity {
     * through the bucketed writer (one new file per touched cell bucket
     * per batch — [[compactIvfPqIndex]] retires the debt), advance meta
     * `n_docs`, refresh the table cache (the absorbMinhashBatch
-    * visibility lesson). Ids must be disjoint from everything already
-    * landed or absorbed. A landed vector is never re-encoded — the
+    * visibility lesson). A landed vector is never re-encoded — the
     * continuous-ingest contract shared with d11/d13.
+    *
+    * Redelivery guard, ENFORCED (not just documented): an id already in
+    * the index is dropped before the append, so an at-least-once replay
+    * (or an overlapping batch) can never write duplicate code rows —
+    * which the probe would silently double-sum into corrupted adc_fp.
+    * The guard is probe-cost, not corpus-cost: a duplicate id encodes
+    * to the SAME cell under the frozen quantizer, so its landed rows
+    * can only live in the batch's own probed buckets — the anti-join
+    * reads just those files (the probe's cid InSet prune, Metrics
+    * `a10.guard`). An id re-sent with a DIFFERENT vector keeps its
+    * first write (upsert-skip, the d11 skip-existing rule). Each
+    * absorb also refreshes the [[Dedup.staleAdvisory]] signal
+    * (`a10.stale`): once the corpus outgrows the frozen quantizer's
+    * [[Dedup.ivfCellsFor]] sizing 2×, a re-land is due.
     */
   def absorbIvfPqBatch(spark: SparkSession, newEmbs: DataFrame,
                        idCol: String, vecCol: String, tableBase: String,
                        cachedMeta: Option[IvfPqMeta] = None): IvfPqMeta = {
     val meta = cachedMeta.getOrElse(readIvfPqMeta(spark, tableBase))
     val base = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .localCheckpoint() // one batch-sized pass; the append + count reuse it
-    graft.sources.Sinks.bucketed(
-      encodeWithCells(spark.table(s"${tableBase}_cents"),
-        spark.table(s"${tableBase}_cb"), base, meta.m),
+      .localCheckpoint() // one batch-sized pass; encode reads it once
+    val enc = encodeWithCells(spark.table(s"${tableBase}_cents"),
+      spark.table(s"${tableBase}_cb"), base, meta.m).localCheckpoint()
+    val idx = spark.table(s"${tableBase}_codes")
+    val cap = Dedup.pruneKeyCap(meta.nBuckets)
+    val cids = enc.select("cid").distinct().limit(cap + 1).collect()
+    val idxSlice =
+      if (cids.length > cap) idx
+      else idx.filter(col("cid").isInCollection(cids.map(_.getLong(0)).toSeq))
+    graft.Metrics.set("a10.guard", "batch_cids" -> cids.length.toLong,
+      "prune_cap" -> cap.toLong, "bucket_pruned" -> (cids.length <= cap))
+    val fresh = enc.join(idxSlice.select("id").distinct(), Seq("id"), "left_anti")
+      .localCheckpoint() // the append and the meta count both consume it
+    graft.sources.Sinks.bucketed(fresh,
       s"${tableBase}_codes", "cid", meta.nBuckets, mode = SaveMode.Append)
-    val advanced = meta.copy(nDocs = meta.nDocs + base.count())
+    // one code row per (id, sub): sub 0 rows count ids exactly
+    val advanced = meta.copy(nDocs =
+      meta.nDocs + fresh.filter(col("sub") === 0).count())
     writeIvfPqMeta(spark, tableBase, meta.metaPath, advanced.nDocs,
       meta.nCents, meta.m, meta.kCodes, meta.nBuckets)
+    Dedup.staleAdvisory("a10", advanced.nDocs, meta.nCents)
     spark.catalog.refreshTable(s"${tableBase}_codes")
     advanced
   }

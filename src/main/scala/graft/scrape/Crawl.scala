@@ -90,6 +90,24 @@ object Crawl {
     else
       s"${BBRefParse.BaseUrl}/players/${nameId.head}/$nameId.shtml"
 
+  /** [[BBRefParse.nameIdOf]] as a codegen column expression — the ONE
+    * url→name_id rule: [[crawlAndFetch]]'s wave semi-join must derive
+    * the same id the fetcher stamped on the landed page row (the
+    * fetcher runs the scalar twin inside mapPartitions), or an edge
+    * seed URL (trailing slash, query string) silently never expands —
+    * an under-crawl with no error (r17 ADVICE). Kept in sync with the
+    * scalar by the same CrawlSpec property that pins [[urlOfCol]].
+    * Scala's `split` drops trailing empty fields, so trailing slashes
+    * are trimmed before the last-component split; the extension strip
+    * mirrors the scalar's endsWith order (.shtml before .html).
+    */
+  def nameIdOfCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val base = element_at(split(regexp_replace(url, "/+$", ""), "/"), -1)
+    when(base.rlike("\\.shtml$"), base.substr(lit(1), length(base) - 6))
+      .when(base.rlike("\\.html$"), base.substr(lit(1), length(base) - 5))
+      .otherwise(base)
+  }
+
   /** [[urlOf]] as a codegen column expression — the de-drivered frontier
     * maps discovered ids to fetch URLs executor-side (kept in sync with
     * the scalar twin by a CrawlSpec property).
@@ -155,9 +173,8 @@ object Crawl {
       // this wave's landed pages, re-read from the spool: waves carry
       // disjoint ids (the anti-join below), so the id semi-join selects
       // exactly the pages just fetched
-      val waveIds = spark.read.parquet(s"$front/w$wave").select(
-        regexp_replace(regexp_extract(col("url"), "([^/]+)$", 1),
-          "\\.s?html$", "").as("name_id"))
+      val waveIds = spark.read.parquet(s"$front/w$wave")
+        .select(nameIdOfCol(col("url")).as("name_id"))
       val wavePages = spark.read.parquet(spool)
         .join(waveIds, Seq("name_id"), "left_semi")
       wave += 1

@@ -98,6 +98,22 @@ class CrawlSpec extends SparkSpec {
       .select(col("name_id"), Crawl.urlOfCol(col("name_id")).as("url"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     ids.foreach(id => assert(got(id) == Crawl.urlOf(id), id))
+    // ...and the inverse rule: the wave semi-join's codegen name_id must
+    // agree with the scalar BBRefParse.nameIdOf the fetcher stamps on
+    // landed rows, INCLUDING the edge URL shapes where the old ad-hoc
+    // regexp diverged (trailing slash, query string) — a divergence here
+    // is a silent under-crawl (r17 ADVICE)
+    val urls = ids.map(Crawl.urlOf) ++ Seq(
+      "https://example.test/players/j/jayjo02.shtml/",   // trailing slash
+      "https://example.test/players/j/",                  // dir-style seed
+      "https://example.test/leagues/MLB/2019-schedule.shtml?utm=x", // query string
+      "https://example.test/boxes/WAS/WAS201710120.html", // .html variant
+      "https://example.test/plain", "relative/path.shtml")
+    val gotIds = urls.toDF("url")
+      .select(col("url"), Crawl.nameIdOfCol(col("url")).as("name_id"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    urls.foreach(u =>
+      assert(gotIds(u) == graft.scrape.BBRefParse.nameIdOf(u), u))
     // the no-collect contract (r16 VERDICT #4): the crawlAndFetch loop's
     // frontier stays executor-side — pin it at the source so a future
     // "just collect the wave" regression fails a test, not a review

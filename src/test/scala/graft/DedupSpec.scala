@@ -842,6 +842,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d13 staleness advisory: absorbs past 2x the frozen sizing flag, a re-land clears") {
+    // the missing half of the frozen-quantizer versioning contract: the
+    // docstrings say "meta's n_docs vs n_cents is the signal to watch" —
+    // this watches it. landSemanticIndex auto-sizes by ivfCellsFor, so
+    // crossing 2x the frozen sizing needs a corpus that GROWS 4x+ after
+    // land: replicate the 500 fixture vectors to 2000 ids. Land 100
+    // (16 cells), absorb the other 1900: ivfCellsFor(2000) = 45 >= 2*16
+    // -> stale. Re-land over the grown corpus (45 cells), absorb a
+    // sliver: 45 < 90 -> clear. Probe parity is advisory-independent
+    // (the absorb-parity spec above).
+    val base = graft.sources.Tables.embeddings(spark, sfDir)
+    val all = (0 until 4).map(i => base.select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val dir = graft.sources.Spool.tempRoot("d13_stale")
+    try {
+      Dedup.landSemanticIndex(all.filter(col("vec_id") < 100),
+        "vec_id", "embedding", "graft_d13_stale", s"$dir/one")
+      Dedup.absorbSemanticBatch(spark, all.filter(col("vec_id") >= 100),
+        "vec_id", "embedding", "graft_d13_stale")
+      val st = Metrics.get("d13.stale").get
+      assert(st("stale") == true, s"expected stale advisory: $st")
+      assert(st("frozen_cents") == 16L && st("sized_cells") ==
+        Dedup.ivfCellsFor(all.count()).toLong, st.toString)
+
+      Dedup.landSemanticIndex(all.filter(col("vec_id") < 3000490L),
+        "vec_id", "embedding", "graft_d13_stale2", s"$dir/two")
+      Dedup.absorbSemanticBatch(spark, all.filter(col("vec_id") >= 3000490L),
+        "vec_id", "embedding", "graft_d13_stale2")
+      val st2 = Metrics.get("d13.stale").get
+      assert(st2("stale") == false, s"re-land must clear the advisory: $st2")
+    } finally {
+      Seq("cents", "assign", "vecs", "meta").foreach(s => {
+        spark.sql(s"DROP TABLE IF EXISTS graft_d13_stale_$s")
+        spark.sql(s"DROP TABLE IF EXISTS graft_d13_stale2_$s")
+      })
+    }
+  }
+
   test("semantic compaction rewrites absorbed small files to one per bucket, probes bit-identically") {
     // the d13 twin of the d11 compaction contract: land A, absorb B
     // then C (each append adds ~one file per touched bucket on _assign

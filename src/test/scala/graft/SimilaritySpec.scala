@@ -415,6 +415,52 @@ class SimilaritySpec extends SparkSpec {
       "a10_spec_two", k = 5, nProbe = 4)) == probeTwo)
   }
 
+  test("a10 absorb: redelivery guard drops replayed ids; staleness advisory fires and re-land clears it") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+
+    // land a SMALL slice with a DELIBERATELY under-sized quantizer (8
+    // cells); absorbing the rest takes ivfCellsFor(n) past 2×8
+    val landed = e.filter($"vec_id" < 100)
+    val arrivals = e.filter($"vec_id" >= 100)
+    Similarity.landIvfPqIndex(landed, "vec_id", "embedding", 8, 4, 16,
+      "a10_guard", graft.sources.Spool.dir(spark, "a10gd"))
+    val m1 = Similarity.absorbIvfPqBatch(spark, arrivals, "vec_id", "embedding", "a10_guard")
+    val probe1 = rows(Similarity.ivfPqProbe(spark, q, "vec_id", "embedding",
+      "a10_guard", k = 5, nProbe = 4))
+
+    // at-least-once replay of the SAME batch: the guard absorbs nothing
+    // — n_docs unchanged, probe bit-identical (duplicate code rows
+    // would double adc_fp and corrupt every ranking)
+    val m2 = Similarity.absorbIvfPqBatch(spark, arrivals, "vec_id", "embedding", "a10_guard")
+    assert(m2.nDocs == m1.nDocs, s"replay advanced n_docs: ${m1.nDocs} -> ${m2.nDocs}")
+    assert(rows(Similarity.ivfPqProbe(spark, q, "vec_id", "embedding",
+      "a10_guard", k = 5, nProbe = 4)) == probe1)
+    // ...and a PARTIALLY overlapping batch absorbs only its fresh ids
+    val m3 = Similarity.absorbIvfPqBatch(spark,
+      e.filter($"vec_id" >= 90 && $"vec_id" < 110), // 90..99 landed, 100..109 absorbed
+      "vec_id", "embedding", "a10_guard")
+    assert(m3.nDocs == m2.nDocs, "overlapping batch must add zero new ids here")
+
+    // staleness: the corpus (500) outgrew the 8-cell quantizer —
+    // ivfCellsFor(500) = 23 >= 2*8
+    val st = Metrics.get("a10.stale").get
+    assert(st("stale") == true, s"expected stale advisory: $st")
+    assert(st("frozen_cents") == 8L && st("n_docs") == e.count())
+
+    // re-land at the grown corpus's own sizing = the explicit
+    // re-quantization: the advisory clears on the next absorb
+    val cells = graft.operators.Dedup.ivfCellsFor(e.count())
+    Similarity.landIvfPqIndex(e.filter($"vec_id" < 490), "vec_id", "embedding",
+      cells, 4, 16, "a10_guard2", graft.sources.Spool.dir(spark, "a10gd2"))
+    Similarity.absorbIvfPqBatch(spark, e.filter($"vec_id" >= 490),
+      "vec_id", "embedding", "a10_guard2")
+    val st2 = Metrics.get("a10.stale").get
+    assert(st2("stale") == false, s"re-land must clear the advisory: $st2")
+  }
+
   test("lshTopK achieves high recall vs brute force on real embeddings") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter($"vec_id" < 10)

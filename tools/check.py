@@ -11,6 +11,8 @@ string compare report)."""
 import sys, json, glob, os, math
 import duckdb
 import pyarrow.parquet as pq
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from canoncmp import canon, vals_eq, compare_rows
 
 sf, out = sys.argv[1], sys.argv[2]
 oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
@@ -21,30 +23,10 @@ for f in glob.glob(os.path.join(sf, "*.parquet")):
     src = os.path.join(f, "*.parquet") if os.path.isdir(f) else f
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
-def canon(df):
-    cols = sorted(df.columns)
-    df = df[cols]
-    recs = df.values.tolist()
-    def key(row):
-        # round floats in the sort key so sub-tolerance jitter between
-        # engines cannot reorder rows and misalign the row-wise compare
-        out = []
-        for v in row:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                out.append("")
-            elif isinstance(v, float):
-                out.append(f"{v:.6g}")
-            else:
-                out.append(str(v))
-        return out
-    return cols, sorted(recs, key=key)
-
-def vals_eq(a, b):
-    if a is None and b is None: return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b): return True
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
-    return str(a) == str(b)
+# canon / vals_eq / compare_rows live in canoncmp.py (shared with
+# check_one.py): floats are excluded from the sort key and non-float
+# tie groups are tolerance-paired, so sub-tolerance float jitter can
+# never reorder the two sides into a spurious FAIL (r17 ADVICE).
 
 fails = 0
 for name in sorted(oracle):
@@ -64,12 +46,7 @@ for name in sorted(oracle):
         print(f"FAIL {name}: schema mismatch spark={sc} oracle={oc}"); fails += 1; continue
     if len(orows) != len(srows):
         print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}"); fails += 1; continue
-    bad = None
-    for i, (r1, r2) in enumerate(zip(srows, orows)):
-        for c, (v1, v2) in zip(sc, zip(r1, r2)):
-            if not vals_eq(v1, v2):
-                bad = (i, c, v1, v2); break
-        if bad: break
+    bad = compare_rows(sc, srows, orows)
     if bad:
         print(f"FAIL {name}: row {bad[0]} col {bad[1]} spark={bad[2]!r} oracle={bad[3]!r}"); fails += 1
     else:

@@ -10,6 +10,8 @@ Usage: tools/check_one.py <sfDir> <verifyOutDir> <queryName>
 import sys, json, glob, os, math
 import duckdb
 import pyarrow.parquet as pq
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from canoncmp import canon, vals_eq, compare_rows
 
 sf, out, name = sys.argv[1], sys.argv[2], sys.argv[3]
 mem = sys.argv[4] if len(sys.argv) > 4 else "60GB"
@@ -27,33 +29,9 @@ for f in glob.glob(os.path.join(sf, "*.parquet")):
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 
-def canon(df):
-    cols = sorted(df.columns)
-    df = df[cols]
-    recs = df.values.tolist()
-
-    def key(row):
-        o = []
-        for v in row:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                o.append("")
-            elif isinstance(v, float):
-                o.append(f"{v:.6g}")
-            else:
-                o.append(str(v))
-        return o
-    return cols, sorted(recs, key=key)
-
-
-def vals_eq(a, b):
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
-    return str(a) == str(b)
-
+# canon / vals_eq / compare_rows live in canoncmp.py (shared with
+# check.py): floats are excluded from the sort key and non-float tie
+# groups are tolerance-paired (r17 ADVICE fix).
 
 want = con.execute(oracle[name]).df()
 got_files = glob.glob(os.path.join(out, name, "*.parquet"))
@@ -67,9 +45,8 @@ if [c.lower() for c in wc] != [c.lower() for c in gc]:
 if len(wr) != len(gr):
     print(f"FAIL {name}: rows {len(gr)} vs oracle {len(wr)}")
     sys.exit(1)
-for i, (a, b) in enumerate(zip(gr, wr)):
-    for x, y in zip(a, b):
-        if not vals_eq(x, y):
-            print(f"FAIL {name}: row {i} value {x!r} vs oracle {y!r}")
-            sys.exit(1)
+bad = compare_rows(gc, gr, wr)
+if bad:
+    print(f"FAIL {name}: row {bad[0]} col {bad[1]} value {bad[2]!r} vs oracle {bad[3]!r}")
+    sys.exit(1)
 print(f"OK   {name} ({len(gr)} rows)")
