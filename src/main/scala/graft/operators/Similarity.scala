@@ -593,6 +593,33 @@ object Similarity {
     advanced
   }
 
+  /** One full vector-ingest cycle — probe, spool the top-k verdicts,
+    * absorb — the st14 per-micro-batch loop body and the a10 twin of
+    * [[Dedup.probeAbsorbMinhashBatch]]: each arriving vector is
+    * answered AGAINST THE INDEX AS OF ITS ARRIVAL (its ADC top-k among
+    * landed ∪ earlier-absorbed vectors — batch mates are not yet in
+    * the index, so never candidates), then the batch absorbs so later
+    * arrivals see it. The spool append MATERIALIZES the probe before
+    * the absorb appends the batch (probing after would let the lazily-
+    * listed code scan see the batch's own rows — the same ordering
+    * contract as the minhash/semantic cycles). `cachedMeta` skips the
+    * per-batch meta read; safe whenever this loop is the index's only
+    * writer.
+    */
+  def probeAbsorbIvfPqBatch(spark: SparkSession, newEmbs: DataFrame,
+                            idCol: String, vecCol: String, tableBase: String,
+                            k: Int, nProbe: Int, verdictsDir: String,
+                            cachedMeta: Option[IvfPqMeta] = None): IvfPqMeta = {
+    val meta = cachedMeta.getOrElse(readIvfPqMeta(spark, tableBase))
+    ivfPqProbe(spark, newEmbs, idCol, vecCol, tableBase, k, nProbe,
+        cachedMeta = Some(meta))
+      .select(col("query_id").as("vec_id"), col("neighbor_id"),
+        col("adc_fp"), col("rank"))
+      .repartition(1)
+      .write.mode(SaveMode.Append).parquet(verdictsDir)
+    absorbIvfPqBatch(spark, newEmbs, idCol, vecCol, tableBase, Some(meta))
+  }
+
   /** Compact a landed [[landIvfPqIndex]]'s code table back to one file
     * per bucket — the a10 twin of [[Dedup.compactMinhashIndex]], via the
     * shared rewrite (path read so the repartition Exchange survives the

@@ -995,6 +995,50 @@ object DocumentSuite {
        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS BIGINT) AS rank
        |FROM sc QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The st14 oracle: the frozen-quantizer a10 ADC algebra (centroids +
+    * codebook sampled from the landed vec_id % 5 < 3 slice, assignments
+    * and codes over the full table) folded over ARRIVAL ORDER — each
+    * arrival (vec_id % 5 >= 3) is a query whose candidate set is
+    * exactly the index as of its arrival: landed vectors plus arrivals
+    * from strictly earlier chunks (chunk = vec_id mod ArrivalChunks,
+    * mtime-pinned order; batch mates are NOT yet in the index when a
+    * chunk probes, so same-chunk pairs never appear — unlike the
+    * st11/st12 classification fold, which does see smaller-id mates).
+    */
+  private[queries] def streamIvfPqVerdictsSql: String = {
+    val chunks = graft.streaming.DocStreams.ArrivalChunks
+    val landed = "WHERE vec_id % 5 < 3"
+    s"""WITH cents AS ${centsSampleSqlOver(16, landed)},
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cassign AS ${ivfAssignCte("", keep = 1, "neighbor_id", "cv2")},
+       |qassign AS ${ivfAssignCte("WHERE e.id % 5 >= 3", keep = 4, "query_id", "qv")},
+       |${pqCtesOver(landed)},
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM pqscored
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 5 >= 3),
+       |qs AS (
+       |  SELECT query_id, sub,
+       |    qv[CAST(sub * (len(qv) // 4) + 1 AS INT) : CAST((sub + 1) * (len(qv) // 4) AS INT)] AS qsv
+       |  FROM q, subs),
+       |adc AS (
+       |  SELECT query_id, sub, code,
+       |    CAST(FLOOR(list_reduce(list_transform(list_zip(qsv, csv), p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS dfp
+       |  FROM qs JOIN cs USING (sub)),
+       |sc AS (
+       |  SELECT a.query_id, c.vec_id AS neighbor_id, CAST(SUM(a.dfp) AS BIGINT) AS adc_fp
+       |  FROM codes c
+       |  JOIN cassign ca ON ca.neighbor_id = c.vec_id
+       |  JOIN qassign qa ON qa.cid = ca.cid
+       |  JOIN adc a ON a.query_id = qa.query_id AND a.sub = c.sub AND a.code = c.code
+       |  WHERE (c.vec_id % 5 < 3 OR c.vec_id % $chunks < a.query_id % $chunks)
+       |  GROUP BY 1, 2)
+       |SELECT query_id AS vec_id, neighbor_id, adc_fp,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS BIGINT) AS rank
+       |FROM sc QUALIFY rank <= 5 ORDER BY vec_id, rank""".stripMargin
+  }
+
   /** Shared DuckDB CTE chain: 3-gram shingles -> inverted-index pair
     * counts -> Jaccard >= 0.5 pairs (used by the d2 and d6 oracles).
     */

@@ -72,6 +72,14 @@ object StreamingSuite {
     "st13_stream_line_dedup" -> ((s, d) => {
       graft.streaming.DocStreams.streamLineDedup(s, d)
         .orderBy("doc_id")
+    }),
+    // continuous vector ingest over the LANDED a10 IVF-PQ index: each
+    // arriving micro-batch gets its ADC top-k against the index as of
+    // its arrival (frozen quantizer), then absorbs so later arrivals
+    // probe it (foreachBatch probe -> verdict spool -> absorb)
+    "st14_stream_vector_ingest" -> ((s, d) => {
+      graft.streaming.DocStreams.streamIvfPqIngest(s, d)
+        .orderBy("vec_id", "rank")
     })
   )
 
@@ -199,6 +207,12 @@ object StreamingSuite {
 
     // the arrival-ordered segment fold (keep-first in arrival order)
     "st13_stream_line_dedup" ->
-      graft.queries.DocumentSuite.streamLineDedupSql
+      graft.queries.DocumentSuite.streamLineDedupSql,
+
+    // the frozen-quantizer a10 ADC algebra folded over arrival order:
+    // each arrival's top-k among landed vectors and strictly earlier
+    // chunks (batch mates are not yet in the index when a chunk probes)
+    "st14_stream_vector_ingest" ->
+      graft.queries.DocumentSuite.streamIvfPqVerdictsSql
   )
 }

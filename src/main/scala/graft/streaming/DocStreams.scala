@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Streaming ingest over the `documents` table: the continuous-arrival
   * twin of the d11 incremental dedup (SURVEY.md §2.4 st9).
@@ -396,5 +396,70 @@ object DocStreams {
     Seq("cents", "assign", "vecs", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
     spark.read.schema(classSchema("vec_id")).parquet(outDir).distinct()
+  }
+
+  private val verdictSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("neighbor_id", LongType),
+    StructField("adc_fp", LongType), StructField("rank", LongType)))
+
+  /** st14: streaming vector ingest over the LANDED a10 IVF-PQ index —
+    * the d13→st10 pattern applied to the flagship vector store: the
+    * corpus slice (vec_id % 5 < 3) lands once via
+    * [[graft.operators.Similarity.landIvfPqIndex]] (centroids AND PQ
+    * codebook frozen there — re-quantization is an explicit re-land,
+    * never something a stream does implicitly); the remaining vectors
+    * arrive as a timestamp-ordered file sequence, one micro-batch
+    * each. Per batch, behind the `_codes` redelivery guard,
+    * [[graft.operators.Similarity.probeAbsorbIvfPqBatch]] answers each
+    * arrival's ADC top-k AGAINST THE INDEX AS OF ITS ARRIVAL (landed ∪
+    * earlier chunks — batch mates are not yet in the index, so never
+    * candidates), spools the verdicts, and absorbs the batch so later
+    * arrivals see it. Drained stream ≡ one arrival-ordered fold over
+    * the frozen-quantizer a10 algebra (earlier(e, x) ⇔ e landed or e's
+    * chunk precedes x's — the DuckDB oracle), and ≡ the same cycles
+    * replayed as plain batch calls (spec-pinned).
+    */
+  def streamIvfPqIngest(spark: SparkSession, dir: String,
+                        k: Int = 5, nProbe: Int = 4,
+                        autoCompactEvery: Int = 0,
+                        rootDir: Option[String] = None): DataFrame = {
+    val id = qid.incrementAndGet()
+    val tableBase = s"graft_st14_$id"
+    val root = rootDir.getOrElse(graft.sources.Spool.tempRoot(s"st14_$id"))
+    val embs = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    Similarity.landIvfPqIndex(embs.filter(col("vec_id") % 5 < 3),
+      "vec_id", "embedding", nCentroids = 16, m = 4, kCodes = 16,
+      tableBase, s"$root/idx")
+    writeOrderedChunks(s"$root/arrive", "embs_", ArrivalChunks, "vec_id")(
+      embs.filter(col("vec_id") % 5 >= 3))
+    val outDir = s"$root/verdicts"
+    val stream = spark.readStream.schema(embs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/arrive")
+    var meta: Option[Similarity.IvfPqMeta] = None
+    val compactor = new AutoCompactor(autoCompactEvery,
+      () => Similarity.compactIvfPqIndex(spark, tableBase))
+    val q = EventStreams.withDrainConf(spark) {
+      stream.writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // guard key: one code row per (id, sub) — sub 0 is the id set
+          val landedIds = spark.table(s"${tableBase}_codes")
+            .filter(col("sub") === 0).select(col("id").as("vec_id"))
+          val fresh = graft.sources.Sinks
+            .notYetIngested(batch, landedIds, "vec_id").localCheckpoint()
+          if (!fresh.isEmpty) {
+            meta = Some(Similarity.probeAbsorbIvfPqBatch(spark, fresh,
+              "vec_id", "embedding", tableBase, k, nProbe,
+              verdictsDir = outDir, cachedMeta = meta))
+            compactor.cycleDone()
+          }
+        }
+        .start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    graft.Metrics.set("st14.autocompact", "fired" -> compactor.firedCount.toLong)
+    Seq("cents", "cb", "codes", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
+    spark.read.schema(verdictSchema).parquet(outDir).distinct()
   }
 }

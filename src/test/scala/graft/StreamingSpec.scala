@@ -741,4 +741,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == want,
       s"only-streamed=${(got -- want).take(3)} only-fold=${(want -- got).take(3)}")
   }
+
+  test("st14: streamed vector ingest equals the chunk-by-chunk batch replay") {
+    // the a10-per-micro-batch contract: each arrival's ADC top-k is
+    // taken against the index as of its arrival, so the drained stream
+    // must be BIT-IDENTICAL to replaying the same chunks as plain batch
+    // probe→absorb calls over a separately landed index — pinning
+    // cross-micro-batch absorb visibility, the frozen quantizer, and
+    // the verdict spool all at once
+    def vr(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val got = graft.streaming.DocStreams.streamIvfPqIngest(spark, sfDir)
+      .collect().map(vr).toSet
+    val Sim = graft.operators.Similarity
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+    Sim.landIvfPqIndex(embs.filter(col("vec_id") % 5 < 3), "vec_id",
+      "embedding", 16, 4, 16, "st14_replay",
+      graft.sources.Spool.dir(spark, "st14rp"))
+    val arrivals = embs.filter(col("vec_id") % 5 >= 3)
+    val want = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    try (0 until C).foreach { i =>
+      val chunk = arrivals.filter(pmod(col("vec_id"), lit(C)) === i)
+      want ++= Sim.ivfPqProbe(spark, chunk, "vec_id", "embedding",
+        "st14_replay", k = 5, nProbe = 4).collect().map(vr)
+      Sim.absorbIvfPqBatch(spark, chunk, "vec_id", "embedding", "st14_replay")
+    } finally Seq("cents", "cb", "codes", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS st14_replay_$s"))
+    assert(got == want.toSet,
+      s"only-streamed=${(got -- want).take(3)} only-replay=${(want.toSet -- got).take(3)}")
+    // non-vacuity: some verdict's neighbor arrived in an EARLIER chunk,
+    // so the absorb-then-probe visibility leg is genuinely exercised
+    assert(got.exists { case (x, nb, _, _) => nb % 5 >= 3 && nb % C < x % C },
+      "no earlier-chunk neighbor in any verdict — absorb path untested")
+  }
 }
