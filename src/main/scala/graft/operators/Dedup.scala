@@ -318,18 +318,32 @@ object Dedup {
     *     score ≥ minScore (empty-after-cleaning docs drop first; they
     *     have no length to divide by and nothing to train on).
     *
+    * Two OPTIONAL stages complete the CCNet/Dolma production order
+    * (dedup → decontaminate → scrub → quality), r17 VERDICT #7:
+    * `decontaminate = Some(bench)` drops any survivor whose CLEANED
+    * text still shares a `decontamN`-gram with the eval set (the d9
+    * sketch-prefilter + exact-verify machinery — eval-side cost is one
+    * Bloom sketch, corpus-side a prefiltered sliver); `scrubPii` runs
+    * the t7 redaction over clean_text BEFORE scoring, so the quality
+    * cut sees the text a model would train on.
+    *
     * Output: (doc_id, clean_text, n_dropped, score) for the surviving
     * corpus. Composing DECLARATIVELY (no materialization between
     * stages) lets Catalyst plan the whole recipe at once: the sha
     * groupBy and the segment-df groupBy are the only corpus shuffles,
-    * stage 3 is a pure projection fused onto stage 2's reassembly
-    * output, and at 100 TB the recipe's cost is exactly its two
-    * aggregations plus one semi-join — no intermediate parquet, no
-    * second scan of the raw corpus.
+    * the scrub/score stages are pure projections fused onto stage 2's
+    * reassembly output, and at 100 TB the default recipe's cost is
+    * exactly its two aggregations plus one semi-join — no intermediate
+    * parquet, no second scan of the raw corpus (decontamination adds
+    * its gram explode + the sliver verify, with the reassembly
+    * exchange REUSED across the anti-join's two references).
     */
   def cleanPipeline(docs: DataFrame, idCol: String, textCol: String,
                     window: Int = 10, minDf: Int = 2,
-                    minScore: Double = 0.5): DataFrame = {
+                    minScore: Double = 0.5,
+                    decontaminate: Option[DataFrame] = None,
+                    decontamN: Int = 13,
+                    scrubPii: Boolean = false): DataFrame = {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
     val keep1 = base
@@ -338,7 +352,33 @@ object Dedup {
     val survivors1 = base.join(keep1, Seq("doc_id"), "left_semi")
     val cleaned = lineDedup(survivors1, "doc_id", "text", window, minDf,
       keepFirst = true)
-    cleaned
+    // optional stage 2b — benchmark decontamination of the CLEANED text
+    // (the CCNet/Dolma order: a doc whose post-dedup text still shares a
+    // decontamN-gram with the eval set is dropped outright). The d9
+    // machinery: the eval side collapses to one Bloom sketch, positives
+    // are verified exactly, so the drop set is bit-identical to the d7
+    // broadcast join. `cleaned` is referenced by both anti-join sides
+    // with the IDENTICAL plan, so its reassembly exchange is reused, not
+    // recomputed (ReuseExchange on equal canonical subtrees).
+    val decon = decontaminate match {
+      case Some(bench) =>
+        val contaminated = bloomSharedGrams(
+          shingles(cleaned, "doc_id", "clean_text", decontamN),
+          bench, idCol, textCol, decontamN,
+          expectedItems = 1L << 20, numBits = 1L << 23)
+          .select("doc_id")
+        cleaned.join(contaminated, Seq("doc_id"), "left_anti")
+      case None => cleaned
+    }
+    // optional stage 2c — PII scrub BEFORE scoring (the t7 redaction
+    // family): the quality cut is taken on the text a model would
+    // actually train on, redaction tokens included
+    val scrubbed =
+      if (scrubPii)
+        decon.withColumn("clean_text",
+          graft.operators.TextAnalysis.piiRedact(col("clean_text")))
+      else decon
+    scrubbed
       .filter(length(col("clean_text")) > 0)
       .withColumn("score", graft.operators.TextAnalysis.qualityScore(
         col("clean_text"), length(col("clean_text"))))
@@ -517,13 +557,24 @@ object Dedup {
   def bloomDecontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, n: Int,
                          expectedItems: Long = 1L << 20,
-                         numBits: Long = 1L << 23): DataFrame = {
+                         numBits: Long = 1L << 23): DataFrame =
+    bloomSharedGrams(shingles(docs, idCol, textCol, n), bench, idCol,
+      textCol, n, expectedItems, numBits)
+
+  /** [[bloomDecontaminate]] over a PREBUILT distinct (id, s) gram
+    * relation — the shared core, so [[cleanPipeline]] can decontaminate
+    * the CLEANED text (grams of clean_text) through the identical
+    * sketch-prefilter + exact-verify machinery.
+    */
+  private def bloomSharedGrams(dg: DataFrame, bench: DataFrame,
+                               idCol: String, textCol: String, n: Int,
+                               expectedItems: Long,
+                               numBits: Long): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64, BloomFilterMightContain}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
-    val spark = docs.sparkSession
-    val dg = shingles(docs, idCol, textCol, n)
+    val spark = dg.sparkSession
     // land the distinct eval grams ONCE: both the sketch-build action
     // and the verify join read the spool, so the eval-side
     // shingle+distinct pass — the dominant eval cost for the large sets

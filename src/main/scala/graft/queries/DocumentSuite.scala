@@ -252,6 +252,31 @@ object DocumentSuite {
         .orderBy("doc_id")
     }),
 
+    // the FULL production recipe (the CCNet/Dolma stage order): exact
+    // keep-first dedup -> keep-first line dedup -> 13-gram
+    // decontamination of the CLEANED text against the eval slice
+    // (doc_id % 10 = 0, the d7/d9 stand-in) -> PII scrub -> quality
+    // filter on the SCRUBBED text. PII injected t7-style so the scrub
+    // stage genuinely bites (the synthetic corpus has none).
+    "d19_clean_pipeline_full" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10.0."), col("doc_id") % 256, lit(".17")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" call 555-867-5309"))
+            .otherwise(lit(""))).as("text"))
+      Dedup.cleanPipeline(corpus, "doc_id", "text", window = 10, minDf = 2,
+        minScore = 0.5,
+        decontaminate = Some(docs.filter(col("doc_id") % 10 === 0)),
+        decontamN = 13, scrubPii = true)
+        .orderBy("doc_id")
+    }),
+
     // the keep-first variant (CCNet/Dolma paragraph dedup): a repeated
     // segment keeps one canonical copy — in its minimum-doc_id host —
     // instead of vanishing everywhere
@@ -1426,6 +1451,63 @@ object DocumentSuite {
          |  SELECT doc_id, clean_text, n_dropped,
          |    ${qualityScoreSqlOver("clean_text", "len(clean_text)")} AS score
          |  FROM led WHERE len(clean_text) > 0)
+         |SELECT doc_id, clean_text, n_dropped, score
+         |FROM sc WHERE score >= 0.5 ORDER BY doc_id""".stripMargin,
+
+    // d19: the d18 chain over the t7-injected corpus slice, then the
+    // d9-style 13-gram decontamination of the CLEANED text against the
+    // raw eval slice, the t7 redaction, and the t2 score over the
+    // scrubbed text — every stage the exact SQL of its standalone twin
+    "d19_clean_pipeline_full" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.17' ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END AS text
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |keep1 AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM aug GROUP BY sha256(text)),
+         |docs1 AS (SELECT a.doc_id, a.text FROM aug a JOIN keep1 USING (doc_id)),
+         |${lineDedupChain("b.seg IS NOT NULL AND s.doc_id <> b.first_doc", "docs1")},
+         |led AS (
+         |  SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+         |         COALESCE(reb.n_dropped, 0) AS n_dropped
+         |  FROM docs1 d LEFT JOIN reb USING (doc_id)),
+         |ctok AS (
+         |  SELECT doc_id, string_split(clean_text, ' ') AS t FROM led
+         |  WHERE len(string_split(clean_text, ' ')) >= 13),
+         |cg AS (
+         |  SELECT DISTINCT doc_id,
+         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+         |    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] || ' ' ||
+         |    t[i+8] || ' ' || t[i+9] || ' ' || t[i+10] || ' ' || t[i+11] || ' ' ||
+         |    t[i+12] AS s
+         |  FROM ctok, UNNEST(range(1, len(t) - 11)) AS u(i)),
+         |btok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 13),
+         |bg AS (
+         |  SELECT DISTINCT
+         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+         |    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] || ' ' ||
+         |    t[i+8] || ' ' || t[i+9] || ' ' || t[i+10] || ' ' || t[i+11] || ' ' ||
+         |    t[i+12] AS s
+         |  FROM btok, UNNEST(range(1, len(t) - 11)) AS u(i)),
+         |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (s)),
+         |keep2 AS (
+         |  SELECT * FROM led WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |scr AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(clean_text,
+         |      '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
+         |      '${TextAnalysis.ipv4Re}', '<IP>', 'g'),
+         |      '${TextAnalysis.phoneRe}', '<PHONE>', 'g') AS clean_text,
+         |    n_dropped
+         |  FROM keep2),
+         |sc AS (
+         |  SELECT doc_id, clean_text, n_dropped,
+         |    ${qualityScoreSqlOver("clean_text", "len(clean_text)")} AS score
+         |  FROM scr WHERE len(clean_text) > 0)
          |SELECT doc_id, clean_text, n_dropped, score
          |FROM sc WHERE score >= 0.5 ORDER BY doc_id""".stripMargin,
 

@@ -657,6 +657,70 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("cleanPipeline full recipe: decontaminate + scrub stages equal the staged recompute and bite") {
+    // the d19 contract: the optional stages compose in the CCNet/Dolma
+    // order (dedup -> decontaminate CLEANED text -> scrub -> score the
+    // SCRUBBED text) and the one-plan pipeline equals running the four
+    // standalone operators with materialization between stages. PII is
+    // injected t7-style so the scrub has something to redact; the
+    // decontamination window is the spec-scale 8 (d7's) so the eval
+    // overlap survives cleaning at sf0.001.
+    val raw = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val inj = raw.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0."), col("doc_id") % 256, lit(".17")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call 555-867-5309"))
+          .otherwise(lit(""))).as("text"))
+    val bench = raw.filter(col("doc_id") % 10 === 0)
+    val n = 8
+    // staged recompute via the standalone public operators
+    val keepIds = inj.groupBy(sha2(col("text").cast("binary"), 256))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val s1 = inj.join(keepIds, Seq("doc_id"), "left_semi")
+    val cleaned = Dedup.lineDedup(s1, "doc_id", "text",
+      window = 10, minDf = 2, keepFirst = true).localCheckpoint()
+    val contaminated = Dedup.bloomDecontaminate(
+        cleaned.select(col("doc_id"), col("clean_text").as("text")),
+        bench, "doc_id", "text", n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(contaminated.nonEmpty, "decontamination stage dropped nothing — vacuous")
+    val decon = cleaned.filter(!col("doc_id").isin(contaminated.toSeq: _*))
+    val scrubbed = decon.withColumn("clean_text",
+      graft.operators.TextAnalysis.piiRedact(col("clean_text")))
+    val scrubChanged = decon.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scrubbedRows = scrubbed.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(scrubbedRows.exists { case (id, t, _) => t != scrubChanged(id) },
+      "scrub stage redacted nothing — vacuous")
+    val want = scrubbedRows.filter(_._2.nonEmpty).flatMap { case (id, t, nd) =>
+      import spark.implicits._
+      val s = Seq((t, t.length.toLong)).toDF("clean_text", "n")
+        .select(graft.operators.TextAnalysis.qualityScore(
+          col("clean_text"), col("n")).as("s")).head().getDouble(0)
+      if (s >= 0.5) Some(id -> (t, nd, s)) else None
+    }.toMap
+    val pipeline = Dedup.cleanPipeline(inj, "doc_id", "text",
+      window = 10, minDf = 2, minScore = 0.5,
+      decontaminate = Some(bench), decontamN = n, scrubPii = true)
+    val got = pipeline.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == want,
+      s"only-pipeline=${(got.keySet -- want.keySet).take(3)} " +
+        s"only-staged=${(want.keySet -- got.keySet).take(3)}")
+    // the anti-join references the reassembly twice: the exchange must
+    // be REUSED, never recomputed (the r17 fold lesson, pinned)
+    val plan = pipeline.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      "cleaned reassembly recomputed for the decontamination side:\n" + plan.take(3000))
+  }
+
   test("lineDedup drops cross-document repeated segments and reassembles in order") {
     // the d16 contract vs a scalar recompute: fixed-width segments
     // occurring in >= minDf distinct docs vanish from every doc; kept
