@@ -950,16 +950,30 @@ object Dedup {
       posexplode(array((0 until tables).map(t =>
         HashExpressions.hyperplaneSig(col("v"), t, planes)): _*)).as(Seq("tbl", "bucket")))
     val cand = saltedSelfCandidates(bucketed, Seq("tbl", "bucket"), tag = "d5")
-    verifiedCosPairs(cand, base, threshold)
+    verifiedCosPairs(cand, base, threshold, tag = "d5")
   }
 
   /** Shared exact-cosine verify tail of the embedding dedup family
     * (d5/d10): re-join the vectors by id onto the ids-only candidates,
     * keep pairs at/above `threshold`, report the 6-dp rounded cosine.
     * `base` must be (id, v).
+    *
+    * Loose-threshold posture: at loose τ over clustered embeddings the
+    * PAIR LIST ITSELF is the dangerous output — in-cell pair space is
+    * Θ(n^1.5) under the √n cell sizing (gen10 measured 92.8M rows at
+    * τ=0.4, exactly the envelope), and the time per pair stays flat.
+    * The verify streams (join → filter → project, nothing pinned), so
+    * the operator is safe at any density — but a CONSUMER that holds
+    * the result should be the bounded ones: d12 `dedupSurvivors`
+    * spools the pairs to disk and reduces them to a Θ(n) manifest,
+    * d15/st12 fold them into per-doc verdicts. The emitted
+    * `<tag>.pairs_out` Metrics count (one partial aggregate on rows
+    * already flowing past) is the density alarm a cluster operator
+    * watches to route loose-τ runs that way.
     */
   private def verifiedCosPairs(cand: DataFrame, base: DataFrame,
-                               threshold: Double): DataFrame =
+                               threshold: Double,
+                               tag: String = "pairs"): DataFrame =
     cand
       .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
@@ -967,6 +981,8 @@ object Dedup {
         HashExpressions.cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .observe(graft.Metrics.observeName(s"$tag.pairs_out"),
+        count(lit(1)).as("n_pairs"))
 
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings
     * into Voronoi cells and flag same-cell pairs whose exact cosine
@@ -1017,7 +1033,7 @@ object Dedup {
                          threshold: Double): DataFrame = {
     val base = embs.select(col("id"), col("v"))
     val cand = saltedSelfCandidates(assignCells(base, cents), Seq("cid"), tag = "d10")
-    verifiedCosPairs(cand, base, threshold)
+    verifiedCosPairs(cand, base, threshold, tag = "d10")
   }
 
   /** Nearest-centroid assignment (id, cid) for `base` = (id, v) against
@@ -1726,7 +1742,7 @@ object Dedup {
       .distinct()
     val intra = saltedSelfCandidates(bAssign, Seq("cid"), tag = "d13")
     val cand = cross.union(intra).distinct()
-    verifiedCosPairs(cand, idxVecs.unionByName(bBase), threshold)
+    verifiedCosPairs(cand, idxVecs.unionByName(bBase), threshold, tag = "d13")
   }
 
   /** Absorb an arriving embedding batch into a landed

@@ -93,6 +93,20 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("verified-pair volume is observed per family (the loose-threshold density alarm)") {
+    // d10's standalone pair list is Θ(n^1.5) at loose τ (gen10: 92.8M
+    // rows) — the pairs_out observation is what a cluster operator
+    // watches to route loose-τ runs at the bounded consumers (d12/d15)
+    // instead of materializing the pair list. One partial aggregate on
+    // the result rows; must equal the actual emitted count exactly.
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+    val n = Dedup.semanticDedupPairs(embs, "vec_id", "embedding",
+      threshold = 0.2).count()
+    assert(n > 0, "no pairs at spec τ — vacuous")
+    assert(awaitMetric("d10.pairs_out", "n_pairs") == n,
+      s"observed=${Metrics.get("d10.pairs_out")} actual=$n")
+  }
+
   test("incremental probe skips the InSet when the key set covers the buckets") {
     // 8 buckets -> cap = ceil(8·ln4) = 12; a 50-doc batch carries far
     // more band keys, so the prune would scan ~every bucket anyway and
