@@ -44,6 +44,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the RESTRICTED (md5 1/16 arrival-slice) twins of the fold oracles,
+    // for big-corpus replays the full SQL cannot finish (tools/
+    // check_slice.py consumes this; the driver's gate ignores it)
+    val sliced = graft.queries.DocumentSuite.slicedScaleOracles
+      .map { case (k, (sql, filt)) =>
+        s"${q(k)}: {${q("oracle")}: ${q(sql)}, ${q("filter")}: ${q(filt)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/sliced_oracle_sql.json"), sliced)
     // cost-ascending, not alphabetical: a timeout then truncates only the
     // expensive scrape/streaming tail (see SparkEntry.gateOrder)
     val names = SparkEntry.gateOrder(SparkEntry.queries.keys).filter(keep)

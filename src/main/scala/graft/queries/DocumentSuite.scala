@@ -721,12 +721,21 @@ object DocumentSuite {
     * semantic twin of [[minhashEstCtes]].
     */
   private def semanticScoredCtes(centsWhere: String): String =
+    semanticScoredCtesWhere(centsWhere, "TRUE")
+
+  /** [[semanticScoredCtes]] with `pairCond` (over `a.id`/`b.id`) pushed
+    * into the same-cell self-join — the semantic twin of
+    * [[minhashEstCtesWhere]]'s replay-capacity lever.
+    */
+  private def semanticScoredCtesWhere(centsWhere: String,
+                                      pairCond: String): String =
     s"""WITH cents AS ${centsSampleSqlSizedOver(centsWhere)},
        |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |assign AS ${ivfAssignCte("", keep = 1, "id", "v")},
        |scored AS (
        |  SELECT a.id AS id_a, b.id AS id_b, ${cosSqlZ("a.v", "b.v")} AS cos
-       |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id)""".stripMargin
+       |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id
+       |  WHERE ($pairCond))""".stripMargin
 
   private[queries] def semanticPairsSql(centsWhere: String, restrict: String): String =
     s"""${semanticScoredCtes(centsWhere)}
@@ -787,6 +796,73 @@ object DocumentSuite {
       (e, x) => s"$e % 5 < 3 OR $e % $StChunks < $x % $StChunks" +
         s" OR ($e % $StChunks = $x % $StChunks AND $e < $x)")
 
+  /** Deterministic 1/16 id slice for the restricted gen10 fold
+    * oracles: first hex digit of md5(id) — uncorrelated with the mod-
+    * based landed/batch/chunk rules, replayable verbatim in any
+    * engine (the slice rule IS part of the emitted SQL).
+    */
+  private def md5SliceSql(c: String): String =
+    s"substr(md5(CAST($c AS VARCHAR)), 1, 1) = '0'"
+
+  /** RESTRICTED gen10-replay twins of the four fold oracles
+    * (d14/d15/st11/st12), closing bench/SCALING_r17.md §5's holes: the
+    * full fold SQL exceeds the container's DuckDB capacity at 500k
+    * docs, but the fold algebra is PER-ARRIVAL independent once the
+    * index side is fixed — the verdict for arrival x consumes only
+    * pairs (x, earlier) — so verdicts for a deterministic md5 1/16
+    * slice of the arrival side are computable without materializing
+    * the other 15/16 of the pair space (the pair restriction is pushed
+    * into the banded/same-cell self-join, which also eliminates the
+    * landed×landed candidate space the fold never reads). Each value is
+    * (oracleSql, sparkDumpFilter): the oracle computes the sliced
+    * verdicts; the filter selects the same slice out of the FULL
+    * Spark-side dump for the compare. The full-set oracles above stay
+    * the gate at sf0.01/gen1.
+    */
+  private[graft] def slicedScaleOracles: Map[String, (String, String)] = {
+    // "some side is a SLICED ARRIVAL", rendered for the caller's two
+    // column spellings (the self-join's a.id/b.id; jp's id_a/id_b)
+    def sliceCond(arr: String => String, ca: String, cb: String) =
+      s"(${arr(ca)} AND ${md5SliceSql(ca)}) OR (${arr(cb)} AND ${md5SliceSql(cb)})"
+    val d14Arr = (c: String) => s"$c % 10 = 8"
+    val stArr = (c: String) => s"$c % 5 >= 3"
+    val d14Earlier = (e: String, x: String) => s"$e % 10 <> 8 OR $e < $x"
+    val stEarlier = (e: String, x: String) =>
+      s"$e % 5 < 3 OR $e % $StChunks < $x % $StChunks" +
+        s" OR ($e % $StChunks = $x % $StChunks AND $e < $x)"
+    Map(
+      "d14_dedup_incremental_survivors" -> (earlierFoldSql(
+        minhashEstCtesWhere(sliceCond(d14Arr, "a.id", "b.id")),
+        s"""SELECT id_a, id_b FROM est
+           |       WHERE ej >= 0.5 AND (${sliceCond(d14Arr, "id_a", "id_b")})""".stripMargin,
+        "doc_id", "documents",
+        c => s"${d14Arr(c)} AND ${md5SliceSql(c)}", d14Earlier),
+        md5SliceSql("doc_id")),
+      "st11_stream_incremental_survivors" -> (earlierFoldSql(
+        minhashEstCtesWhere(sliceCond(stArr, "a.id", "b.id")),
+        s"""SELECT id_a, id_b FROM est
+           |       WHERE ej >= 0.5 AND (${sliceCond(stArr, "id_a", "id_b")})""".stripMargin,
+        "doc_id", "documents",
+        c => s"${stArr(c)} AND ${md5SliceSql(c)}", stEarlier),
+        md5SliceSql("doc_id")),
+      "d15_semantic_incremental_survivors" -> (earlierFoldSql(
+        semanticScoredCtesWhere("WHERE vec_id % 10 <> 8",
+          sliceCond(d14Arr, "a.id", "b.id")),
+        s"""SELECT id_a, id_b FROM scored
+           |       WHERE cos >= 0.4 AND (${sliceCond(d14Arr, "id_a", "id_b")})""".stripMargin,
+        "vec_id", "embeddings",
+        c => s"${d14Arr(c)} AND ${md5SliceSql(c)}", d14Earlier),
+        md5SliceSql("vec_id")),
+      "st12_stream_semantic_survivors" -> (earlierFoldSql(
+        semanticScoredCtesWhere("WHERE vec_id % 5 < 3",
+          sliceCond(stArr, "a.id", "b.id")),
+        s"""SELECT id_a, id_b FROM scored
+           |       WHERE cos >= 0.4 AND (${sliceCond(stArr, "id_a", "id_b")})""".stripMargin,
+        "vec_id", "embeddings",
+        c => s"${stArr(c)} AND ${md5SliceSql(c)}", stEarlier),
+        md5SliceSql("vec_id")))
+  }
+
   /** The d16/d17 oracle: the same fixed-width segmentation as
     * Dedup.lineDedup (1-based list slice = Spark's
     * slice(w, segno*W+1, W)), df-counted with the min host doc, the
@@ -827,7 +903,15 @@ object DocumentSuite {
     * agreement estimate `est(id_a, id_b, ej)` — composable: callers
     * append their own CTEs with a leading comma or select directly.
     */
-  private def minhashEstCtes: String =
+  private def minhashEstCtes: String = minhashEstCtesWhere("TRUE")
+
+  /** [[minhashEstCtes]] with `candCond` (over `a.id`/`b.id`) pushed
+    * INTO the banded self-join — the replay-capacity lever for the
+    * gen10 fold oracles: a fold only consumes pairs involving its
+    * (sliced) arrival side, so the quadratic landed×landed candidate
+    * space never has to materialize (bench/SCALING_r17.md §5).
+    */
+  private def minhashEstCtesWhere(candCond: String): String =
     s"""WITH ${minhashCoefCte(64)},
        |toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -846,7 +930,8 @@ object DocumentSuite {
        |  FROM sig, UNNEST(range(0, 16)) AS u2(b)),
        |cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
-       |  FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.id < b.id),
+       |  FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.id < b.id
+       |  WHERE ($candCond)),
        |est AS (
        |  SELECT id_a, id_b,
        |    CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE) / 64 AS ej
@@ -940,13 +1025,29 @@ object DocumentSuite {
   /** Voronoi-cell assignment for the a3 oracle: per vector, the `keep`
     * nearest of the md5-sampled centroids by exact cosine (ties to the
     * smaller centroid id — the same ordering [[Similarity.ivfTopK]]
-    * uses).
+    * uses). keep = 1 — the corpus-sized side — is a GROUP BY
+    * MIN(struct(-cos, cid)) aggregate, not a window: the r17 Spark fix
+    * applied to the ORACLE too (a window must sort all n·cells scored
+    * rows carrying the 64-dim vector payload — at gen10 that is 89.6M
+    * wide rows and tens of GB of DuckDB temp spill; the aggregate
+    * streams with one running winner per id, and the vector re-joins
+    * by id afterwards). Order-identical: struct comparison is
+    * lexicographic, negation flips cos to ascending, cid breaks ties
+    * ascending — and cosSqlZ is zero-guarded so no NaN can flip the
+    * winner. keep > 1 (the sample-sized query side) stays the window.
     */
   private def ivfAssignCte(filter: String, keep: Int, idAs: String, vecAs: String): String =
-    s"""(SELECT id AS $idAs, v AS $vecAs, cid FROM (
-       |    SELECT e.id, e.v, ce.cid,
-       |      ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY ${cosSqlZ("e.v", "ce.cw")} DESC, ce.cid) AS r
-       |    FROM e, cents ce $filter) WHERE r <= $keep)""".stripMargin
+    if (keep == 1)
+      s"""(SELECT w.id AS $idAs, e2.v AS $vecAs, struct_extract(w.m, 'cid') AS cid FROM (
+         |    SELECT e.id,
+         |      MIN(struct_pack(nc := -(${cosSqlZ("e.v", "ce.cw")}), cid := ce.cid)) AS m
+         |    FROM e, cents ce $filter GROUP BY e.id) w
+         |  JOIN e e2 ON e2.id = w.id)""".stripMargin
+    else
+      s"""(SELECT id AS $idAs, v AS $vecAs, cid FROM (
+         |    SELECT e.id, e.v, ce.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY ${cosSqlZ("e.v", "ce.cw")} DESC, ce.cid) AS r
+         |    FROM e, cents ce $filter) WHERE r <= $keep)""".stripMargin
 
   /** Shared DuckDB CTE chain for the PQ family (a6 encode, a7 ADC):
     * md5-sampled codebook coded in sample order, m=4 subspace slices of
