@@ -1815,11 +1815,16 @@ object Dedup {
                                idCol: String, vecCol: String,
                                tableBase: String, threshold: Double,
                                pairsDir: String,
-                               cachedMeta: Option[SemanticMeta] = None): SemanticMeta = {
+                               cachedMeta: Option[SemanticMeta] = None,
+                               preMaterialized: Boolean = false): SemanticMeta = {
     val meta = cachedMeta.getOrElse(readSemanticMeta(spark, tableBase))
     val cents = spark.table(s"${tableBase}_cents")
-    val bBase = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .localCheckpoint()
+    // preMaterialized: the stream loops already localCheckpointed the
+    // guarded batch, so the (id, v) projection over it is free to
+    // re-evaluate — skipping the second checkpoint saves one job per
+    // micro-batch (the drains' cost is the job-count floor, not data)
+    val bBase0 = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bBase = if (preMaterialized) bBase0 else bBase0.localCheckpoint()
     val bAssign = assignCells(bBase, cents).localCheckpoint()
     probeSemanticCore(spark, bBase, bAssign, tableBase, meta.nBuckets,
         threshold, broadcastBatch = true)
@@ -1839,11 +1844,13 @@ object Dedup {
                                   idCol: String, vecCol: String,
                                   tableBase: String, threshold: Double,
                                   classDir: String,
-                                  cachedMeta: Option[SemanticMeta] = None): SemanticMeta = {
+                                  cachedMeta: Option[SemanticMeta] = None,
+                                  preMaterialized: Boolean = false): SemanticMeta = {
     val meta = cachedMeta.getOrElse(readSemanticMeta(spark, tableBase))
     val cents = spark.table(s"${tableBase}_cents")
-    val bBase = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .localCheckpoint()
+    // see probeAbsorbSemanticBatch on preMaterialized
+    val bBase0 = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bBase = if (preMaterialized) bBase0 else bBase0.localCheckpoint()
     val bAssign = assignCells(bBase, cents).localCheckpoint()
     val pairs = probeSemanticCore(spark, bBase, bAssign, tableBase,
       meta.nBuckets, threshold, broadcastBatch = true)

@@ -565,22 +565,34 @@ object Similarity {
     */
   def absorbIvfPqBatch(spark: SparkSession, newEmbs: DataFrame,
                        idCol: String, vecCol: String, tableBase: String,
-                       cachedMeta: Option[IvfPqMeta] = None): IvfPqMeta = {
+                       cachedMeta: Option[IvfPqMeta] = None,
+                       preMaterialized: Boolean = false,
+                       callerGuarded: Boolean = false): IvfPqMeta = {
     val meta = cachedMeta.getOrElse(readIvfPqMeta(spark, tableBase))
-    val base = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .localCheckpoint() // one batch-sized pass; encode reads it once
+    // preMaterialized: the st14 loop already localCheckpointed the
+    // guarded batch, so the projection re-evaluates for free and the
+    // enc checkpoint below bounds everything downstream anyway
+    val base0 = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = if (preMaterialized) base0
+      else base0.localCheckpoint() // encode's two legs read it
     val enc = encodeWithCells(spark.table(s"${tableBase}_cents"),
       spark.table(s"${tableBase}_cb"), base, meta.m).localCheckpoint()
-    val idx = spark.table(s"${tableBase}_codes")
-    val cap = Dedup.pruneKeyCap(meta.nBuckets)
-    val cids = enc.select("cid").distinct().limit(cap + 1).collect()
-    val idxSlice =
-      if (cids.length > cap) idx
-      else idx.filter(col("cid").isInCollection(cids.map(_.getLong(0)).toSeq))
-    graft.Metrics.set("a10.guard", "batch_cids" -> cids.length.toLong,
-      "prune_cap" -> cap.toLong, "bucket_pruned" -> (cids.length <= cap))
-    val fresh = enc.join(idxSlice.select("id").distinct(), Seq("id"), "left_anti")
-      .localCheckpoint() // the append and the meta count both consume it
+    // callerGuarded: the st14 loop's notYetIngested anti-join already
+    // dropped landed ids (it must — a replay may not re-PROBE either),
+    // so the internal guard would re-scan the probed buckets per batch
+    // for nothing; standalone callers keep it ON
+    val fresh = if (callerGuarded) enc else {
+      val idx = spark.table(s"${tableBase}_codes")
+      val cap = Dedup.pruneKeyCap(meta.nBuckets)
+      val cids = enc.select("cid").distinct().limit(cap + 1).collect()
+      val idxSlice =
+        if (cids.length > cap) idx
+        else idx.filter(col("cid").isInCollection(cids.map(_.getLong(0)).toSeq))
+      graft.Metrics.set("a10.guard", "batch_cids" -> cids.length.toLong,
+        "prune_cap" -> cap.toLong, "bucket_pruned" -> (cids.length <= cap))
+      enc.join(idxSlice.select("id").distinct(), Seq("id"), "left_anti")
+        .localCheckpoint() // the append and the meta count both consume it
+    }
     graft.sources.Sinks.bucketed(fresh,
       s"${tableBase}_codes", "cid", meta.nBuckets, mode = SaveMode.Append)
     // one code row per (id, sub): sub 0 rows count ids exactly
@@ -609,7 +621,9 @@ object Similarity {
   def probeAbsorbIvfPqBatch(spark: SparkSession, newEmbs: DataFrame,
                             idCol: String, vecCol: String, tableBase: String,
                             k: Int, nProbe: Int, verdictsDir: String,
-                            cachedMeta: Option[IvfPqMeta] = None): IvfPqMeta = {
+                            cachedMeta: Option[IvfPqMeta] = None,
+                            preMaterialized: Boolean = false,
+                            callerGuarded: Boolean = false): IvfPqMeta = {
     val meta = cachedMeta.getOrElse(readIvfPqMeta(spark, tableBase))
     ivfPqProbe(spark, newEmbs, idCol, vecCol, tableBase, k, nProbe,
         cachedMeta = Some(meta))
@@ -617,7 +631,8 @@ object Similarity {
         col("adc_fp"), col("rank"))
       .repartition(1)
       .write.mode(SaveMode.Append).parquet(verdictsDir)
-    absorbIvfPqBatch(spark, newEmbs, idCol, vecCol, tableBase, Some(meta))
+    absorbIvfPqBatch(spark, newEmbs, idCol, vecCol, tableBase, Some(meta),
+      preMaterialized = preMaterialized, callerGuarded = callerGuarded)
   }
 
   /** Compact a landed [[landIvfPqIndex]]'s code table back to one file

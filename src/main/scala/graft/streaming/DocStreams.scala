@@ -99,13 +99,10 @@ object DocStreams {
       "doc_id", "text", n = 3, k = 64, bands = 16, tableBase, s"$root/idx")
     // arrivals: ArrivalChunks single-file drops, chunked by id
     val arrivals = docs.filter(col("doc_id") % 5 >= 3)
-    (0 until ArrivalChunks).foreach { i =>
-      graft.GenData.writeSingleParquetFile(s"$root/arrive/docs_$i.parquet")(
-        arrivals.filter(pmod(col("doc_id"), lit(ArrivalChunks)) === i))
-    }
+    val arriveDir = arrivalDrops(dir, "docs", "doc_id")(arrivals)
     val outDir = s"$root/pairs"
     val stream = spark.readStream.schema(arrivals.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$root/arrive")
+      .option("maxFilesPerTrigger", "1").parquet(arriveDir)
     // the immutable meta slice is read once and threaded through the
     // cycles (this loop is the index's only writer); each micro-batch
     // then pays one signature pass and zero meta jobs
@@ -168,13 +165,10 @@ object DocStreams {
     Dedup.landSemanticIndex(embs.filter(col("vec_id") % 5 < 3),
       "vec_id", "embedding", tableBase, s"$root/idx")
     val arrivals = embs.filter(col("vec_id") % 5 >= 3)
-    (0 until ArrivalChunks).foreach { i =>
-      graft.GenData.writeSingleParquetFile(s"$root/arrive/embs_$i.parquet")(
-        arrivals.filter(pmod(col("vec_id"), lit(ArrivalChunks)) === i))
-    }
+    val arriveDir = arrivalDrops(dir, "embs", "vec_id")(arrivals)
     val outDir = s"$root/pairs"
     val stream = spark.readStream.schema(arrivals.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$root/arrive")
+      .option("maxFilesPerTrigger", "1").parquet(arriveDir)
     var meta: Option[Dedup.SemanticMeta] = None
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Dedup.compactSemanticIndex(spark, tableBase))
@@ -187,7 +181,7 @@ object DocStreams {
           if (!fresh.isEmpty) {
             meta = Some(Dedup.probeAbsorbSemanticBatch(spark, fresh, "vec_id",
               "embedding", tableBase, threshold, pairsDir = outDir,
-              cachedMeta = meta))
+              cachedMeta = meta, preMaterialized = true))
             compactor.cycleDone()
           }
         }
@@ -199,6 +193,27 @@ object DocStreams {
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
     spark.read.schema(cosPairSchema).parquet(outDir).distinct()
   }
+
+  /** JVM-global arrival-drop cache: the chunked drop files are a pure
+    * function of (table dir, family kind, the shared chunk rule) and
+    * immutable once written, so the six ingest loops over the same
+    * corpus share ONE set of drops per kind instead of each
+    * re-filtering the corpus once per chunk — the drops are input
+    * FIXTURES (the landed file sequence a real deployment tails), not
+    * operator work, and each loop still runs its own stream/checkpoint
+    * over them. Drops always carry ordered mtimes; the order-free
+    * loops (st9/st10) simply don't depend on them.
+    */
+  private val arrivalCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def arrivalDrops(dir: String, kind: String, idCol: String)
+                          (arrivals: => DataFrame): String =
+    arrivalCache.computeIfAbsent(s"$dir|$kind|$ArrivalChunks", _ => {
+      val root = graft.sources.Spool.tempRoot(s"drops_$kind")
+      writeOrderedChunks(root, s"${kind}_", ArrivalChunks, idCol)(arrivals)
+      root
+    })
 
   /** Write `arrivals` as one single-file drop per chunk with STRICTLY
     * INCREASING modification times, so the file stream's
@@ -250,11 +265,11 @@ object DocStreams {
       .select("doc_id", "text")
     Dedup.landMinhashIndex(docs.filter(col("doc_id") % 5 < 3),
       "doc_id", "text", n = 3, k = 64, bands = 16, tableBase, s"$root/idx")
-    writeOrderedChunks(s"$root/arrive", "docs_", ArrivalChunks, "doc_id")(
+    val arriveDir = arrivalDrops(dir, "docs", "doc_id")(
       docs.filter(col("doc_id") % 5 >= 3))
     val outDir = s"$root/class"
     val stream = spark.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$root/arrive")
+      .option("maxFilesPerTrigger", "1").parquet(arriveDir)
     var meta: Option[Dedup.MinhashMeta] = None
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Dedup.compactMinhashIndex(spark, tableBase))
@@ -313,11 +328,11 @@ object DocStreams {
       .select("doc_id", "text")
     Dedup.landSegDfIndex(spark, docs.filter(col("doc_id") % 5 < 3),
       "doc_id", "text", window, tableBase, s"$root/idx")
-    writeOrderedChunks(s"$root/arrive", "docs_", ArrivalChunks, "doc_id")(
+    val arriveDir = arrivalDrops(dir, "docs", "doc_id")(
       docs.filter(col("doc_id") % 5 >= 3))
     val outDir = s"$root/clean"
     val stream = spark.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$root/arrive")
+      .option("maxFilesPerTrigger", "1").parquet(arriveDir)
     // safe mid-stream despite compactSegDfIndex's at-rest contract: the
     // compactor only ever runs AFTER classifyAbsorbSegBatch committed
     // the `_docs` guard key, so a replay of any pre-compaction batch is
@@ -368,11 +383,11 @@ object DocStreams {
       .select("vec_id", "embedding")
     Dedup.landSemanticIndex(embs.filter(col("vec_id") % 5 < 3),
       "vec_id", "embedding", tableBase, s"$root/idx")
-    writeOrderedChunks(s"$root/arrive", "embs_", ArrivalChunks, "vec_id")(
+    val arriveDir = arrivalDrops(dir, "embs", "vec_id")(
       embs.filter(col("vec_id") % 5 >= 3))
     val outDir = s"$root/class"
     val stream = spark.readStream.schema(embs.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$root/arrive")
+      .option("maxFilesPerTrigger", "1").parquet(arriveDir)
     var meta: Option[Dedup.SemanticMeta] = None
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Dedup.compactSemanticIndex(spark, tableBase))
@@ -385,7 +400,7 @@ object DocStreams {
           if (!fresh.isEmpty) {
             meta = Some(Dedup.classifyAbsorbSemanticBatch(spark, fresh, "vec_id",
               "embedding", tableBase, threshold, classDir = outDir,
-              cachedMeta = meta))
+              cachedMeta = meta, preMaterialized = true))
             compactor.cycleDone()
           }
         }
@@ -431,11 +446,11 @@ object DocStreams {
     Similarity.landIvfPqIndex(embs.filter(col("vec_id") % 5 < 3),
       "vec_id", "embedding", nCentroids = 16, m = 4, kCodes = 16,
       tableBase, s"$root/idx")
-    writeOrderedChunks(s"$root/arrive", "embs_", ArrivalChunks, "vec_id")(
+    val arriveDir = arrivalDrops(dir, "embs", "vec_id")(
       embs.filter(col("vec_id") % 5 >= 3))
     val outDir = s"$root/verdicts"
     val stream = spark.readStream.schema(embs.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$root/arrive")
+      .option("maxFilesPerTrigger", "1").parquet(arriveDir)
     var meta: Option[Similarity.IvfPqMeta] = None
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Similarity.compactIvfPqIndex(spark, tableBase))
@@ -450,7 +465,8 @@ object DocStreams {
           if (!fresh.isEmpty) {
             meta = Some(Similarity.probeAbsorbIvfPqBatch(spark, fresh,
               "vec_id", "embedding", tableBase, k, nProbe,
-              verdictsDir = outDir, cachedMeta = meta))
+              verdictsDir = outDir, cachedMeta = meta,
+              preMaterialized = true, callerGuarded = true))
             compactor.cycleDone()
           }
         }
