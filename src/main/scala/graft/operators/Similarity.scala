@@ -381,6 +381,36 @@ object Similarity {
     rankAdcTopK(scored, k)
   }
 
+  /** IVF-PQ search with EXACT re-ranking (a12) — the faiss
+    * `IndexRefineFlat` pattern and the standard answer to PQ's recall
+    * ceiling (measured by a11: ADC-only ranking over md5-sampled
+    * codebooks loses most of the true top-k as the corpus outgrows
+    * kCodes — bench/SCALING_r18.md): the compressed [[ivfPqTopK]] path
+    * retrieves a candidate pool of `refine·k` ids per query at full
+    * compressed-domain cheapness, then ONLY those pool vectors are
+    * read as floats and re-ranked by exact cosine (the a1/a3 rounded
+    * rank + id tie-break), returning the top k.
+    *
+    * Scale posture: the pool is (queries·refine·k) rows — broadcast-
+    * sized by construction — so the re-rank joins broadcast INTO the
+    * corpus scan and the corpus never shuffles; at 100 TB the refine
+    * step reads `refine·k` vectors per query instead of a cell's
+    * worth. Recall becomes "is the true neighbor in the ADC top
+    * refine·k of its probed cells" — tuned by refine against measured
+    * a11-style recall instead of by m/kCodes alone.
+    */
+  def ivfPqRefineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                      vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
+                      m: Int, kCodes: Int, refine: Int = 4): DataFrame = {
+    val pool = ivfPqTopK(queries, corpus, idCol, vecCol, k * refine,
+      nCentroids, nProbe, m, kCodes).select("query_id", "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(pool.join(q, "query_id")), Seq("neighbor_id"))
+      .withColumn("cos", round(HashExpressions.cosine(col("qv"), col("cv")), 6))
+    rankTopK(scored, k)
+  }
+
   // --- landed IVF-PQ index (a10): the production query path [[ivfPqTopK]]
   // defers — centroids + codebook + codes land ONCE as tables (the
   // codebook FROZEN at land time, the d13 quantizer-versioning

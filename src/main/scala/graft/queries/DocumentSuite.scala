@@ -475,6 +475,18 @@ object DocumentSuite {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ's recall ceiling, answered the production way (faiss refine):
+    // ADC retrieves a cheap compressed-domain pool of refine·k = 20
+    // candidates, exact cosine re-ranks ONLY that pool — recall becomes
+    // a refine-factor knob instead of an m/kCodes rebuild
+    "a12_ivfpq_refine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfPqRefineTopK(e.filter(col("vec_id") < 10), e, "vec_id",
+        "embedding", k = 5, nCentroids = 16, nProbe = 4, m = 4, kCodes = 16,
+        refine = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // the LANDED production path: 90% of the vectors land once as the
     // frozen-quantizer IVF-PQ index (centroids + codebook + bucketed
     // codes), the other 10% arrive as a batch and absorb by encoding
@@ -1091,6 +1103,15 @@ object DocumentSuite {
     * absorbed vectors encode against the frozen state.
     */
   private def ivfPqAdcSql(frozenWhere: String): String =
+    s"""${ivfPqAdcCtes(frozenWhere)}
+       |SELECT query_id, neighbor_id, adc_fp,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS BIGINT) AS rank
+       |FROM sc QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The a9/a10 WITH-chain up to the per-pair ADC sums `sc(query_id,
+    * neighbor_id, adc_fp)` — composable: a12 appends its refine CTEs.
+    */
+  private def ivfPqAdcCtes(frozenWhere: String): String =
     s"""WITH cents AS ${centsSampleSqlOver(16, frozenWhere)},
        |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |cassign AS ${ivfAssignCte("", keep = 1, "neighbor_id", "cv2")},
@@ -1116,10 +1137,7 @@ object DocumentSuite {
        |  JOIN qassign qa ON qa.cid = ca.cid
        |  JOIN adc a ON a.query_id = qa.query_id AND a.sub = c.sub AND a.code = c.code
        |  WHERE a.query_id <> c.vec_id
-       |  GROUP BY 1, 2)
-       |SELECT query_id, neighbor_id, adc_fp,
-       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS BIGINT) AS rank
-       |FROM sc QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** The st14 oracle: the frozen-quantizer a10 ADC algebra (centroids +
     * codebook sampled from the landed vec_id % 5 < 3 slice, assignments
@@ -1944,6 +1962,26 @@ object DocumentSuite {
     // (probed cell × cell member) pairs, scored only through codes; a
     // corpus vector lives in exactly one cell so no pair dedup is needed
     "a9_ivf_pq" -> ivfPqAdcSql(""),
+
+    // a9's ADC chain kept to the top refine·k = 20 pool per query, then
+    // the pool re-ranked by EXACT zero-guarded cosine (the a3 rerank
+    // arithmetic) — the faiss refine pattern
+    "a12_ivfpq_refine" ->
+      s"""${ivfPqAdcCtes("")},
+         |pool AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS r
+         |    FROM sc)
+         |  WHERE r <= 20),
+         |rr AS (
+         |  SELECT p.query_id, p.neighbor_id,
+         |    ROUND(${cosSqlZ("qe.v", "ne.v")}, 6) AS cos
+         |  FROM pool p JOIN e qe ON qe.id = p.query_id
+         |  JOIN e ne ON ne.id = p.neighbor_id)
+         |SELECT query_id, neighbor_id, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |FROM rr QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // the LANDED twin: the identical algebra with the quantizer frozen
     // at land time — centroids and codebook sampled from (and the

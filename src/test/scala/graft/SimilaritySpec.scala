@@ -365,6 +365,51 @@ class SimilaritySpec extends SparkSpec {
     assert(a9 == expTop)
   }
 
+  test("a12 refine: exact re-rank of the a9 pool, recall never below plain ivfpq") {
+    // composition contract: a12 = exact-cosine top-5 of a9's top-20
+    // pool — proven by recomputing both sides from the already-tested
+    // operators (the a9-parity shape of the ivfPqTopK spec)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < 10)
+    val got = Similarity.ivfPqRefineTopK(q, e, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4, m = 4, kCodes = 16, refine = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val pool = Similarity.ivfPqTopK(q, e, "vec_id", "embedding",
+        k = 20, nCentroids = 16, nProbe = 4, m = 4, kCodes = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val vecs = e.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cosZ(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, r)) => acc + p * r }
+      val (na, nb) = (dot(a, a), dot(b, b))
+      if (na == 0 || nb == 0) 0.0 else dot(a, b) / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = pool.groupBy(_._1).toSeq.flatMap { case (qid, nbs) =>
+      nbs.toSeq.map { case (_, nid) =>
+        (nid, BigDecimal(cosZ(vecs(qid), vecs(nid)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (nid, c) => (-c, nid) }.take(5)
+        .zipWithIndex.map { case ((nid, c), i) => (qid, nid) -> (c, i + 1L) }
+    }.toMap
+    assert(got == want)
+    // refine's purpose: recall@5 at least matches (and here beats) the
+    // ADC-only ranking — PQ distortion is corrected by the exact pass
+    val exact = Similarity.bruteTopK(q, e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = Similarity.ivfPqTopK(q, e, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4, m = 4, kCodes = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rRef = (exact & got.keySet).size
+    val rPlain = (exact & plain).size
+    assert(rRef >= rPlain, s"refine recall $rRef < plain $rPlain")
+    assert(rRef > rPlain, s"refine did not improve recall on this corpus ($rRef) — vacuous")
+  }
+
   test("a10 landed IVF-PQ index: probe ≡ a9, absorb chunking-invariant, compaction bit-parity") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter($"vec_id" < 10)
