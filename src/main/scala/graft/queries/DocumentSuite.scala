@@ -1152,7 +1152,8 @@ object DocumentSuite {
   private[queries] def streamIvfPqVerdictsSql: String = {
     val chunks = graft.streaming.DocStreams.ArrivalChunks
     val landed = "WHERE vec_id % 5 < 3"
-    s"""WITH cents AS ${centsSampleSqlOver(16, landed)},
+    // cells sized by the landed slice via the shared ivfCellsFor twin
+    s"""WITH cents AS ${centsSampleSqlSizedOver(landed)},
        |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |cassign AS ${ivfAssignCte("", keep = 1, "neighbor_id", "cv2")},
        |qassign AS ${ivfAssignCte("WHERE e.id % 5 >= 3", keep = 4, "query_id", "qv")},

@@ -443,8 +443,14 @@ object DocStreams {
     val root = rootDir.getOrElse(graft.sources.Spool.tempRoot(s"st14_$id"))
     val embs = graft.sources.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding")
-    Similarity.landIvfPqIndex(embs.filter(col("vec_id") % 5 < 3),
-      "vec_id", "embedding", nCentroids = 16, m = 4, kCodes = 16,
+    val landed = embs.filter(col("vec_id") % 5 < 3)
+    // cell count sized by the LANDED corpus (ivfCellsFor, the d13/d10
+    // rule): a fixed nCentroids makes every probe scan nProbe/nCents of
+    // the corpus PER QUERY — at gen10 that was 30k candidates for each
+    // of 27k arrivals in a batch, the exact blow-up class the sqrt
+    // sizing exists to stop (r18; the oracle replays the same formula)
+    Similarity.landIvfPqIndex(landed, "vec_id", "embedding",
+      nCentroids = Dedup.ivfCellsFor(landed.count()), m = 4, kCodes = 16,
       tableBase, s"$root/idx")
     val arriveDir = arrivalDrops(dir, "embs", "vec_id")(
       embs.filter(col("vec_id") % 5 >= 3))

@@ -9,6 +9,9 @@ over <sfDir>/*.parquet, loads the Spark result parquet from
 and compares values (floats to 1e-9 rel tolerance, then hash-style exact
 string compare report)."""
 import sys, json, glob, os, math
+import numpy, pandas  # noqa: F401 -- pre-import BEFORE duckdb fills
+# the address space: .df()'s lazy numpy import can fail mprotect at
+# result time after a near-limit query (seen at gen10, r18)
 import duckdb
 import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -8,6 +8,9 @@ Usage: tools/check_one.py <sfDir> <verifyOutDir> <queryName>
        [memory_limit] [threads]
 """
 import sys, json, glob, os, math
+import numpy, pandas  # noqa: F401 -- pre-import BEFORE duckdb fills
+# the address space: .df()'s lazy numpy import can fail mprotect at
+# result time after a near-limit query (seen at gen10, r18)
 import duckdb
 import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

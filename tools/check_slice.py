@@ -11,6 +11,9 @@ Usage: tools/check_slice.py <sfDir> <verifyOutDir> <queryName>
        [memory_limit] [threads]
 """
 import sys, json, glob, os
+import numpy, pandas  # noqa: F401 -- pre-import BEFORE duckdb fills
+# the address space: .df()'s lazy numpy import can fail mprotect at
+# result time after a near-limit query (seen at gen10, r18)
 import duckdb
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from canoncmp import canon, compare_rows
