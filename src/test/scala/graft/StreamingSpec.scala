@@ -755,8 +755,13 @@ class StreamingSpec extends SparkSpec {
       .collect().map(vr).toSet
     val Sim = graft.operators.Similarity
     val embs = graft.sources.Tables.embeddings(spark, sfDir)
-    Sim.landIvfPqIndex(embs.filter(col("vec_id") % 5 < 3), "vec_id",
-      "embedding", 16, 4, 16, "st14_replay",
+    val landedRp = embs.filter(col("vec_id") % 5 < 3)
+    // quantizer sized exactly as streamIvfPqIngest sizes it
+    // (DocStreams: ivfCellsFor over the landed count) — the replay must
+    // probe the same cells or the verdict sets trivially diverge
+    Sim.landIvfPqIndex(landedRp, "vec_id",
+      "embedding", graft.operators.Dedup.ivfCellsFor(landedRp.count()),
+      4, 16, "st14_replay",
       graft.sources.Spool.dir(spark, "st14rp"))
     val arrivals = embs.filter(col("vec_id") % 5 >= 3)
     val want = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
