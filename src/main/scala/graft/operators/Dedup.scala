@@ -1443,6 +1443,37 @@ object Dedup {
   private[operators] def pruneKeyCap(nBuckets: Int): Int =
     math.min(8192, math.ceil(nBuckets * math.log(4.0)).toInt)
 
+  /** The batch-proportional redelivery guard shared by the landed-index
+    * absorbs and the streaming ingest loops: drop every `base` row
+    * whose `id` already exists in the id-BUCKETED `landedTable`. The
+    * batch's distinct ids (a batch-sized, bounded collect) become an
+    * InSet filter on the table's bucket column, so Spark's bucket
+    * pruning skips every index file the batch's ids cannot hash into —
+    * guard IO stays flat in corpus size at fixed batch size. Capped by
+    * [[pruneKeyCap]] (the d11 break-even: past ~nBuckets·ln4
+    * keys the expected file skip is under 25% while the InSet literal
+    * taxes every Catalyst transform) — past the cap the anti-join runs
+    * against the unfiltered id column, which is still a single-column
+    * pruned scan. The prune is a file-skip device, never a correctness
+    * ingredient: a landed row with an id IN the batch always survives
+    * the InSet, so the anti-join result is identical either way.
+    *
+    * `idCol` names the BATCH side's key column; the landed index
+    * tables' bucket column is always `id`.
+    */
+  private[graft] def prunedIdGuard(spark: SparkSession, base: DataFrame,
+                                   landedTable: String, nBuckets: Int,
+                                   tag: String, idCol: String = "id"): DataFrame = {
+    val landed = spark.table(landedTable).select(col("id"))
+    val cap = Dedup.pruneKeyCap(nBuckets)
+    val ids = base.select(col(idCol).as("id")).distinct().limit(cap + 1).collect()
+    graft.Metrics.set(tag, "batch_ids" -> ids.length.toLong,
+      "prune_cap" -> cap.toLong, "bucket_pruned" -> (ids.length <= cap))
+    val slice = if (ids.length > cap) landed
+      else landed.filter(col("id").isInCollection(ids.map(_.getLong(0)).toSeq))
+    base.join(slice.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** One full ingest cycle — probe, spool the pairs, absorb — with a
     * SINGLE signature pass over the batch (the separate
     * [[incrementalMinhashPairs]] + [[absorbMinhashBatch]] calls each
@@ -1776,7 +1807,13 @@ object Dedup {
   private[graft] def readSemanticMeta(spark: SparkSession,
                                       tableBase: String): SemanticMeta = {
     val m = spark.table(s"${tableBase}_meta").head()
-    SemanticMeta(m.getLong(0), m.getInt(1), m.getInt(2),
+    // back-compat: an index landed before n_cents joined the meta row
+    // (r18) has a 2-field row — landed state is durable, so absorb/probe
+    // must still read it; the frozen-centroid count IS the _cents table's
+    // cardinality (dim-scale, one count) whenever the meta predates it
+    val nCents = if (m.length >= 3) m.getInt(2)
+      else spark.table(s"${tableBase}_cents").count().toInt
+    SemanticMeta(m.getLong(0), m.getInt(1), nCents,
       tableLocation(spark, s"${tableBase}_meta"))
   }
 

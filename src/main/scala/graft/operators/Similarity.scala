@@ -476,6 +476,17 @@ object Similarity {
     *    in: a probe joins probed cells on cid with zero index-side
     *    shuffle and the query's cid InSet prunes index FILES via bucket
     *    pruning;
+    *  - `_vecs` (id, v) bucketed by id — the flat vectors beside the
+    *    PQ index (faiss `IndexRefineFlat` stores exactly this, for
+    *    exactly two reasons realized here): (a) [[ivfPqProbeRefine]]'s
+    *    exact re-rank reads its broadcast-sized candidate pool from it
+    *    by id with bucket-level file pruning, so the landed index's
+    *    answer quality is a refine knob instead of being capped at ADC
+    *    recall; (b) the absorb redelivery guard anti-joins on it BY ID
+    *    (batch-id InSet → file skips), which covers an id replayed
+    *    with a DIFFERENT vector — such a row encodes to a different
+    *    cell, so any codes-side cell-pruned guard would miss it and
+    *    append duplicate code rows the probe double-sums;
     *  - `_meta` one row (n_docs, n_cents, m, k_codes, n_buckets).
     *
     * Assignments and codes derive from the LANDED `_cents`/`_cb` tables,
@@ -502,6 +513,8 @@ object Similarity {
       encodeWithCells(spark.table(s"${tableBase}_cents"),
         spark.table(s"${tableBase}_cb"), base, m),
       s"${tableBase}_codes", "cid", nBuckets, path = Some(s"$dir/codes"))
+    graft.sources.Sinks.bucketed(base,
+      s"${tableBase}_vecs", "id", nBuckets, path = Some(s"$dir/vecs"))
     writeIvfPqMeta(spark, tableBase, s"$dir/meta", nDocs, nCentroids, m,
       kCodes, nBuckets)
   }
@@ -570,6 +583,50 @@ object Similarity {
     rankAdcTopK(scored, k)
   }
 
+  /** ADC probe of a landed [[landIvfPqIndex]] with EXACT re-ranking —
+    * [[ivfPqRefineTopK]] over the landed layout (a13, faiss
+    * `IndexRefineFlat` on-disk): [[ivfPqProbe]] retrieves a `refine·k`
+    * compressed-domain pool per query, then ONLY the pool's vectors
+    * are read back as floats from the `_vecs` side table and re-ranked
+    * by exact cosine (the a1/a3 rounded rank + id tie-break).
+    *
+    * Scale posture: the pool is (queries·refine·k) rows — broadcast-
+    * sized by construction — and its distinct neighbor ids become a
+    * [[Dedup.pruneKeyCap]]-capped InSet on `_vecs`'s bucket column
+    * (Metrics `a13`), so the refine pass file-prunes to the buckets
+    * holding pool members instead of scanning the corpus's vectors;
+    * the corpus never shuffles. Recall over a LANDED index thus
+    * becomes a per-query refine knob instead of an m/kCodes re-land —
+    * the a12 pattern without recomputing the quantizer. Bit-identical
+    * to [[ivfPqRefineTopK]] over the landed corpus with the same
+    * parameters when nothing was absorbed, and to the frozen-quantizer
+    * refine algebra over corpus ∪ absorbed afterwards (the a13 DuckDB
+    * oracle; both spec-pinned).
+    */
+  def ivfPqProbeRefine(spark: SparkSession, queries: DataFrame, idCol: String,
+                       vecCol: String, tableBase: String, k: Int, nProbe: Int,
+                       refine: Int = 4,
+                       cachedMeta: Option[IvfPqMeta] = None): DataFrame = {
+    val meta = cachedMeta.getOrElse(readIvfPqMeta(spark, tableBase))
+    // checkpointed: the distinct-id collect and the re-rank join both
+    // consume the pool (the ivfPqProbe probes checkpoint rationale)
+    val pool = ivfPqProbe(spark, queries, idCol, vecCol, tableBase,
+        k * refine, nProbe, cachedMeta = Some(meta))
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val vecs = spark.table(s"${tableBase}_vecs")
+    val cap = Dedup.pruneKeyCap(meta.nBuckets)
+    val pids = pool.select("neighbor_id").distinct().limit(cap + 1).collect()
+    graft.Metrics.set("a13", "pool_ids" -> pids.length.toLong,
+      "prune_cap" -> cap.toLong, "bucket_pruned" -> (pids.length <= cap))
+    val vecsPruned = if (pids.length > cap) vecs
+      else vecs.filter(col("id").isInCollection(pids.map(_.getLong(0)).toSeq))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = vecsPruned.select(col("id").as("neighbor_id"), col("v").as("cv"))
+      .join(broadcast(pool.join(q, Seq("query_id"))), Seq("neighbor_id"))
+      .withColumn("cos", round(HashExpressions.cosine(col("qv"), col("cv")), 6))
+    rankTopK(scored, k)
+  }
+
   /** Absorb an arriving vector batch into a landed [[landIvfPqIndex]]:
     * assign + encode against the FROZEN centroids/codebook (one
     * batch-sized pass each), append the `(id, sub, code, cid)` rows
@@ -583,15 +640,20 @@ object Similarity {
     * the index is dropped before the append, so an at-least-once replay
     * (or an overlapping batch) can never write duplicate code rows —
     * which the probe would silently double-sum into corrupted adc_fp.
-    * The guard is probe-cost, not corpus-cost: a duplicate id encodes
-    * to the SAME cell under the frozen quantizer, so its landed rows
-    * can only live in the batch's own probed buckets — the anti-join
-    * reads just those files (the probe's cid InSet prune, Metrics
-    * `a10.guard`). An id re-sent with a DIFFERENT vector keeps its
-    * first write (upsert-skip, the d11 skip-existing rule). Each
-    * absorb also refreshes the [[Dedup.staleAdvisory]] signal
-    * (`a10.stale`): once the corpus outgrows the frozen quantizer's
-    * [[Dedup.ivfCellsFor]] sizing 2×, a re-land is due.
+    * The guard anti-joins the batch BY ID against the id-bucketed
+    * `_vecs` side table with the batch's id set as a
+    * [[Dedup.pruneKeyCap]]-capped InSet on the bucket column (Metrics
+    * `a10.guard`), so it reads only the index files the batch's ids
+    * can hash into — batch-proportional, not corpus-proportional. An
+    * id-keyed guard is also the only sound one: an id re-sent with a
+    * DIFFERENT vector encodes to a DIFFERENT cell, so a codes-side
+    * cell-pruned anti-join would miss its landed rows and append a
+    * duplicate — here it is dropped like any replay, so upsert-skip
+    * (first write wins, the d11 skip-existing rule) holds for
+    * changed-vector replays too (spec-pinned). Each absorb also
+    * refreshes the [[Dedup.staleAdvisory]] signal (`a10.stale`): once
+    * the corpus outgrows the frozen quantizer's [[Dedup.ivfCellsFor]]
+    * sizing 2×, a re-land is due.
     */
   def absorbIvfPqBatch(spark: SparkSession, newEmbs: DataFrame,
                        idCol: String, vecCol: String, tableBase: String,
@@ -601,37 +663,29 @@ object Similarity {
     val meta = cachedMeta.getOrElse(readIvfPqMeta(spark, tableBase))
     // preMaterialized: the st14 loop already localCheckpointed the
     // guarded batch, so the projection re-evaluates for free and the
-    // enc checkpoint below bounds everything downstream anyway
+    // fresh checkpoint below bounds everything downstream anyway
     val base0 = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val base = if (preMaterialized) base0
-      else base0.localCheckpoint() // encode's two legs read it
+      else base0.localCheckpoint() // the guard (or encode) reads it twice
+    // callerGuarded: the st14 loop's guard anti-join already dropped
+    // landed ids (it must — a replay may not re-PROBE either), so the
+    // internal guard would re-scan the same files per batch for
+    // nothing; standalone callers keep it ON
+    val fresh = if (callerGuarded) base
+      else Dedup.prunedIdGuard(spark, base, s"${tableBase}_vecs",
+        meta.nBuckets, "a10.guard").localCheckpoint()
     val enc = encodeWithCells(spark.table(s"${tableBase}_cents"),
-      spark.table(s"${tableBase}_cb"), base, meta.m).localCheckpoint()
-    // callerGuarded: the st14 loop's notYetIngested anti-join already
-    // dropped landed ids (it must — a replay may not re-PROBE either),
-    // so the internal guard would re-scan the probed buckets per batch
-    // for nothing; standalone callers keep it ON
-    val fresh = if (callerGuarded) enc else {
-      val idx = spark.table(s"${tableBase}_codes")
-      val cap = Dedup.pruneKeyCap(meta.nBuckets)
-      val cids = enc.select("cid").distinct().limit(cap + 1).collect()
-      val idxSlice =
-        if (cids.length > cap) idx
-        else idx.filter(col("cid").isInCollection(cids.map(_.getLong(0)).toSeq))
-      graft.Metrics.set("a10.guard", "batch_cids" -> cids.length.toLong,
-        "prune_cap" -> cap.toLong, "bucket_pruned" -> (cids.length <= cap))
-      enc.join(idxSlice.select("id").distinct(), Seq("id"), "left_anti")
-        .localCheckpoint() // the append and the meta count both consume it
-    }
-    graft.sources.Sinks.bucketed(fresh,
+      spark.table(s"${tableBase}_cb"), fresh, meta.m)
+    graft.sources.Sinks.bucketed(enc,
       s"${tableBase}_codes", "cid", meta.nBuckets, mode = SaveMode.Append)
-    // one code row per (id, sub): sub 0 rows count ids exactly
-    val advanced = meta.copy(nDocs =
-      meta.nDocs + fresh.filter(col("sub") === 0).count())
+    graft.sources.Sinks.bucketed(fresh,
+      s"${tableBase}_vecs", "id", meta.nBuckets, mode = SaveMode.Append)
+    val advanced = meta.copy(nDocs = meta.nDocs + fresh.count())
     writeIvfPqMeta(spark, tableBase, meta.metaPath, advanced.nDocs,
       meta.nCents, meta.m, meta.kCodes, meta.nBuckets)
     Dedup.staleAdvisory("a10", advanced.nDocs, meta.nCents)
     spark.catalog.refreshTable(s"${tableBase}_codes")
+    spark.catalog.refreshTable(s"${tableBase}_vecs")
     advanced
   }
 
@@ -677,8 +731,12 @@ object Similarity {
     val meta = readIvfPqMeta(spark, tableBase)
     val (before, after) = Dedup.compactBucketedTable(spark,
       s"${tableBase}_codes", "cid", meta.nBuckets)
+    // the _vecs side table takes the same one-new-file-per-absorb debt
+    val (vBefore, vAfter) = Dedup.compactBucketedTable(spark,
+      s"${tableBase}_vecs", "id", meta.nBuckets)
     graft.Metrics.set("a10.compact",
-      "codes_files_before" -> before, "codes_files_after" -> after)
+      "codes_files_before" -> before, "codes_files_after" -> after,
+      "vecs_files_before" -> vBefore, "vecs_files_after" -> vAfter)
   }
 
   /** Scalar-quantization ADC top-k — the int8 analog of [[pqAdcTopK]]
@@ -759,17 +817,23 @@ object Similarity {
     * repo-wide fixed-point grid so the compare is integer-exact.
     *
     * Methods evaluated: `lsh` ([[lshTopK]]), `ivf` ([[ivfTopK]]),
-    * `pq` ([[pqAdcTopK]]) and `ivfpq` ([[ivfPqTopK]]) — each under
-    * exactly its oracled parameters. The point is to tune
-    * tables/planes/nProbe/m/kCodes against measured recall, so the
-    * scoring and tie-breaks must be bit-identical to the operators
+    * `pq` ([[pqAdcTopK]]), `ivfpq` ([[ivfPqTopK]]) and `ivfpq_refine`
+    * ([[ivfPqRefineTopK]]) — each under exactly its oracled
+    * parameters. The point is to tune
+    * tables/planes/nProbe/m/kCodes/refine against measured recall, so
+    * the scoring and tie-breaks must be bit-identical to the operators
     * being tuned (same rounded-cosine or fixed-point-ADC rank, same id
     * tie-break). The compressed paths matter most: PQ quantization
     * loses information in a way lsh/ivf's exact reranking does not, so
     * `pq`/`ivfpq` recall is what a deployment tunes before trusting an
     * [[landIvfPqIndex]] — and the a10 probe's recall IS the `ivfpq`
     * row, because probe ≡ [[ivfPqTopK]] is spec-pinned bit parity
-    * (asserted again recall-side in SimilaritySpec).
+    * (asserted again recall-side in SimilaritySpec). `ivfpq_refine` is
+    * the row a deployment actually tunes once an index is landed: the
+    * refine factor is the only recall knob that needs NO index rebuild
+    * (bench/SCALING_r19.md measures it), so recall-vs-refine is the
+    * production tuning loop and it reports beside the paths it
+    * corrects.
     *
     * Scale posture: recall is always measured on a SAMPLED query set
     * (the brute-force side costs |sample|·|corpus| — that is the price
@@ -782,7 +846,8 @@ object Similarity {
     */
   def annRecall(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int, tables: Int, planes: Int,
-                nCentroids: Int, nProbe: Int, m: Int, kCodes: Int): DataFrame = {
+                nCentroids: Int, nProbe: Int, m: Int, kCodes: Int,
+                refine: Int = 4): DataFrame = {
     import queries.sparkSession.implicits._
     val exact = bruteTopK(queries, corpus, idCol, vecCol, k)
       .select("query_id", "neighbor_id")
@@ -794,10 +859,12 @@ object Similarity {
         .union(leg(pqAdcTopK(queries, corpus, idCol, vecCol, k, m, kCodes), "pq"))
         .union(leg(ivfPqTopK(queries, corpus, idCol, vecCol, k, nCentroids,
           nProbe, m, kCodes), "ivfpq"))
+        .union(leg(ivfPqRefineTopK(queries, corpus, idCol, vecCol, k, nCentroids,
+          nProbe, m, kCodes, refine), "ivfpq_refine"))
     val hits = appr.join(exact, Seq("query_id", "neighbor_id"))
       .groupBy("query_id", "method").agg(count(lit(1)).as("n_hit"))
     exact.select("query_id").distinct()
-      .crossJoin(Seq("ivf", "ivfpq", "lsh", "pq").toDF("method"))
+      .crossJoin(Seq("ivf", "ivfpq", "ivfpq_refine", "lsh", "pq").toDF("method"))
       .join(hits, Seq("query_id", "method"), "left")
       .select(col("query_id"), col("method"),
         coalesce(col("n_hit"), lit(0L)).cast("long").as("n_hit"),

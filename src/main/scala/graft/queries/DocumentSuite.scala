@@ -425,16 +425,18 @@ object DocumentSuite {
     }),
 
     // recall@5 of the approximate paths against exact brute force,
-    // under exactly the a2/a3/a7/a9 oracled parameters — the tuning
-    // loop a production index runs (sampled queries vs the full
+    // under exactly the a2/a3/a7/a9/a12 oracled parameters — the
+    // tuning loop a production index runs (sampled queries vs the full
     // corpus). The compressed paths (pq, ivfpq) are the deployed ones;
     // the a10 probe's recall IS the ivfpq row by probe bit parity
-    // (spec-pinned in SimilaritySpec).
+    // (spec-pinned in SimilaritySpec); ivfpq_refine is the knob that
+    // fixes their recall without an index rebuild, so it reports
+    // beside them (refine-factor sweep: bench/SCALING_r19.md).
     "a11_ann_recall" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.annRecall(e.filter(col("vec_id") < 10), e, "vec_id",
         "embedding", k = 5, tables = 8, planes = 4, nCentroids = 16,
-        nProbe = 4, m = 4, kCodes = 16)
+        nProbe = 4, m = 4, kCodes = 16, refine = 4)
         .orderBy("query_id", "method")
     }),
 
@@ -504,6 +506,24 @@ object DocumentSuite {
         "vec_id", "embedding", "graft_a10_idx")
       Similarity.ivfPqProbe(s, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         "graft_a10_idx", k = 5, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the landed index ANSWERING AT a12 QUALITY (a13): same land +
+    // absorb as a10, but the probe's refine·k ADC pool is re-ranked by
+    // exact cosine read from the _vecs side table (id-bucketed, pool-
+    // pruned) — recall over a landed index becomes a refine knob, no
+    // re-land (the faiss IndexRefineFlat layout, on disk)
+    "a13_ivfpq_probe_refine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Spool.dir(s, "a13_idx")
+      Similarity.landIvfPqIndex(e.filter(col("vec_id") % 10 =!= 8),
+        "vec_id", "embedding", nCentroids = 16, m = 4, kCodes = 16,
+        "graft_a13_idx", dir)
+      Similarity.absorbIvfPqBatch(s, e.filter(col("vec_id") % 10 === 8),
+        "vec_id", "embedding", "graft_a13_idx")
+      Similarity.ivfPqProbeRefine(s, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", "graft_a13_idx", k = 5, nProbe = 4, refine = 4)
         .orderBy("query_id", "rank")
     }),
 
@@ -1107,6 +1127,31 @@ object DocumentSuite {
        |SELECT query_id, neighbor_id, adc_fp,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS BIGINT) AS rank
        |FROM sc QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The a12/a13 refine algebra over [[ivfPqAdcCtes]]: the ADC chain's
+    * top refine·k = 20 pool per query, re-ranked by EXACT zero-guarded
+    * cosine (the a3 rerank arithmetic — the faiss refine pattern).
+    * `frozenWhere` is the quantizer slice: empty for a12's
+    * self-contained recompute, the landed slice for a13's landed-index
+    * probe (assignments/codes still cover the FULL table — absorbed
+    * vectors encode against the frozen state).
+    */
+  private def ivfPqRefineSql(frozenWhere: String): String =
+    s"""${ivfPqAdcCtes(frozenWhere)},
+       |pool AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS r
+       |    FROM sc)
+       |  WHERE r <= 20),
+       |rr AS (
+       |  SELECT p.query_id, p.neighbor_id,
+       |    ROUND(${cosSqlZ("qe.v", "ne.v")}, 6) AS cos
+       |  FROM pool p JOIN e qe ON qe.id = p.query_id
+       |  JOIN e ne ON ne.id = p.neighbor_id)
+       |SELECT query_id, neighbor_id, cos,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |FROM rr QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** The a9/a10 WITH-chain up to the per-pair ADC sums `sc(query_id,
     * neighbor_id, adc_fp)` — composable: a12 appends its refine CTEs.
@@ -1895,6 +1940,20 @@ object DocumentSuite {
          |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS r
          |    FROM ipqsc)
          |  WHERE r <= 5),
+         |refpool AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS r
+         |    FROM ipqsc)
+         |  WHERE r <= 20),
+         |refined AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, p.neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+         |        ORDER BY ROUND(${cosSqlZ("qe.v", "ne.v")}, 6) DESC, p.neighbor_id) AS r
+         |    FROM refpool p JOIN e qe ON qe.id = p.query_id
+         |    JOIN e ne ON ne.id = p.neighbor_id)
+         |  WHERE r <= 5),
          |exact AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT q.id AS query_id, c.id AS neighbor_id,
@@ -1906,13 +1965,14 @@ object DocumentSuite {
          |  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
          |  UNION ALL SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
          |  UNION ALL SELECT 'pq' AS method, query_id, neighbor_id FROM pq
-         |  UNION ALL SELECT 'ivfpq' AS method, query_id, neighbor_id FROM ivfpq),
+         |  UNION ALL SELECT 'ivfpq' AS method, query_id, neighbor_id FROM ivfpq
+         |  UNION ALL SELECT 'ivfpq_refine' AS method, query_id, neighbor_id FROM refined),
          |hits AS (
          |  SELECT a.method, a.query_id, COUNT(*) AS n_hit
          |  FROM appr a JOIN exact x USING (query_id, neighbor_id)
          |  GROUP BY 1, 2),
          |qs AS (SELECT DISTINCT query_id FROM exact),
-         |ms AS (SELECT * FROM (VALUES ('ivf'), ('ivfpq'), ('lsh'), ('pq')) AS m(method))
+         |ms AS (SELECT * FROM (VALUES ('ivf'), ('ivfpq'), ('ivfpq_refine'), ('lsh'), ('pq')) AS m(method))
          |SELECT q.query_id, m.method,
          |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
          |  CAST(FLOOR(COALESCE(h.n_hit, 0) * 1000000.0 / 5 + 0.5) AS BIGINT) AS recall_fp
@@ -1967,22 +2027,12 @@ object DocumentSuite {
     // a9's ADC chain kept to the top refine·k = 20 pool per query, then
     // the pool re-ranked by EXACT zero-guarded cosine (the a3 rerank
     // arithmetic) — the faiss refine pattern
-    "a12_ivfpq_refine" ->
-      s"""${ivfPqAdcCtes("")},
-         |pool AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS r
-         |    FROM sc)
-         |  WHERE r <= 20),
-         |rr AS (
-         |  SELECT p.query_id, p.neighbor_id,
-         |    ROUND(${cosSqlZ("qe.v", "ne.v")}, 6) AS cos
-         |  FROM pool p JOIN e qe ON qe.id = p.query_id
-         |  JOIN e ne ON ne.id = p.neighbor_id)
-         |SELECT query_id, neighbor_id, cos,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-         |FROM rr QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "a12_ivfpq_refine" -> ivfPqRefineSql(""),
+
+    // the LANDED refine twin (a13): the identical refine algebra with
+    // the quantizer frozen over the landed vec_id % 10 <> 8 slice —
+    // what ivfPqProbeRefine answers from the _codes + _vecs tables
+    "a13_ivfpq_probe_refine" -> ivfPqRefineSql("WHERE vec_id % 10 <> 8"),
 
     // the LANDED twin: the identical algebra with the quantizer frozen
     // at land time — centroids and codebook sampled from (and the

@@ -106,15 +106,19 @@ object DocStreams {
     // the immutable meta slice is read once and threaded through the
     // cycles (this loop is the index's only writer); each micro-batch
     // then pays one signature pass and zero meta jobs
-    var meta: Option[Dedup.MinhashMeta] = None
+    var meta: Option[Dedup.MinhashMeta] =
+      Some(Dedup.readMinhashMeta(spark, tableBase))
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Dedup.compactMinhashIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val landedIds = spark.table(s"${tableBase}_sigs").select(col("id").as("doc_id"))
-          val fresh = graft.sources.Sinks
-            .notYetIngested(batch, landedIds, "doc_id").localCheckpoint()
+          // redelivery guard, batch-proportional: the batch's ids InSet
+          // file-prunes the id-bucketed _sigs scan (r18 perf-weak #1 —
+          // the old full-id-set anti-join read the whole landed corpus
+          // per micro-batch)
+          val fresh = Dedup.prunedIdGuard(spark, batch, s"${tableBase}_sigs",
+            meta.get.nBuckets, "st9.guard", "doc_id").localCheckpoint()
           if (!fresh.isEmpty) {
             meta = Some(Dedup.probeAbsorbMinhashBatch(spark, fresh, "doc_id",
               "text", tableBase, threshold = 0.5, pairsDir = outDir,
@@ -169,15 +173,16 @@ object DocStreams {
     val outDir = s"$root/pairs"
     val stream = spark.readStream.schema(arrivals.schema)
       .option("maxFilesPerTrigger", "1").parquet(arriveDir)
-    var meta: Option[Dedup.SemanticMeta] = None
+    var meta: Option[Dedup.SemanticMeta] =
+      Some(Dedup.readSemanticMeta(spark, tableBase))
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Dedup.compactSemanticIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val landedIds = spark.table(s"${tableBase}_vecs").select(col("id").as("vec_id"))
-          val fresh = graft.sources.Sinks
-            .notYetIngested(batch, landedIds, "vec_id").localCheckpoint()
+          // batch-proportional guard: ids InSet prunes the _vecs buckets
+          val fresh = Dedup.prunedIdGuard(spark, batch, s"${tableBase}_vecs",
+            meta.get.nBuckets, "st10.guard", "vec_id").localCheckpoint()
           if (!fresh.isEmpty) {
             meta = Some(Dedup.probeAbsorbSemanticBatch(spark, fresh, "vec_id",
               "embedding", tableBase, threshold, pairsDir = outDir,
@@ -209,7 +214,11 @@ object DocStreams {
 
   private def arrivalDrops(dir: String, kind: String, idCol: String)
                           (arrivals: => DataFrame): String =
-    arrivalCache.computeIfAbsent(s"$dir|$kind|$ArrivalChunks", _ => {
+    // keyed by every input the drop files are a function of: source dir,
+    // family kind, chunk count AND the id column (the arrival slice
+    // `% 5 >= 3` is the loops' shared fixture contract — a future loop
+    // with a different slice must use a different `kind`)
+    arrivalCache.computeIfAbsent(s"$dir|$kind|$idCol|$ArrivalChunks", _ => {
       val root = graft.sources.Spool.tempRoot(s"drops_$kind")
       writeOrderedChunks(root, s"${kind}_", ArrivalChunks, idCol)(arrivals)
       root
@@ -270,15 +279,16 @@ object DocStreams {
     val outDir = s"$root/class"
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(arriveDir)
-    var meta: Option[Dedup.MinhashMeta] = None
+    var meta: Option[Dedup.MinhashMeta] =
+      Some(Dedup.readMinhashMeta(spark, tableBase))
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Dedup.compactMinhashIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val landedIds = spark.table(s"${tableBase}_sigs").select(col("id").as("doc_id"))
-          val fresh = graft.sources.Sinks
-            .notYetIngested(batch, landedIds, "doc_id").localCheckpoint()
+          // batch-proportional guard: ids InSet prunes the _sigs buckets
+          val fresh = Dedup.prunedIdGuard(spark, batch, s"${tableBase}_sigs",
+            meta.get.nBuckets, "st11.guard", "doc_id").localCheckpoint()
           if (!fresh.isEmpty) {
             meta = Some(Dedup.classifyAbsorbMinhashBatch(spark, fresh, "doc_id",
               "text", tableBase, threshold = 0.5, classDir = outDir,
@@ -326,8 +336,11 @@ object DocStreams {
     val root = rootDir.getOrElse(graft.sources.Spool.tempRoot(s"st13_$id"))
     val docs = graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "text")
+    // segdf has no meta table; one val keeps land, guard and the
+    // absorbs' bucket count from drifting apart
+    val segBuckets = 8
     Dedup.landSegDfIndex(spark, docs.filter(col("doc_id") % 5 < 3),
-      "doc_id", "text", window, tableBase, s"$root/idx")
+      "doc_id", "text", window, tableBase, s"$root/idx", nBuckets = segBuckets)
     val arriveDir = arrivalDrops(dir, "docs", "doc_id")(
       docs.filter(col("doc_id") % 5 >= 3))
     val outDir = s"$root/clean"
@@ -343,10 +356,9 @@ object DocStreams {
     val q = EventStreams.withDrainConf(spark) {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val landedIds = spark.table(s"${tableBase}_docs")
-            .select(col("id").as("doc_id"))
-          val fresh = graft.sources.Sinks
-            .notYetIngested(batch, landedIds, "doc_id").localCheckpoint()
+          // batch-proportional guard: ids InSet prunes the _docs buckets
+          val fresh = Dedup.prunedIdGuard(spark, batch, s"${tableBase}_docs",
+            segBuckets, "st13.guard", "doc_id").localCheckpoint()
           if (!fresh.isEmpty) {
             Dedup.classifyAbsorbSegBatch(spark, fresh, "doc_id", "text",
               tableBase, batchId, window, minDf, outDir)
@@ -388,15 +400,16 @@ object DocStreams {
     val outDir = s"$root/class"
     val stream = spark.readStream.schema(embs.schema)
       .option("maxFilesPerTrigger", "1").parquet(arriveDir)
-    var meta: Option[Dedup.SemanticMeta] = None
+    var meta: Option[Dedup.SemanticMeta] =
+      Some(Dedup.readSemanticMeta(spark, tableBase))
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Dedup.compactSemanticIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val landedIds = spark.table(s"${tableBase}_vecs").select(col("id").as("vec_id"))
-          val fresh = graft.sources.Sinks
-            .notYetIngested(batch, landedIds, "vec_id").localCheckpoint()
+          // batch-proportional guard: ids InSet prunes the _vecs buckets
+          val fresh = Dedup.prunedIdGuard(spark, batch, s"${tableBase}_vecs",
+            meta.get.nBuckets, "st12.guard", "vec_id").localCheckpoint()
           if (!fresh.isEmpty) {
             meta = Some(Dedup.classifyAbsorbSemanticBatch(spark, fresh, "vec_id",
               "embedding", tableBase, threshold, classDir = outDir,
@@ -424,7 +437,7 @@ object DocStreams {
     * codebook frozen there — re-quantization is an explicit re-land,
     * never something a stream does implicitly); the remaining vectors
     * arrive as a timestamp-ordered file sequence, one micro-batch
-    * each. Per batch, behind the `_codes` redelivery guard,
+    * each. Per batch, behind the `_vecs` redelivery guard,
     * [[graft.operators.Similarity.probeAbsorbIvfPqBatch]] answers each
     * arrival's ADC top-k AGAINST THE INDEX AS OF ITS ARRIVAL (landed ∪
     * earlier chunks — batch mates are not yet in the index, so never
@@ -457,17 +470,20 @@ object DocStreams {
     val outDir = s"$root/verdicts"
     val stream = spark.readStream.schema(embs.schema)
       .option("maxFilesPerTrigger", "1").parquet(arriveDir)
-    var meta: Option[Similarity.IvfPqMeta] = None
+    var meta: Option[Similarity.IvfPqMeta] =
+      Some(Similarity.readIvfPqMeta(spark, tableBase))
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Similarity.compactIvfPqIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          // guard key: one code row per (id, sub) — sub 0 is the id set
-          val landedIds = spark.table(s"${tableBase}_codes")
-            .filter(col("sub") === 0).select(col("id").as("vec_id"))
-          val fresh = graft.sources.Sinks
-            .notYetIngested(batch, landedIds, "vec_id").localCheckpoint()
+          // batch-proportional guard on the id-bucketed _vecs side
+          // table (ids InSet → file skips) — id-keyed, so a replay
+          // with a CHANGED vector is dropped like any other (the
+          // codes-side sub-0 guard this replaces was both corpus-
+          // proportional and blind to those)
+          val fresh = Dedup.prunedIdGuard(spark, batch, s"${tableBase}_vecs",
+            meta.get.nBuckets, "st14.guard", "vec_id").localCheckpoint()
           if (!fresh.isEmpty) {
             meta = Some(Similarity.probeAbsorbIvfPqBatch(spark, fresh,
               "vec_id", "embedding", tableBase, k, nProbe,
@@ -480,7 +496,7 @@ object DocStreams {
     }
     try q.processAllAvailable() finally q.stop()
     graft.Metrics.set("st14.autocompact", "fired" -> compactor.firedCount.toLong)
-    Seq("cents", "cb", "codes", "meta").foreach(s =>
+    Seq("cents", "cb", "codes", "vecs", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
     spark.read.schema(verdictSchema).parquet(outDir).distinct()
   }

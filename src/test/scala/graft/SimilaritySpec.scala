@@ -286,15 +286,19 @@ class SimilaritySpec extends SparkSpec {
       "pq" -> topkSet(Similarity.pqAdcTopK(q, e, "vec_id", "embedding", 5,
         m = 4, kCodes = 16)),
       "ivfpq" -> topkSet(Similarity.ivfPqTopK(q, e, "vec_id", "embedding", 5,
-        nCentroids = 16, nProbe = 4, m = 4, kCodes = 16)))
+        nCentroids = 16, nProbe = 4, m = 4, kCodes = 16)),
+      "ivfpq_refine" -> topkSet(Similarity.ivfPqRefineTopK(q, e, "vec_id",
+        "embedding", 5, nCentroids = 16, nProbe = 4, m = 4, kCodes = 16,
+        refine = 4)))
     val got = Similarity.annRecall(q, e, "vec_id", "embedding", k = 5,
-        tables = 8, planes = 4, nCentroids = 16, nProbe = 4, m = 4, kCodes = 16)
+        tables = 8, planes = 4, nCentroids = 16, nProbe = 4, m = 4, kCodes = 16,
+        refine = 4)
       .collect()
       .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
     // every (query, method) cell reports — including methods that found
     // nothing for a query (n_hit 0), never a dropped row
-    assert(got.size == exact.map(_._1).size * 4)
+    assert(got.size == exact.map(_._1).size * 5)
     got.foreach { case ((qid, m), (nHit, recallFp)) =>
       val want = byMethod(m).count { case (a, b) => a == qid && exact((a, b)) }
       assert(nHit == want, s"($qid, $m): $nHit vs scalar $want")
@@ -308,6 +312,13 @@ class SimilaritySpec extends SparkSpec {
     assert(Seq("pq", "ivfpq").exists(m =>
       got.exists { case ((_, mm), (nHit, _)) => mm == m && nHit < 5 }),
       "compressed-path recall all-perfect — vacuous for PQ tuning")
+    // the refine row's whole point: aggregate recall strictly above the
+    // plain compressed path it corrects (the a12 spec pins per-query
+    // composition; this pins that the a11 report SHOWS the improvement)
+    def total(m: String) =
+      got.collect { case ((_, mm), (nHit, _)) if mm == m => nHit }.sum
+    assert(total("ivfpq_refine") > total("ivfpq"),
+      s"refine row ${total("ivfpq_refine")} not above ivfpq ${total("ivfpq")}")
   }
 
   test("a10 probe recall IS the ivfpq recall row (probe bit parity, recall-side)") {
@@ -450,14 +461,47 @@ class SimilaritySpec extends SparkSpec {
       Similarity.readIvfPqMeta(spark, "a10_spec_two").nDocs)
 
     // 3. compaction retires the absorb small files (back to ≤ 1 file per
-    //    bucket) with bit-identical probe results
+    //    bucket) with bit-identical probe results — codes AND the _vecs
+    //    side table (which takes the same one-file-per-absorb debt)
+    val refineBefore = rows(Similarity.ivfPqProbeRefine(spark, q, "vec_id",
+      "embedding", "a10_spec_two", k = 5, nProbe = 4, refine = 4))
     Similarity.compactIvfPqIndex(spark, "a10_spec_two")
     val before = Metrics.scalar("a10.compact", "codes_files_before").get
     val after = Metrics.scalar("a10.compact", "codes_files_after").get
     assert(before > after, s"compaction must shrink files: $before -> $after")
     assert(after <= 32, s"one file per non-empty bucket, got $after")
+    val vBefore = Metrics.scalar("a10.compact", "vecs_files_before").get
+    val vAfter = Metrics.scalar("a10.compact", "vecs_files_after").get
+    assert(vBefore > vAfter, s"vecs compaction must shrink files: $vBefore -> $vAfter")
     assert(rows(Similarity.ivfPqProbe(spark, q, "vec_id", "embedding",
       "a10_spec_two", k = 5, nProbe = 4)) == probeTwo)
+    assert(rows(Similarity.ivfPqProbeRefine(spark, q, "vec_id", "embedding",
+      "a10_spec_two", k = 5, nProbe = 4, refine = 4)) == refineBefore)
+  }
+
+  test("a13 probe-refine ≡ ivfPqRefineTopK over the landed corpus (bit parity)") {
+    // the landed-layout twin of the probe ≡ a9 parity pin: refine over
+    // the _vecs side table changes where the floats are READ FROM,
+    // never a score or a tie-break
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    Similarity.landIvfPqIndex(e, "vec_id", "embedding", 16, 4, 16,
+      "a13_spec", graft.sources.Spool.dir(spark, "a13sp"))
+    val probed = rows(Similarity.ivfPqProbeRefine(spark, q, "vec_id",
+      "embedding", "a13_spec", k = 5, nProbe = 4, refine = 4))
+    val recomputed = rows(Similarity.ivfPqRefineTopK(q, e, "vec_id",
+      "embedding", k = 5, nCentroids = 16, nProbe = 4, m = 4, kCodes = 16,
+      refine = 4))
+    assert(probed == recomputed)
+    // the refine pass actually bit (else this spec pins nothing the
+    // plain-probe parity doesn't): some rank differs from ADC-only
+    val adcOnly = rows(Similarity.ivfPqProbe(spark, q, "vec_id", "embedding",
+        "a13_spec", k = 5, nProbe = 4))
+      .map(r => (r(0), r(1))) // (query, neighbor) in rank order
+    assert(probed.map(r => (r(0), r(1))) != adcOnly,
+      "refine re-rank changed nothing on this corpus — vacuous")
   }
 
   test("a10 absorb: redelivery guard drops replayed ids; staleness advisory fires and re-land clears it") {
@@ -488,6 +532,19 @@ class SimilaritySpec extends SparkSpec {
       e.filter($"vec_id" >= 90 && $"vec_id" < 110), // 90..99 landed, 100..109 absorbed
       "vec_id", "embedding", "a10_guard")
     assert(m3.nDocs == m2.nDocs, "overlapping batch must add zero new ids here")
+    // ...and a replay whose ids carry DIFFERENT vectors is dropped too
+    // (upsert-skip: first write wins). This is the case a codes-side
+    // cell-pruned guard cannot catch — the changed vector encodes into
+    // a different cell, outside the batch's own pruned slice — so it
+    // pins that the guard is keyed on the id-bucketed _vecs table
+    val mutated = e.filter($"vec_id" >= 100 && $"vec_id" < 110)
+      .withColumn("embedding", reverse($"embedding"))
+    val m4 = Similarity.absorbIvfPqBatch(spark, mutated,
+      "vec_id", "embedding", "a10_guard")
+    assert(m4.nDocs == m3.nDocs, "changed-vector replay must absorb nothing")
+    assert(rows(Similarity.ivfPqProbe(spark, q, "vec_id", "embedding",
+      "a10_guard", k = 5, nProbe = 4)) == probe1,
+      "changed-vector replay corrupted the probe")
 
     // staleness: the corpus (500) outgrew the 8-cell quantizer —
     // ivfCellsFor(500) = 23 >= 2*8

@@ -770,7 +770,7 @@ class StreamingSpec extends SparkSpec {
       want ++= Sim.ivfPqProbe(spark, chunk, "vec_id", "embedding",
         "st14_replay", k = 5, nProbe = 4).collect().map(vr)
       Sim.absorbIvfPqBatch(spark, chunk, "vec_id", "embedding", "st14_replay")
-    } finally Seq("cents", "cb", "codes", "meta").foreach(s =>
+    } finally Seq("cents", "cb", "codes", "vecs", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS st14_replay_$s"))
     assert(got == want.toSet,
       s"only-streamed=${(got -- want).take(3)} only-replay=${(want.toSet -- got).take(3)}")

@@ -13,6 +13,14 @@ within the tie group) instead of compared positionally. Tie groups are
 key-group-local, so the pairing is quadratic only in the group size; a
 group larger than PAIR_CAP falls back to a coarse (3-sig-digit) float
 secondary sort, which is still strictly safer than the old 6-digit key.
+
+Known limitation (r18 ADVICE, fails SAFE): the greedy pairing inside a
+tie group is order-dependent — floats chained within tolerance (a~b,
+b~c, a!~c) can pair suboptimally and report a FAIL that an optimal
+bipartite matching would accept, and the PAIR_CAP coarse fallback keeps
+a rounding-boundary misorder risk. Both modes can only produce a false
+FAIL, never a false PASS; a greedy FAIL on chained-tolerance data is
+the signal to inspect the tie group by hand, not to trust the verdict.
 """
 import math
 
