@@ -404,6 +404,19 @@ object Similarity {
                       m: Int, kCodes: Int, refine: Int = 4): DataFrame = {
     val pool = ivfPqTopK(queries, corpus, idCol, vecCol, k * refine,
       nCentroids, nProbe, m, kCodes).select("query_id", "neighbor_id")
+    refineRerank(pool, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** The exact-cosine re-rank shared by [[ivfPqRefineTopK]] and
+    * [[annRecall]]'s refine leg: top-k of `pool` (query_id,
+    * neighbor_id — broadcast-sized by construction) under the a1/a3
+    * rounded-cosine rank + id tie-break, reading the pool members'
+    * vectors from `corpus` via a broadcast join (the corpus never
+    * shuffles).
+    */
+  private def refineRerank(pool: DataFrame, queries: DataFrame,
+                           corpus: DataFrame, idCol: String, vecCol: String,
+                           k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(pool.join(q, "query_id")), Seq("neighbor_id"))
@@ -853,14 +866,20 @@ object Similarity {
       .select("query_id", "neighbor_id")
     def leg(df: DataFrame, method: String): DataFrame =
       df.select(col("query_id"), col("neighbor_id"), lit(method).as("method"))
+    // ONE ADC pass serves both compressed rows: ivfPqTopK's ranking is
+    // a total order per query (adc_fp, then id), so its top-k is
+    // exactly the top-refine·k pool's rank ≤ k prefix — the ivfpq leg
+    // reads the prefix, the refine leg re-ranks the whole pool
+    // (checkpointed: both legs consume it)
+    val pool = ivfPqTopK(queries, corpus, idCol, vecCol, k * refine,
+      nCentroids, nProbe, m, kCodes).localCheckpoint()
     val appr =
       leg(lshTopK(queries, corpus, idCol, vecCol, k, tables, planes), "lsh")
         .union(leg(ivfTopK(queries, corpus, idCol, vecCol, k, nCentroids, nProbe), "ivf"))
         .union(leg(pqAdcTopK(queries, corpus, idCol, vecCol, k, m, kCodes), "pq"))
-        .union(leg(ivfPqTopK(queries, corpus, idCol, vecCol, k, nCentroids,
-          nProbe, m, kCodes), "ivfpq"))
-        .union(leg(ivfPqRefineTopK(queries, corpus, idCol, vecCol, k, nCentroids,
-          nProbe, m, kCodes, refine), "ivfpq_refine"))
+        .union(leg(pool.filter(col("rank") <= k), "ivfpq"))
+        .union(leg(refineRerank(pool.select("query_id", "neighbor_id"),
+          queries, corpus, idCol, vecCol, k), "ivfpq_refine"))
     val hits = appr.join(exact, Seq("query_id", "neighbor_id"))
       .groupBy("query_id", "method").agg(count(lit(1)).as("n_hit"))
     exact.select("query_id").distinct()
