@@ -1137,15 +1137,22 @@ object Dedup {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val spark = docs.sparkSession
     val rows = k / bands
+    // meta's n_docs rides the signature write as an observe() aggregate —
+    // a partial count on rows already flowing into the writer — instead
+    // of a separate count() job re-reading the just-landed table (guide
+    // §1.2: a pass that only re-counts what a previous pass wrote is a
+    // pass removed; at corpus scale that re-read is a full table scan)
+    val obs = org.apache.spark.sql.Observation()
     graft.sources.Sinks.bucketed(
-      minhashSignatures(docs, idCol, textCol, n, k),
+      minhashSignatures(docs, idCol, textCol, n, k)
+        .observe(obs, count(lit(1)).as("n")),
       s"${tableBase}_sigs", "id", nBuckets, path = Some(s"$dir/sigs"))
     val landedSigs = spark.table(s"${tableBase}_sigs")
     graft.sources.Sinks.bucketed(
       bandRows(landedSigs, bands, rows)
         .withColumn("bkey", xxhash64(col("band"), col("bh"))),
       s"${tableBase}_bands", "bkey", nBuckets, path = Some(s"$dir/bands"))
-    val nDocs = landedSigs.count()
+    val nDocs = observedCount(obs, "n")(landedSigs.count())
     writeIndexMeta(spark, tableBase, s"$dir/meta", n, k, bands, nDocs, nBuckets)
   }
 
@@ -1214,16 +1221,32 @@ object Dedup {
     */
   private def absorbMinhashCore(spark: SparkSession, bSigs: DataFrame,
                                 tableBase: String,
-                                meta: MinhashMeta): MinhashMeta = {
+                                meta: MinhashMeta,
+                                deferMeta: Boolean = false): MinhashMeta = {
     graft.sources.Sinks.bucketed(
       bandRows(bSigs, meta.bands, meta.bandRowCount)
         .withColumn("bkey", xxhash64(col("band"), col("bh"))),
       s"${tableBase}_bands", "bkey", meta.nBuckets, mode = SaveMode.Append)
-    graft.sources.Sinks.bucketed(bSigs, s"${tableBase}_sigs", "id",
+    // the batch count rides the append as an observe() aggregate — no
+    // separate count() job per absorb (the streaming loops' cost is the
+    // per-micro-batch job floor)
+    val obs = org.apache.spark.sql.Observation()
+    graft.sources.Sinks.bucketed(
+      bSigs.observe(obs, count(lit(1)).as("n")), s"${tableBase}_sigs", "id",
       meta.nBuckets, mode = SaveMode.Append)
-    val advanced = meta.copy(nDocs = meta.nDocs + bSigs.count())
-    writeIndexMeta(spark, tableBase, meta.metaPath, meta.n, meta.k, meta.bands,
-      advanced.nDocs, meta.nBuckets)
+    val advanced =
+      meta.copy(nDocs = meta.nDocs + observedCount(obs, "n")(bSigs.count()))
+    // deferMeta: a per-micro-batch ingest loop that threads `cachedMeta`
+    // (and is the index's only writer, which that contract demands)
+    // skips the per-cycle 1-row meta rewrite — n_docs is advisory state
+    // (staleness sizing, never probe input), so the loop persists it
+    // ONCE after the drain instead of once per batch. A crash between
+    // cycles leaves meta's n_docs at the land-time value with the
+    // absorbed rows present — the same understatement a crash between
+    // the sigs append and the meta write already produced today.
+    if (!deferMeta)
+      writeIndexMeta(spark, tableBase, meta.metaPath, meta.n, meta.k, meta.bands,
+        advanced.nDocs, meta.nBuckets)
     // The bucketed append refreshes by PATH only; a reader that already
     // resolved these tables holds an identifier-keyed cached relation
     // whose file listing predates this append (observed: a streaming
@@ -1233,6 +1256,26 @@ object Dedup {
     spark.catalog.refreshTable(s"${tableBase}_bands")
     advanced
   }
+
+  /** Read a row count that rode a (synchronous) write action as an
+    * `observe()` aggregate. When the writer's input is provably empty,
+    * PropagateEmptyRelation removes the CollectMetrics node with the
+    * rest of the subtree and the observation completes METRIC-LESS —
+    * fall back to `recount`, which in exactly that case scans an empty
+    * (or batch-sized) input. Never a second corpus pass: non-empty
+    * writes always report the metric.
+    */
+  private[graft] def observedCount(obs: org.apache.spark.sql.Observation,
+                                   key: String)(recount: => Long): Long =
+    obs.get.get(key).map(_.asInstanceOf[Long]).getOrElse(recount)
+
+  /** Persist a threaded [[MinhashMeta]] once — the deferMeta loops'
+    * end-of-drain write (see [[absorbMinhashCore]]).
+    */
+  private[graft] def persistMinhashMeta(spark: SparkSession, tableBase: String,
+                                        meta: MinhashMeta): Unit =
+    writeIndexMeta(spark, tableBase, meta.metaPath, meta.n, meta.k, meta.bands,
+      meta.nDocs, meta.nBuckets)
 
   /** Catalog location of `table` (the URI string Spark records). */
   private[operators] def tableLocation(spark: SparkSession, table: String): String =
@@ -1498,14 +1541,15 @@ object Dedup {
                               idCol: String, textCol: String,
                               tableBase: String, threshold: Double,
                               pairsDir: String,
-                              cachedMeta: Option[MinhashMeta] = None): MinhashMeta = {
+                              cachedMeta: Option[MinhashMeta] = None,
+                              deferMeta: Boolean = false): MinhashMeta = {
     val meta = cachedMeta.getOrElse(readMinhashMeta(spark, tableBase))
     val bSigs = minhashSignatures(newDocs, idCol, textCol, meta.n, meta.k)
       .localCheckpoint()
     probeMinhashCore(spark, bSigs, tableBase, meta, threshold, broadcastBatch = true)
       .repartition(1)
       .write.mode(SaveMode.Append).parquet(pairsDir)
-    absorbMinhashCore(spark, bSigs, tableBase, meta)
+    absorbMinhashCore(spark, bSigs, tableBase, meta, deferMeta)
   }
 
   /** Keep/drop classification of an arriving batch against a landed
@@ -1557,7 +1601,8 @@ object Dedup {
                                  idCol: String, textCol: String,
                                  tableBase: String, threshold: Double,
                                  classDir: String,
-                                 cachedMeta: Option[MinhashMeta] = None): MinhashMeta = {
+                                 cachedMeta: Option[MinhashMeta] = None,
+                                 deferMeta: Boolean = false): MinhashMeta = {
     val meta = cachedMeta.getOrElse(readMinhashMeta(spark, tableBase))
     val bSigs = minhashSignatures(newDocs, idCol, textCol, meta.n, meta.k)
       .localCheckpoint()
@@ -1570,7 +1615,7 @@ object Dedup {
         pairs, "doc_id")
       .repartition(1)
       .write.mode(SaveMode.Append).parquet(classDir)
-    absorbMinhashCore(spark, bSigs, tableBase, meta)
+    absorbMinhashCore(spark, bSigs, tableBase, meta, deferMeta)
   }
 
   /** The earlier-neighbor fold shared by [[incrementalSurvivors]] and
@@ -1636,15 +1681,22 @@ object Dedup {
                         nBuckets: Int = 32): Unit = {
     val spark = embs.sparkSession
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val nDocs = base.count()
+    // the `_vecs` re-layout lands FIRST, with the corpus count riding it
+    // as an observe() aggregate: the separate up-front count() was a
+    // full corpus pass spent only to size the centroid sample (guide
+    // §1.2 — at 100 TB that pass reads the whole corpus once more than
+    // necessary). `_vecs` depends on nothing the count feeds, so the
+    // land does 3 corpus-reads (vecs, sample, assign) instead of 4.
+    val obs = org.apache.spark.sql.Observation()
+    graft.sources.Sinks.bucketed(base.observe(obs, count(lit(1)).as("n")),
+      s"${tableBase}_vecs", "id", nBuckets, path = Some(s"$dir/vecs"))
+    val nDocs = observedCount(obs, "n")(base.count())
     Similarity.md5Sample(embs, idCol, vecCol, ivfCellsFor(nDocs), "cid", "cw")
       .write.mode(SaveMode.Overwrite).option("path", s"$dir/cents")
       .saveAsTable(s"${tableBase}_cents")
     val landedCents = spark.table(s"${tableBase}_cents")
     graft.sources.Sinks.bucketed(assignCells(base, landedCents),
       s"${tableBase}_assign", "cid", nBuckets, path = Some(s"$dir/assign"))
-    graft.sources.Sinks.bucketed(base,
-      s"${tableBase}_vecs", "id", nBuckets, path = Some(s"$dir/vecs"))
     // the frozen cell count rides meta (not a per-absorb _cents scan):
     // ivfCellsFor(nDocs) clamps at the corpus size, so the sample can
     // hold fewer rows than the formula on tiny corpora — record the
@@ -1829,19 +1881,34 @@ object Dedup {
     */
   private def absorbSemanticCore(spark: SparkSession, bBase: DataFrame,
                                  bAssign: DataFrame, tableBase: String,
-                                 meta: SemanticMeta): SemanticMeta = {
+                                 meta: SemanticMeta,
+                                 deferMeta: Boolean = false): SemanticMeta = {
     graft.sources.Sinks.bucketed(bAssign,
       s"${tableBase}_assign", "cid", meta.nBuckets, mode = SaveMode.Append)
-    graft.sources.Sinks.bucketed(bBase,
+    // batch count rides the append (no separate count() job per absorb);
+    // deferMeta: see absorbMinhashCore — the per-cycle 1-row meta
+    // rewrite is skipped by loops that thread cachedMeta and persist once
+    val obs = org.apache.spark.sql.Observation()
+    graft.sources.Sinks.bucketed(bBase.observe(obs, count(lit(1)).as("n")),
       s"${tableBase}_vecs", "id", meta.nBuckets, mode = SaveMode.Append)
-    val advanced = meta.copy(nDocs = meta.nDocs + bBase.count())
-    writeSemanticMeta(spark, tableBase, meta.metaPath, advanced.nDocs,
-      meta.nBuckets, meta.nCents)
+    val advanced =
+      meta.copy(nDocs = meta.nDocs + observedCount(obs, "n")(bBase.count()))
+    if (!deferMeta)
+      writeSemanticMeta(spark, tableBase, meta.metaPath, advanced.nDocs,
+        meta.nBuckets, meta.nCents)
     staleAdvisory("d13", advanced.nDocs, meta.nCents)
     spark.catalog.refreshTable(s"${tableBase}_assign")
     spark.catalog.refreshTable(s"${tableBase}_vecs")
     advanced
   }
+
+  /** Persist a threaded [[SemanticMeta]] once — the deferMeta loops'
+    * end-of-drain write (see [[absorbMinhashCore]]).
+    */
+  private[graft] def persistSemanticMeta(spark: SparkSession, tableBase: String,
+                                         meta: SemanticMeta): Unit =
+    writeSemanticMeta(spark, tableBase, meta.metaPath, meta.nDocs,
+      meta.nBuckets, meta.nCents)
 
   /** One full semantic ingest cycle — assign once, probe, spool the
     * pairs, absorb — the st10 per-micro-batch loop body and the d13
@@ -1853,7 +1920,8 @@ object Dedup {
                                tableBase: String, threshold: Double,
                                pairsDir: String,
                                cachedMeta: Option[SemanticMeta] = None,
-                               preMaterialized: Boolean = false): SemanticMeta = {
+                               preMaterialized: Boolean = false,
+                               deferMeta: Boolean = false): SemanticMeta = {
     val meta = cachedMeta.getOrElse(readSemanticMeta(spark, tableBase))
     val cents = spark.table(s"${tableBase}_cents")
     // preMaterialized: the stream loops already localCheckpointed the
@@ -1867,7 +1935,7 @@ object Dedup {
         threshold, broadcastBatch = true)
       .repartition(1)
       .write.mode(SaveMode.Append).parquet(pairsDir)
-    absorbSemanticCore(spark, bBase, bAssign, tableBase, meta)
+    absorbSemanticCore(spark, bBase, bAssign, tableBase, meta, deferMeta)
   }
 
   /** One full semantic ingest-classification cycle — assign once,
@@ -1882,7 +1950,8 @@ object Dedup {
                                   tableBase: String, threshold: Double,
                                   classDir: String,
                                   cachedMeta: Option[SemanticMeta] = None,
-                                  preMaterialized: Boolean = false): SemanticMeta = {
+                                  preMaterialized: Boolean = false,
+                                  deferMeta: Boolean = false): SemanticMeta = {
     val meta = cachedMeta.getOrElse(readSemanticMeta(spark, tableBase))
     val cents = spark.table(s"${tableBase}_cents")
     // see probeAbsorbSemanticBatch on preMaterialized
@@ -1894,7 +1963,7 @@ object Dedup {
     earliestNeighborFold(bBase.select(col("id").as("vec_id")), pairs, "vec_id")
       .repartition(1)
       .write.mode(SaveMode.Append).parquet(classDir)
-    absorbSemanticCore(spark, bBase, bAssign, tableBase, meta)
+    absorbSemanticCore(spark, bBase, bAssign, tableBase, meta, deferMeta)
   }
 
   /** Compact a landed [[landSemanticIndex]] back to one file per bucket

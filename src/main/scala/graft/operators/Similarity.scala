@@ -515,7 +515,6 @@ object Similarity {
                      nBuckets: Int = 32): Unit = {
     val spark = embs.sparkSession
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val nDocs = base.count()
     md5Sample(embs, idCol, vecCol, nCentroids, "cid", "cv")
       .write.mode(SaveMode.Overwrite).option("path", s"$dir/cents")
       .saveAsTable(s"${tableBase}_cents")
@@ -526,10 +525,15 @@ object Similarity {
       encodeWithCells(spark.table(s"${tableBase}_cents"),
         spark.table(s"${tableBase}_cb"), base, m),
       s"${tableBase}_codes", "cid", nBuckets, path = Some(s"$dir/codes"))
-    graft.sources.Sinks.bucketed(base,
+    // meta's n_docs rides the `_vecs` write as an observe() aggregate —
+    // nCentroids is a caller parameter here, so nothing needs the count
+    // up front and the land does one corpus pass fewer (guide §1.2)
+    val obs = org.apache.spark.sql.Observation()
+    graft.sources.Sinks.bucketed(base.observe(obs, count(lit(1)).as("n")),
       s"${tableBase}_vecs", "id", nBuckets, path = Some(s"$dir/vecs"))
-    writeIvfPqMeta(spark, tableBase, s"$dir/meta", nDocs, nCentroids, m,
-      kCodes, nBuckets)
+    writeIvfPqMeta(spark, tableBase, s"$dir/meta",
+      Dedup.observedCount(obs, "n")(base.count()), nCentroids, m, kCodes,
+      nBuckets)
   }
 
   /** ADC top-k of `queries` against a landed [[landIvfPqIndex]] — the
@@ -672,7 +676,8 @@ object Similarity {
                        idCol: String, vecCol: String, tableBase: String,
                        cachedMeta: Option[IvfPqMeta] = None,
                        preMaterialized: Boolean = false,
-                       callerGuarded: Boolean = false): IvfPqMeta = {
+                       callerGuarded: Boolean = false,
+                       deferMeta: Boolean = false): IvfPqMeta = {
     val meta = cachedMeta.getOrElse(readIvfPqMeta(spark, tableBase))
     // preMaterialized: the st14 loop already localCheckpointed the
     // guarded batch, so the projection re-evaluates for free and the
@@ -691,16 +696,31 @@ object Similarity {
       spark.table(s"${tableBase}_cb"), fresh, meta.m)
     graft.sources.Sinks.bucketed(enc,
       s"${tableBase}_codes", "cid", meta.nBuckets, mode = SaveMode.Append)
-    graft.sources.Sinks.bucketed(fresh,
+    // batch count rides the append (no separate count() job per absorb);
+    // deferMeta: see Dedup.absorbMinhashCore — per-micro-batch loops
+    // that thread cachedMeta persist the 1-row meta once after the drain
+    val obs = org.apache.spark.sql.Observation()
+    graft.sources.Sinks.bucketed(
+      fresh.observe(obs, count(lit(1)).as("n")),
       s"${tableBase}_vecs", "id", meta.nBuckets, mode = SaveMode.Append)
-    val advanced = meta.copy(nDocs = meta.nDocs + fresh.count())
-    writeIvfPqMeta(spark, tableBase, meta.metaPath, advanced.nDocs,
-      meta.nCents, meta.m, meta.kCodes, meta.nBuckets)
+    val advanced =
+      meta.copy(nDocs = meta.nDocs + Dedup.observedCount(obs, "n")(fresh.count()))
+    if (!deferMeta)
+      writeIvfPqMeta(spark, tableBase, meta.metaPath, advanced.nDocs,
+        meta.nCents, meta.m, meta.kCodes, meta.nBuckets)
     Dedup.staleAdvisory("a10", advanced.nDocs, meta.nCents)
     spark.catalog.refreshTable(s"${tableBase}_codes")
     spark.catalog.refreshTable(s"${tableBase}_vecs")
     advanced
   }
+
+  /** Persist a threaded [[IvfPqMeta]] once — the deferMeta loops'
+    * end-of-drain write (see [[Dedup.absorbMinhashCore]]).
+    */
+  private[graft] def persistIvfPqMeta(spark: SparkSession, tableBase: String,
+                                      meta: IvfPqMeta): Unit =
+    writeIvfPqMeta(spark, tableBase, meta.metaPath, meta.nDocs,
+      meta.nCents, meta.m, meta.kCodes, meta.nBuckets)
 
   /** One full vector-ingest cycle — probe, spool the top-k verdicts,
     * absorb — the st14 per-micro-batch loop body and the a10 twin of
@@ -720,7 +740,8 @@ object Similarity {
                             k: Int, nProbe: Int, verdictsDir: String,
                             cachedMeta: Option[IvfPqMeta] = None,
                             preMaterialized: Boolean = false,
-                            callerGuarded: Boolean = false): IvfPqMeta = {
+                            callerGuarded: Boolean = false,
+                            deferMeta: Boolean = false): IvfPqMeta = {
     val meta = cachedMeta.getOrElse(readIvfPqMeta(spark, tableBase))
     ivfPqProbe(spark, newEmbs, idCol, vecCol, tableBase, k, nProbe,
         cachedMeta = Some(meta))
@@ -729,7 +750,8 @@ object Similarity {
       .repartition(1)
       .write.mode(SaveMode.Append).parquet(verdictsDir)
     absorbIvfPqBatch(spark, newEmbs, idCol, vecCol, tableBase, Some(meta),
-      preMaterialized = preMaterialized, callerGuarded = callerGuarded)
+      preMaterialized = preMaterialized, callerGuarded = callerGuarded,
+      deferMeta = deferMeta)
   }
 
   /** Compact a landed [[landIvfPqIndex]]'s code table back to one file

@@ -105,9 +105,11 @@ object DocStreams {
       .option("maxFilesPerTrigger", "1").parquet(arriveDir)
     // the immutable meta slice is read once and threaded through the
     // cycles (this loop is the index's only writer); each micro-batch
-    // then pays one signature pass and zero meta jobs
-    var meta: Option[Dedup.MinhashMeta] =
-      Some(Dedup.readMinhashMeta(spark, tableBase))
+    // then pays one signature pass and zero meta jobs — the per-cycle
+    // meta REWRITE is deferred too (n_docs is advisory state), persisted
+    // once after the drain instead of once per batch
+    val landedMeta = Dedup.readMinhashMeta(spark, tableBase)
+    var meta: Option[Dedup.MinhashMeta] = Some(landedMeta)
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Dedup.compactMinhashIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
@@ -122,13 +124,15 @@ object DocStreams {
           if (!fresh.isEmpty) {
             meta = Some(Dedup.probeAbsorbMinhashBatch(spark, fresh, "doc_id",
               "text", tableBase, threshold = 0.5, pairsDir = outDir,
-              cachedMeta = meta))
+              cachedMeta = meta, deferMeta = true))
             compactor.cycleDone()
           }
         }
         .start()
     }
     try q.processAllAvailable() finally q.stop()
+    meta.filter(_.nDocs != landedMeta.nDocs)
+      .foreach(m => Dedup.persistMinhashMeta(spark, tableBase, m))
     graft.Metrics.set("st9.autocompact", "fired" -> compactor.firedCount.toLong)
     // the spool outlives the catalog entries; the result plan reads only it
     Seq("sigs", "bands", "meta").foreach(s =>
@@ -173,8 +177,8 @@ object DocStreams {
     val outDir = s"$root/pairs"
     val stream = spark.readStream.schema(arrivals.schema)
       .option("maxFilesPerTrigger", "1").parquet(arriveDir)
-    var meta: Option[Dedup.SemanticMeta] =
-      Some(Dedup.readSemanticMeta(spark, tableBase))
+    val landedMeta = Dedup.readSemanticMeta(spark, tableBase)
+    var meta: Option[Dedup.SemanticMeta] = Some(landedMeta)
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Dedup.compactSemanticIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
@@ -186,13 +190,15 @@ object DocStreams {
           if (!fresh.isEmpty) {
             meta = Some(Dedup.probeAbsorbSemanticBatch(spark, fresh, "vec_id",
               "embedding", tableBase, threshold, pairsDir = outDir,
-              cachedMeta = meta, preMaterialized = true))
+              cachedMeta = meta, preMaterialized = true, deferMeta = true))
             compactor.cycleDone()
           }
         }
         .start()
     }
     try q.processAllAvailable() finally q.stop()
+    meta.filter(_.nDocs != landedMeta.nDocs)
+      .foreach(m => Dedup.persistSemanticMeta(spark, tableBase, m))
     graft.Metrics.set("st10.autocompact", "fired" -> compactor.firedCount.toLong)
     Seq("cents", "assign", "vecs", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
@@ -279,8 +285,8 @@ object DocStreams {
     val outDir = s"$root/class"
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(arriveDir)
-    var meta: Option[Dedup.MinhashMeta] =
-      Some(Dedup.readMinhashMeta(spark, tableBase))
+    val landedMeta = Dedup.readMinhashMeta(spark, tableBase)
+    var meta: Option[Dedup.MinhashMeta] = Some(landedMeta)
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Dedup.compactMinhashIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
@@ -292,13 +298,15 @@ object DocStreams {
           if (!fresh.isEmpty) {
             meta = Some(Dedup.classifyAbsorbMinhashBatch(spark, fresh, "doc_id",
               "text", tableBase, threshold = 0.5, classDir = outDir,
-              cachedMeta = meta))
+              cachedMeta = meta, deferMeta = true))
             compactor.cycleDone()
           }
         }
         .start()
     }
     try q.processAllAvailable() finally q.stop()
+    meta.filter(_.nDocs != landedMeta.nDocs)
+      .foreach(m => Dedup.persistMinhashMeta(spark, tableBase, m))
     graft.Metrics.set("st11.autocompact", "fired" -> compactor.firedCount.toLong)
     Seq("sigs", "bands", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
@@ -400,8 +408,8 @@ object DocStreams {
     val outDir = s"$root/class"
     val stream = spark.readStream.schema(embs.schema)
       .option("maxFilesPerTrigger", "1").parquet(arriveDir)
-    var meta: Option[Dedup.SemanticMeta] =
-      Some(Dedup.readSemanticMeta(spark, tableBase))
+    val landedMeta = Dedup.readSemanticMeta(spark, tableBase)
+    var meta: Option[Dedup.SemanticMeta] = Some(landedMeta)
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Dedup.compactSemanticIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
@@ -413,13 +421,15 @@ object DocStreams {
           if (!fresh.isEmpty) {
             meta = Some(Dedup.classifyAbsorbSemanticBatch(spark, fresh, "vec_id",
               "embedding", tableBase, threshold, classDir = outDir,
-              cachedMeta = meta, preMaterialized = true))
+              cachedMeta = meta, preMaterialized = true, deferMeta = true))
             compactor.cycleDone()
           }
         }
         .start()
     }
     try q.processAllAvailable() finally q.stop()
+    meta.filter(_.nDocs != landedMeta.nDocs)
+      .foreach(m => Dedup.persistSemanticMeta(spark, tableBase, m))
     graft.Metrics.set("st12.autocompact", "fired" -> compactor.firedCount.toLong)
     Seq("cents", "assign", "vecs", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
@@ -470,8 +480,8 @@ object DocStreams {
     val outDir = s"$root/verdicts"
     val stream = spark.readStream.schema(embs.schema)
       .option("maxFilesPerTrigger", "1").parquet(arriveDir)
-    var meta: Option[Similarity.IvfPqMeta] =
-      Some(Similarity.readIvfPqMeta(spark, tableBase))
+    val landedMeta = Similarity.readIvfPqMeta(spark, tableBase)
+    var meta: Option[Similarity.IvfPqMeta] = Some(landedMeta)
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Similarity.compactIvfPqIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
@@ -488,13 +498,16 @@ object DocStreams {
             meta = Some(Similarity.probeAbsorbIvfPqBatch(spark, fresh,
               "vec_id", "embedding", tableBase, k, nProbe,
               verdictsDir = outDir, cachedMeta = meta,
-              preMaterialized = true, callerGuarded = true))
+              preMaterialized = true, callerGuarded = true,
+              deferMeta = true))
             compactor.cycleDone()
           }
         }
         .start()
     }
     try q.processAllAvailable() finally q.stop()
+    meta.filter(_.nDocs != landedMeta.nDocs)
+      .foreach(m => Similarity.persistIvfPqMeta(spark, tableBase, m))
     graft.Metrics.set("st14.autocompact", "fired" -> compactor.firedCount.toLong)
     Seq("cents", "cb", "codes", "vecs", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
