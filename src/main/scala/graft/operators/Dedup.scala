@@ -731,11 +731,15 @@ object Dedup {
       // also the materialization barrier: every partition of `small` is
       // in the cache before the previous pin is released below (a
       // partial action would let later rounds recompute the whole
-      // lineage chain through an already-dropped cache). The except jobs
+      // lineage chain through an already-dropped cache). The subset jobs
       // run only when the counts agree — a strict subset check then
-      // decides set equality.
+      // decides set equality. left_anti, not except(): both sides are
+      // already distinct, so except's extra post-join HashAggregate
+      // (its distinct contract) is pure overhead on the convergence
+      // round; emptiness of small∖edges is identical either way.
       val newCnt = small.count()
-      converged = newCnt == edgeCnt && small.except(edges).isEmpty
+      converged = newCnt == edgeCnt &&
+        small.join(edges, Seq("a", "b"), "left_anti").isEmpty
       edges.unpersist()
       // Cap the logical lineage: each round's plan nests the previous
       // round's two window phases, so by round N a task failure
@@ -1461,13 +1465,20 @@ object Dedup {
     // join includes bkey FIRST so the shuffle regime co-locates with the
     // index buckets; band+bh make the match exact (bkey alone could
     // collide)
+    // no distinct on cross alone: the final distinct below dedups the
+    // union, and its partial (map-side) aggregate already collapses the
+    // per-band duplicates before the exchange — a pre-distinct here was
+    // a second full exchange of the same rows (plan: 2 Exchange → 1 on
+    // the cross branch; r19)
     val cross = idxPruned.as("c").join(probe.as("p"),
         col("c.bkey") === col("p.bkey") && col("c.band") === col("p.band") &&
           col("c.bh") === col("p.bh") && col("c.id") =!= col("p.id"))
       .select(least(col("c.id"), col("p.id")).as("id_a"),
         greatest(col("c.id"), col("p.id")).as("id_b"))
-      .distinct()
-    val intra = saltedSelfCandidates(bBands.select("id", "band", "bh"),
+    // saltedSelfJoin, not saltedSelfCandidates: the union's distinct is
+    // the single dedup point for BOTH branches (one exchange instead of
+    // a per-branch distinct exchange each + the union re-aggregate)
+    val intra = saltedSelfJoin(bBands.select("id", "band", "bh"),
       Seq("band", "bh"), tag = "d11")
     val cand = cross.union(intra).distinct()
     minhashVerify(cand, idxSigs.unionByName(bSigs), meta.k, threshold)
@@ -1818,12 +1829,18 @@ object Dedup {
       if (cids.length > maxInSetKeys) idxAssign
       else idxAssign.filter(col("cid").isInCollection(cids.map(_.getLong(0)).toSeq))
     }
+    // no distinct on cross alone: a vector lives in exactly ONE cell
+    // (keep-1 assignment), so a (batch, landed) pair arises from at most
+    // one cell and cross is duplicate-free by construction — the old
+    // pre-distinct was a full exchange that removed nothing; the final
+    // union distinct still dedups cross-vs-intra (r19)
     val cross = idxPruned.as("c").join(probe.as("p"),
         col("c.cid") === col("p.cid") && col("c.id") =!= col("p.id"))
       .select(least(col("c.id"), col("p.id")).as("id_a"),
         greatest(col("c.id"), col("p.id")).as("id_b"))
-      .distinct()
-    val intra = saltedSelfCandidates(bAssign, Seq("cid"), tag = "d13")
+    // saltedSelfJoin, not saltedSelfCandidates: one dedup point (the
+    // union's distinct) for both branches — see probeMinhashCore
+    val intra = saltedSelfJoin(bAssign, Seq("cid"), tag = "d13")
     val cand = cross.union(intra).distinct()
     verifiedCosPairs(cand, idxVecs.unionByName(bBase), threshold, tag = "d13")
   }
