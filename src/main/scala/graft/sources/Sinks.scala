@@ -252,7 +252,24 @@ object Sinks {
   def bucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
                mode: SaveMode = SaveMode.Overwrite,
                path: Option[String] = None): Unit = {
-    val w = df.repartition(nBuckets, col(bucketCol)).write.mode(mode)
+    // Appends are batch-sized (the absorb path), so co-partitioning into
+    // the FULL bucket count is a task-wave cliff in the other direction:
+    // a few-thousand-row batch absorbed into a production-scale index
+    // (thousands of buckets) would launch thousands of near-empty write
+    // tasks per micro-batch. Hash-partitioning by the bucket column into
+    // any DIVISOR d of nBuckets keeps the one-file-per-touched-bucket
+    // invariant intact — repartition and the bucketed writer use the
+    // same hash family (Murmur3, seed 42; HashPartitioning's
+    // partitionIdExpression), and h ≡ h' (mod nBuckets) implies
+    // h ≡ h' (mod d) when d divides nBuckets, so every bucket's rows
+    // still land wholly inside one task. Lands (Overwrite) keep the
+    // full-width co-partition: they are corpus-sized and WANT nBuckets
+    // of write parallelism.
+    val parts =
+      if (mode == SaveMode.Append)
+        Seq(8, 4, 2, 1).find(nBuckets % _ == 0).getOrElse(nBuckets)
+      else nBuckets
+    val w = df.repartition(parts, col(bucketCol)).write.mode(mode)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")

@@ -87,6 +87,37 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("bucketed append's narrowed task wave keeps one file per touched bucket") {
+    // Appends co-partition into a DIVISOR of nBuckets (8 here for 32) —
+    // the batch-sized absorb path must not launch an nBuckets-wide task
+    // wave — and that is only sound if repartition's hash family equals
+    // the writer's bucket-id hash, so every bucket's rows still land
+    // wholly inside one task: exactly one new file per touched bucket
+    // per append, and the bucketed read stays correct.
+    val nBuckets = 32
+    val path = tmp("sink-bkt-append")
+    val base = spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v"))
+    Sinks.bucketed(base, "bkt_append_t", "id", nBuckets, path = Some(path))
+    def parquetFiles = {
+      val s = Files.walk(java.nio.file.Paths.get(path))
+      try s.filter(_.toString.endsWith(".parquet")).count() finally s.close()
+    }
+    val landFiles = parquetFiles
+    assert(landFiles <= nBuckets, s"land: one file per non-empty bucket, got $landFiles")
+    // a batch touching every bucket appends exactly one file per bucket
+    val batch = spark.range(2000, 3000).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(5) // deliberately NOT bucket-partitioned on entry
+    Sinks.bucketed(batch, "bkt_append_t", "id", nBuckets, mode = SaveMode.Append)
+    spark.catalog.refreshTable("bkt_append_t")
+    assert(parquetFiles - landFiles <= nBuckets,
+      s"append added ${parquetFiles - landFiles} files — more than one per touched bucket")
+    try {
+      assert(spark.table("bkt_append_t").count() == 2000)
+      // bucket pruning still resolves an id to its (landed or appended) file
+      assert(spark.table("bkt_append_t").filter(col("id") === 2500L).head().getLong(1) == 5000L)
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_append_t")
+  }
+
   test("jdbc upsert is idempotent: rewriting the same batch adds nothing") {
     val url = s"jdbc:derby:${tmp("derby-upsert")}/graftdb;create=true"
     val batch = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
