@@ -385,7 +385,7 @@ object Similarity {
     * `IndexRefineFlat` pattern and the standard answer to PQ's recall
     * ceiling (measured by a11: ADC-only ranking over md5-sampled
     * codebooks loses most of the true top-k as the corpus outgrows
-    * kCodes — bench/SCALING_r18.md): the compressed [[ivfPqTopK]] path
+    * kCodes — bench/SCALING_r19.md): the compressed [[ivfPqTopK]] path
     * retrieves a candidate pool of `refine·k` ids per query at full
     * compressed-domain cheapness, then ONLY those pool vectors are
     * read as floats and re-ranked by exact cosine (the a1/a3 rounded
