@@ -233,13 +233,41 @@ object Similarity {
     * contract); every consumer broadcasts this relation.
     */
   private def codebookSubs(corpus: DataFrame, idCol: String, vecCol: String,
-                           m: Int, kCodes: Int): DataFrame = {
+                           m: Int, kCodes: Int): DataFrame =
+    codebookSubsFrom(md5Sample(corpus, idCol, vecCol, kCodes, "cent_id", "cw"), m)
+
+  /** [[codebookSubs]] over an already-drawn `(cent_id, cw)` md5 sample
+    * (≥ kCodes rows are fine — the caller passes the exact prefix). */
+  private def codebookSubsFrom(sample: DataFrame, m: Int): DataFrame = {
     val byMd5 = Window.orderBy(md5(col("cent_id").cast("string")), col("cent_id"))
-    md5Sample(corpus, idCol, vecCol, kCodes, "cent_id", "cw")
+    sample
       .withColumn("code", row_number().over(byMd5).cast("long") - 1)
       .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("cw"))
       .select(col("code"), col("sub"),
         expr(s"slice(cw, sub * (size(cw) div $m) + 1, size(cw) div $m)").as("cs"))
+  }
+
+  /** ONE md5-ordered corpus sample serving BOTH quantizers — the coarse
+    * centroids (first `nCentroids` rows) and the PQ codebook (first
+    * `kCodes` rows). [[md5Sample]] is a deterministic TOTAL order
+    * (md5(id) with the unique id as tie-break), so the n-row sample is
+    * bit-identical to the prefix of the max(n, k)-row sample — drawing
+    * one sample and slicing two prefixes replaces two full-corpus
+    * TakeOrdered passes with one (guide §1.2; the sample is
+    * localCheckpointed because its two consumers are different actions
+    * or different broadcast subtrees, which exchange reuse does not
+    * dedup). Returns (cents (cid, cv), codebook subs (code, sub, cs)).
+    */
+  private def sharedQuantizerSample(corpus: DataFrame, idCol: String,
+                                    vecCol: String, nCentroids: Int,
+                                    m: Int, kCodes: Int): (DataFrame, DataFrame) = {
+    val sample = md5Sample(corpus, idCol, vecCol, math.max(nCentroids, kCodes),
+      "cent_id", "cw").localCheckpoint()
+    def prefix(n: Int) = sample
+      .orderBy(md5(col("cent_id").cast("string")), col("cent_id")).limit(n)
+    val cents = prefix(nCentroids)
+      .select(col("cent_id").as("cid"), col("cw").as("cv"))
+    (cents, codebookSubsFrom(prefix(kCodes), m))
   }
 
   /** `(id → m subvectors)` explode shared by the encode and query sides. */
@@ -361,14 +389,24 @@ object Similarity {
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int, nCentroids: Int, nProbe: Int, m: Int, kCodes: Int): DataFrame = {
-    val cents = md5Sample(corpus, idCol, vecCol, nCentroids, "cid", "cv")
+    // one corpus sample pass serves both quantizers (bit-identical
+    // prefixes of the same md5 order — see sharedQuantizerSample)
+    val (cents, cb0) = sharedQuantizerSample(corpus, idCol, vecCol,
+      nCentroids, m, kCodes)
+    val cb = broadcast(cb0)
     val corpusCells = ivfAssign(cents,
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2")),
       "neighbor_id", "cv2", 1).select("neighbor_id", "cid")
     val queryProbes = ivfAssign(cents,
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "query_id", "qv", nProbe).select("query_id", "cid")
-    val (codes, adc) = pqCodesAndAdc(queries, corpus, idCol, vecCol, m, kCodes)
+    val codes = pqEncodeWith(cb, corpus, idCol, vecCol, m)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+    val adc = subVectors(queries, idCol, vecCol, m, "query_id")
+      .join(cb, Seq("sub"))
+      .select(col("query_id"), col("sub").cast("long").as("sub"), col("code"),
+        floor(sqL2(col("vs"), col("cs")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("dfp"))
     // a corpus vector lives in exactly ONE cell (keep = 1), so a
     // candidate (query, neighbor) pair arises from at most one probed
     // cell and needs no dedup before the sum
@@ -515,10 +553,16 @@ object Similarity {
                      nBuckets: Int = 32): Unit = {
     val spark = embs.sparkSession
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    md5Sample(embs, idCol, vecCol, nCentroids, "cid", "cv")
+    // one corpus sample pass serves both quantizer tables (bit-identical
+    // prefixes of the same md5 order — see sharedQuantizerSample); the
+    // two writes are separate actions, so without the shared
+    // (checkpointed) sample each re-ran its own corpus TakeOrdered
+    val (cents, cb) = sharedQuantizerSample(embs, idCol, vecCol,
+      nCentroids, m, kCodes)
+    cents
       .write.mode(SaveMode.Overwrite).option("path", s"$dir/cents")
       .saveAsTable(s"${tableBase}_cents")
-    codebookSubs(embs, idCol, vecCol, m, kCodes)
+    cb
       .write.mode(SaveMode.Overwrite).option("path", s"$dir/cb")
       .saveAsTable(s"${tableBase}_cb")
     graft.sources.Sinks.bucketed(
