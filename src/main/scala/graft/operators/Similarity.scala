@@ -550,9 +550,30 @@ object Similarity {
   def landIvfPqIndex(embs: DataFrame, idCol: String, vecCol: String,
                      nCentroids: Int, m: Int, kCodes: Int,
                      tableBase: String, dir: String,
-                     nBuckets: Int = 32): Unit = {
+                     nBuckets: Int = 32): Unit =
+    landIvfPqIndexSized(embs, idCol, vecCol, _ => nCentroids, m, kCodes,
+      tableBase, dir, nBuckets)
+
+  /** [[landIvfPqIndex]] with the coarse cell count DERIVED from the
+    * corpus size (`centroidsFor`, e.g. [[Dedup.ivfCellsFor]] — the
+    * st14 sizing rule): the `_vecs` re-layout lands FIRST with the
+    * count riding it as an observe() aggregate, so sizing needs no
+    * up-front corpus count() pass (the landSemanticIndex shape; guide
+    * §1.2). Write order within a fresh land carries no crash
+    * contract — `_meta` stays the last write (the index-exists
+    * marker) in both spellings.
+    */
+  def landIvfPqIndexSized(embs: DataFrame, idCol: String, vecCol: String,
+                          centroidsFor: Long => Int, m: Int, kCodes: Int,
+                          tableBase: String, dir: String,
+                          nBuckets: Int = 32): Unit = {
     val spark = embs.sparkSession
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val obs = org.apache.spark.sql.Observation()
+    graft.sources.Sinks.bucketed(base.observe(obs, count(lit(1)).as("n")),
+      s"${tableBase}_vecs", "id", nBuckets, path = Some(s"$dir/vecs"))
+    val nDocs = Dedup.observedCount(obs, "n")(base.count())
+    val nCentroids = centroidsFor(nDocs)
     // one corpus sample pass serves both quantizer tables (bit-identical
     // prefixes of the same md5 order — see sharedQuantizerSample); the
     // two writes are separate actions, so without the shared
@@ -569,15 +590,8 @@ object Similarity {
       encodeWithCells(spark.table(s"${tableBase}_cents"),
         spark.table(s"${tableBase}_cb"), base, m),
       s"${tableBase}_codes", "cid", nBuckets, path = Some(s"$dir/codes"))
-    // meta's n_docs rides the `_vecs` write as an observe() aggregate —
-    // nCentroids is a caller parameter here, so nothing needs the count
-    // up front and the land does one corpus pass fewer (guide §1.2)
-    val obs = org.apache.spark.sql.Observation()
-    graft.sources.Sinks.bucketed(base.observe(obs, count(lit(1)).as("n")),
-      s"${tableBase}_vecs", "id", nBuckets, path = Some(s"$dir/vecs"))
-    writeIvfPqMeta(spark, tableBase, s"$dir/meta",
-      Dedup.observedCount(obs, "n")(base.count()), nCentroids, m, kCodes,
-      nBuckets)
+    writeIvfPqMeta(spark, tableBase, s"$dir/meta", nDocs, nCentroids, m,
+      kCodes, nBuckets)
   }
 
   /** ADC top-k of `queries` against a landed [[landIvfPqIndex]] — the

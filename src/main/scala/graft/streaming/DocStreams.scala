@@ -471,10 +471,11 @@ object DocStreams {
     // rule): a fixed nCentroids makes every probe scan nProbe/nCents of
     // the corpus PER QUERY — at gen10 that was 30k candidates for each
     // of 27k arrivals in a batch, the exact blow-up class the sqrt
-    // sizing exists to stop (r18; the oracle replays the same formula)
-    Similarity.landIvfPqIndex(landed, "vec_id", "embedding",
-      nCentroids = Dedup.ivfCellsFor(landed.count()), m = 4, kCodes = 16,
-      tableBase, s"$root/idx")
+    // sizing exists to stop (r18; the oracle replays the same formula).
+    // The sized land derives the count from its own `_vecs` write, so
+    // the old separate landed.count() corpus pass is gone (r19)
+    Similarity.landIvfPqIndexSized(landed, "vec_id", "embedding",
+      Dedup.ivfCellsFor, m = 4, kCodes = 16, tableBase, s"$root/idx")
     val arriveDir = arrivalDrops(dir, "embs", "vec_id")(
       embs.filter(col("vec_id") % 5 >= 3))
     val outDir = s"$root/verdicts"
