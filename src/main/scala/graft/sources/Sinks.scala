@@ -267,7 +267,10 @@ object Sinks {
     // of write parallelism.
     val parts =
       if (mode == SaveMode.Append)
-        Seq(8, 4, 2, 1).find(nBuckets % _ == 0).getOrElse(nBuckets)
+        // largest divisor ≤ 8, trying EVERY width: the old powers-of-two
+        // probe (8,4,2,1) serialized any odd bucket count (15, 21, any
+        // odd production sizing) through ONE task and missed d = 7/6/5/3
+        (8 to 1 by -1).find(nBuckets % _ == 0).getOrElse(1)
       else nBuckets
     val w = df.repartition(parts, col(bucketCol)).write.mode(mode)
       .bucketBy(nBuckets, bucketCol)

@@ -30,7 +30,7 @@ def main() -> None:
         if k not in ql:
             continue
         t0, t1 = qs[k]["sec"], ql[k]["sec"]
-        ok = qs[k]["ok"] and ql[k]["ok"]
+        ok = qs[k].get("ok", True) and ql[k].get("ok", True)
         if k.startswith("s") and not k.startswith("st"):
             tag = "fixture"
             e = None
@@ -50,7 +50,7 @@ def main() -> None:
     # TOTAL over the shared ok-in-both queries only — summing each
     # file's full set would let a query present (or failed-fast) in one
     # run skew the headline exponent against the per-query table
-    shared = [k for k in qs if k in ql and qs[k]["ok"] and ql[k]["ok"]]
+    shared = [k for k in qs if k in ql and qs[k].get("ok", True) and ql[k].get("ok", True)]
     tot0 = sum(qs[k]["sec"] for k in shared)
     tot1 = sum(ql[k]["sec"] for k in shared)
     print(f"\n{'TOTAL (shared ok)':28s}{tot0:9.1f}{tot1:9.1f}"
