@@ -462,16 +462,26 @@ object Dedup {
       .select(col("seg"), col("doc_id"),
         (coalesce(col("prior"), lit(0L)) + col("__r") >= minDf).as("__drop"))
     val flagged = segs.join(verdict, Seq("seg", "doc_id"))
-    reassembleSegs(base.select("doc_id"), flagged)
-      .repartition(1)
-      .write.mode(SaveMode.Append).parquet(outDir)
+    // no repartition(1): the reassembly aggregate is the plan's last
+    // exchange and AQE's partition coalescing already collapses its
+    // batch-sized output — the explicit single-file exchange was one
+    // more AQE stage job per micro-batch for the same spool content
+    withDesc(spark, "cycle: clean spool") {
+      reassembleSegs(base.select("doc_id"), flagged)
+        .write.mode(SaveMode.Append).parquet(outDir)
+    }
     val deltas = hosts.groupBy("seg").agg(count(lit(1)).as("nd"))
       .select(lit(batchId).as("batch_id"), xxhash64(col("seg")).as("skey"),
         col("seg"), col("nd"))
-    graft.sources.Sinks.bucketed(deltas, s"${tableBase}_segdf", "skey",
-      nBuckets, mode = SaveMode.Append)
-    graft.sources.Sinks.bucketed(base.select(col("doc_id").as("id")),
-      s"${tableBase}_docs", "id", nBuckets, mode = SaveMode.Append)
+    // join-free appends: one job each under AQE-off (absorbMinhashCore)
+    withDesc(spark, "cycle: absorb segdf") { withAqeOff(deltas.sparkSession) {
+      graft.sources.Sinks.bucketed(deltas, s"${tableBase}_segdf", "skey",
+        nBuckets, mode = SaveMode.Append)
+    } }
+    withDesc(spark, "cycle: absorb docs") { withAqeOff(base.sparkSession) {
+      graft.sources.Sinks.bucketed(base.select(col("doc_id").as("id")),
+        s"${tableBase}_docs", "id", nBuckets, mode = SaveMode.Append)
+    } }
     spark.catalog.refreshTable(s"${tableBase}_segdf")
     spark.catalog.refreshTable(s"${tableBase}_docs")
   }
@@ -736,7 +746,11 @@ object Dedup {
       // decides set equality. left_anti, not except(): both sides are
       // already distinct, so except's extra post-join HashAggregate
       // (its distinct contract) is pure overhead on the convergence
-      // round; emptiness of small∖edges is identical either way.
+      // round; emptiness of small∖edges is identical either way. The
+      // equivalence leans on (a, b) being NON-NULL (except is null-safe,
+      // a left_anti equi-join never matches NULL keys) — which holds by
+      // construction: component ids come from min()/least() over the
+      // non-null id domain, never from an outer join.
       val newCnt = small.count()
       converged = newCnt == edgeCnt &&
         small.join(edges, Seq("a", "b"), "left_anti").isEmpty
@@ -1137,7 +1151,7 @@ object Dedup {
   def landMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, k: Int, bands: Int,
                        tableBase: String, dir: String,
-                       nBuckets: Int = 32): Unit = {
+                       nBuckets: Int = 32): MinhashMeta = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val spark = docs.sparkSession
     val rows = k / bands
@@ -1158,6 +1172,9 @@ object Dedup {
       s"${tableBase}_bands", "bkey", nBuckets, path = Some(s"$dir/bands"))
     val nDocs = observedCount(obs, "n")(landedSigs.count())
     writeIndexMeta(spark, tableBase, s"$dir/meta", n, k, bands, nDocs, nBuckets)
+    // the land KNOWS the meta it just wrote — returning it saves every
+    // ingest loop the per-drain readMinhashMeta head() job + catalog query
+    MinhashMeta(n, k, bands, nDocs, nBuckets, s"$dir/meta")
   }
 
   private def writeIndexMeta(spark: SparkSession, tableBase: String,
@@ -1227,17 +1244,24 @@ object Dedup {
                                 tableBase: String,
                                 meta: MinhashMeta,
                                 deferMeta: Boolean = false): MinhashMeta = {
-    graft.sources.Sinks.bucketed(
-      bandRows(bSigs, meta.bands, meta.bandRowCount)
-        .withColumn("bkey", xxhash64(col("band"), col("bh"))),
-      s"${tableBase}_bands", "bkey", meta.nBuckets, mode = SaveMode.Append)
+    // join-free append plans: AQE off folds each append's exchange+write
+    // into ONE job (see withAqeOff; the explicit repartition pins the
+    // partition count either way, so the file layout is identical)
+    withDesc(spark, "cycle: absorb bands") { withAqeOff(bSigs.sparkSession) {
+      graft.sources.Sinks.bucketed(
+        bandRows(bSigs, meta.bands, meta.bandRowCount)
+          .withColumn("bkey", xxhash64(col("band"), col("bh"))),
+        s"${tableBase}_bands", "bkey", meta.nBuckets, mode = SaveMode.Append)
+    } }
     // the batch count rides the append as an observe() aggregate — no
     // separate count() job per absorb (the streaming loops' cost is the
     // per-micro-batch job floor)
     val obs = org.apache.spark.sql.Observation()
-    graft.sources.Sinks.bucketed(
-      bSigs.observe(obs, count(lit(1)).as("n")), s"${tableBase}_sigs", "id",
-      meta.nBuckets, mode = SaveMode.Append)
+    withDesc(spark, "cycle: absorb sigs") { withAqeOff(bSigs.sparkSession) {
+      graft.sources.Sinks.bucketed(
+        bSigs.observe(obs, count(lit(1)).as("n")), s"${tableBase}_sigs", "id",
+        meta.nBuckets, mode = SaveMode.Append)
+    } }
     val advanced =
       meta.copy(nDocs = meta.nDocs + observedCount(obs, "n")(bSigs.count()))
     // deferMeta: a per-micro-batch ingest loop that threads `cachedMeta`
@@ -1455,12 +1479,25 @@ object Dedup {
     // ingredient.
     val maxInSetKeys = pruneKeyCap(meta.nBuckets)
     val idxPruned = {
-      val bkeys = bBands.select("bkey").distinct().limit(maxInSetKeys + 1).collect()
+      // broadcastBatch ⇒ bBands ships whole anyway, so collecting its
+      // bkey column (and deduping driver-side) is bounded by the same
+      // contract — and skips the distinct's exchange + AQE stage job
+      // that the limit-collect spelling paid per micro-batch. The
+      // shuffle-join path (corpus-sized batch) keeps the capped
+      // distinct+limit collect: an unbounded bkey collect there would
+      // be corpus-proportional driver traffic.
+      val bkeys =
+        if (broadcastBatch) withDesc(spark, "d11: probe bkeys") {
+          bBands.select("bkey").collect()
+        }.map(_.getLong(0)).distinct
+        else withDesc(spark, "d11: probe bkeys") {
+          bBands.select("bkey").distinct().limit(maxInSetKeys + 1).collect()
+        }.map(_.getLong(0))
       graft.Metrics.set("d11", "probe_bkeys" -> bkeys.length.toLong,
         "prune_cap" -> maxInSetKeys.toLong,
         "bucket_pruned" -> (bkeys.length <= maxInSetKeys))
       if (bkeys.length > maxInSetKeys) idxBands
-      else idxBands.filter(col("bkey").isInCollection(bkeys.map(_.getLong(0)).toSeq))
+      else idxBands.filter(col("bkey").isInCollection(bkeys.toSeq))
     }
     // join includes bkey FIRST so the shuffle regime co-locates with the
     // index buckets; band+bh make the match exact (bkey alone could
@@ -1515,6 +1552,37 @@ object Dedup {
     * `idCol` names the BATCH side's key column; the landed index
     * tables' bucket column is always `id`.
     */
+
+  /** Label the jobs `f` submits (guide §1.5) — thread-local, restored
+    * after; purely diagnostic (JobProf/UI attribution for the
+    * sum-of-small-jobs ingest cycles).
+    */
+  /** Run `f` (an action over a JOIN-FREE plan — scan/project/repartition/
+    * aggregate, no strategy decisions for AQE to make) with adaptive
+    * execution off: AQE materializes every exchange as its own Spark job,
+    * so a 2-stage append pays two scheduling rounds for zero adaptivity.
+    * Never wrap a plan with joins — join strategy selection is the thing
+    * AQE is FOR (the r20 drain-wide AQE-off experiment measured 2×
+    * slower: static planning picked the wrong shapes).
+    */
+  private[graft] def withAqeOff[T](spark: SparkSession)(f: => T): T = {
+    // NOTE: pass the session the action will EXECUTE under — inside
+    // foreachBatch that is the stream's CLONED session (batch.sparkSession),
+    // whose SQLConf is a snapshot: setting the conf on the outer session
+    // there is a silent no-op (measured r20).
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  private[graft] def withDesc[T](spark: SparkSession, d: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(d)
+    try f finally sc.setJobDescription(prev)
+  }
+
   private[graft] def prunedIdGuard(spark: SparkSession, base: DataFrame,
                                    landedTable: String, nBuckets: Int,
                                    tag: String, idCol: String = "id"): DataFrame = {
@@ -1526,6 +1594,80 @@ object Dedup {
     val slice = if (ids.length > cap) landed
       else landed.filter(col("id").isInCollection(ids.map(_.getLong(0)).toSeq))
     base.join(slice.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** Per-micro-batch spelling of [[prunedIdGuard]] for the six ingest
+    * loops: returns the guarded batch, or None when nothing survives the
+    * guard (the skip-cycle signal). Same anti-join semantics — every
+    * `base` row whose id is already in `landedTable` is dropped — at a
+    * lower per-batch JOB cost: instead of materializing a batch-wide
+    * anti-join (localCheckpoint) and then asking `isEmpty` (three jobs
+    * per micro-batch), it collects the landed ∩ batch id INTERSECTION
+    * (batch-bounded by construction — the same sanctioned driver-collect
+    * class as the batch-id prune itself) and decides driver-side. In the
+    * no-replay common case the intersection is empty and the batch
+    * passes through UNTOUCHED — no anti-join in the plan, no checkpoint
+    * pass over the batch, and downstream consumers re-read the arrival
+    * file directly (it is already materialized input).
+    *
+    *  - under the [[pruneKeyCap]]: the batch's distinct ids are fully
+    *    known, the bucket-pruned InSet slice IS the intersection (one
+    *    file-skipping job), and the fresh-id remainder filter carries at
+    *    most cap literals — every case decided with ZERO extra jobs;
+    *  - past the cap (gate-scale batches over small bucket counts): the
+    *    intersection comes from one semi-join of the landed id column
+    *    against the broadcast batch ids; a non-empty intersection with
+    *    unknowable remainder (partial replay of a large batch — only
+    *    reachable after a crash) falls back to the checkpointed
+    *    anti-join, the exact pre-r20 path.
+    */
+  private[graft] def guardedBatch(spark: SparkSession, base: DataFrame,
+                                  landedTable: String, nBuckets: Int,
+                                  tag: String, idCol: String = "id"): Option[DataFrame] = {
+    val landed = spark.table(landedTable).select(col("id"))
+    val cap = Dedup.pruneKeyCap(nBuckets)
+    // ONE narrow collect of the raw id column, dedup driver-side: the
+    // distinct+limit spelling paid an exchange (plus its AQE stage job)
+    // the collect doesn't need, and the loops' own probe contract
+    // already broadcasts the whole batch, so a batch-bounded id collect
+    // is strictly smaller than what each cycle ships anyway
+    val ids = withDesc(spark, s"$tag: batch ids") {
+      base.select(col(idCol).as("id")).collect()
+    }.map(_.getLong(0)).distinct
+    graft.Metrics.set(tag, "batch_ids" -> ids.length.toLong,
+      "prune_cap" -> cap.toLong, "bucket_pruned" -> (ids.length <= cap))
+    if (ids.isEmpty) return None // empty batch: nothing to probe or absorb
+    val slice = if (ids.length <= cap)
+      landed.filter(col("id").isInCollection(ids.toSeq)) // file-skipping InSet
+    else landed
+    // landed ∩ batch, via a semi-join against the LOCAL RELATION of the
+    // collected ids: a LocalTableScan broadcast builds driver-side with
+    // NO Spark job, so the intersect costs exactly one scan job
+    // the join strategy is PINNED by the broadcast hint (a LocalRelation
+    // build side), so AQE contributes only an extra stage job — off
+    val existing = withDesc(spark, s"$tag: landed-intersect") {
+      import spark.implicits._
+      withAqeOff(spark) {
+        slice.join(broadcast(ids.toSeq.toDF("id")), Seq("id")).collect()
+      }
+    }.map(_.getLong(0)).toSet
+    if (existing.isEmpty) Some(base)
+    else {
+      val freshIds = ids.filterNot(existing)
+      if (freshIds.isEmpty) None // full replay: skip the cycle
+      else if (freshIds.length <= cap)
+        Some(base.filter(col(idCol).isInCollection(freshIds.toSeq)))
+      else {
+        // huge fresh remainder (partial replay of a large batch): a
+        // literal filter would tax every downstream transform — take
+        // the pre-r20 checkpointed anti-join instead
+        val fresh = withDesc(spark, s"$tag: replay anti-join") {
+          base.join(landed.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+            .localCheckpoint()
+        }
+        if (fresh.isEmpty) None else Some(fresh)
+      }
+    }
   }
 
   /** One full ingest cycle — probe, spool the pairs, absorb — with a
@@ -1555,11 +1697,18 @@ object Dedup {
                               cachedMeta: Option[MinhashMeta] = None,
                               deferMeta: Boolean = false): MinhashMeta = {
     val meta = cachedMeta.getOrElse(readMinhashMeta(spark, tableBase))
-    val bSigs = minhashSignatures(newDocs, idCol, textCol, meta.n, meta.k)
-      .localCheckpoint()
-    probeMinhashCore(spark, bSigs, tableBase, meta, threshold, broadcastBatch = true)
-      .repartition(1)
-      .write.mode(SaveMode.Append).parquet(pairsDir)
+    val bSigs = withDesc(spark, "cycle: batch signatures") {
+      minhashSignatures(newDocs, idCol, textCol, meta.n, meta.k)
+        .localCheckpoint()
+    }
+    // no repartition(1): the probe's final distinct is the plan's last
+    // exchange and AQE coalescing already collapses its batch-sized
+    // output — the explicit single-file exchange was one more AQE stage
+    // job per micro-batch for the same spool content
+    withDesc(spark, "cycle: probe+spool") {
+      probeMinhashCore(spark, bSigs, tableBase, meta, threshold, broadcastBatch = true)
+        .write.mode(SaveMode.Append).parquet(pairsDir)
+    }
     absorbMinhashCore(spark, bSigs, tableBase, meta, deferMeta)
   }
 
@@ -1622,10 +1771,12 @@ object Dedup {
     // fold over the FULL batch, not bSigs: a doc too short to shingle
     // (< n tokens) has no signature and can never pair, but it still
     // arrived and its verdict row (trivially is_new) must exist
-    earliestNeighborFold(newDocs.select(col(idCol).cast("long").as("doc_id")),
-        pairs, "doc_id")
-      .repartition(1)
-      .write.mode(SaveMode.Append).parquet(classDir)
+    // no repartition(1): see probeAbsorbMinhashBatch
+    withDesc(spark, "cycle: verdict spool") {
+      earliestNeighborFold(newDocs.select(col(idCol).cast("long").as("doc_id")),
+          pairs, "doc_id")
+        .write.mode(SaveMode.Append).parquet(classDir)
+    }
     absorbMinhashCore(spark, bSigs, tableBase, meta, deferMeta)
   }
 
@@ -1689,7 +1840,7 @@ object Dedup {
     */
   def landSemanticIndex(embs: DataFrame, idCol: String, vecCol: String,
                         tableBase: String, dir: String,
-                        nBuckets: Int = 32): Unit = {
+                        nBuckets: Int = 32): SemanticMeta = {
     val spark = embs.sparkSession
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     // the `_vecs` re-layout lands FIRST, with the corpus count riding it
@@ -1714,6 +1865,7 @@ object Dedup {
     // formula value, the thing staleness is measured against
     writeSemanticMeta(spark, tableBase, s"$dir/meta", nDocs, nBuckets,
       ivfCellsFor(nDocs))
+    SemanticMeta(nDocs, nBuckets, ivfCellsFor(nDocs), s"$dir/meta")
   }
 
   private def writeSemanticMeta(spark: SparkSession, tableBase: String,
@@ -1772,8 +1924,15 @@ object Dedup {
     val cents = spark.table(s"${tableBase}_cents")
     val bBase = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val bAssign = assignCells(bBase, cents).localCheckpoint()
-    probeSemanticCore(spark, bBase, bAssign, tableBase,
-      numBucketsOf(spark, s"${tableBase}_assign"), threshold, broadcastBatch)
+    val nBuckets = numBucketsOf(spark, s"${tableBase}_assign")
+    // the capped distinct-cid collect (this entry point admits
+    // corpus-sized batches via broadcastBatch = false, so the collect
+    // must stay bounded; the streaming cycles resolve cids driver-side)
+    val cids = withDesc(spark, "d13: probe cids") {
+      bAssign.select("cid").distinct().limit(pruneKeyCap(nBuckets) + 1).collect()
+    }.map(_.getLong(0))
+    probeSemanticCore(spark, bBase, bAssign, cids, tableBase,
+      nBuckets, threshold, broadcastBatch)
   }
 
   /** Keep/drop classification of an arriving embedding batch against a
@@ -1812,22 +1971,24 @@ object Dedup {
     * checkpointed (id, cid, v?) cell assignment.
     */
   private def probeSemanticCore(spark: SparkSession, bBase: DataFrame,
-                                bAssign: DataFrame, tableBase: String,
+                                bAssign: DataFrame, bCids: Array[Long],
+                                tableBase: String,
                                 nBuckets: Int, threshold: Double,
                                 broadcastBatch: Boolean): DataFrame = {
     val idxAssign = spark.table(s"${tableBase}_assign")
     val idxVecs = spark.table(s"${tableBase}_vecs")
     val probe = if (broadcastBatch) broadcast(bAssign) else bAssign
     // the d11 prune with the d11 cap rationale (pruneKeyCap): skip the
-    // InSet when the batch's cell set covers the buckets anyway
+    // InSet when the batch's cell set covers the buckets anyway. `bCids`
+    // comes from the caller — the streaming cycles read it off their
+    // already-collected batch assignment with zero extra jobs
     val maxInSetKeys = pruneKeyCap(nBuckets)
     val idxPruned = {
-      val cids = bAssign.select("cid").distinct().limit(maxInSetKeys + 1).collect()
-      graft.Metrics.set("d13", "probe_cids" -> cids.length.toLong,
+      graft.Metrics.set("d13", "probe_cids" -> bCids.length.toLong,
         "prune_cap" -> maxInSetKeys.toLong,
-        "bucket_pruned" -> (cids.length <= maxInSetKeys))
-      if (cids.length > maxInSetKeys) idxAssign
-      else idxAssign.filter(col("cid").isInCollection(cids.map(_.getLong(0)).toSeq))
+        "bucket_pruned" -> (bCids.length <= maxInSetKeys))
+      if (bCids.length > maxInSetKeys) idxAssign
+      else idxAssign.filter(col("cid").isInCollection(bCids.toSeq))
     }
     // no distinct on cross alone: a vector lives in exactly ONE cell
     // (keep-1 assignment), so a (batch, landed) pair arises from at most
@@ -1900,14 +2061,19 @@ object Dedup {
                                  bAssign: DataFrame, tableBase: String,
                                  meta: SemanticMeta,
                                  deferMeta: Boolean = false): SemanticMeta = {
-    graft.sources.Sinks.bucketed(bAssign,
-      s"${tableBase}_assign", "cid", meta.nBuckets, mode = SaveMode.Append)
+    // join-free appends: one job each under AQE-off (absorbMinhashCore)
+    withDesc(spark, "cycle: absorb assign") { withAqeOff(bAssign.sparkSession) {
+      graft.sources.Sinks.bucketed(bAssign,
+        s"${tableBase}_assign", "cid", meta.nBuckets, mode = SaveMode.Append)
+    } }
     // batch count rides the append (no separate count() job per absorb);
     // deferMeta: see absorbMinhashCore — the per-cycle 1-row meta
     // rewrite is skipped by loops that thread cachedMeta and persist once
     val obs = org.apache.spark.sql.Observation()
-    graft.sources.Sinks.bucketed(bBase.observe(obs, count(lit(1)).as("n")),
-      s"${tableBase}_vecs", "id", meta.nBuckets, mode = SaveMode.Append)
+    withDesc(spark, "cycle: absorb vecs") { withAqeOff(bBase.sparkSession) {
+      graft.sources.Sinks.bucketed(bBase.observe(obs, count(lit(1)).as("n")),
+        s"${tableBase}_vecs", "id", meta.nBuckets, mode = SaveMode.Append)
+    } }
     val advanced =
       meta.copy(nDocs = meta.nDocs + observedCount(obs, "n")(bBase.count()))
     if (!deferMeta)
@@ -1938,21 +2104,42 @@ object Dedup {
                                pairsDir: String,
                                cachedMeta: Option[SemanticMeta] = None,
                                preMaterialized: Boolean = false,
-                               deferMeta: Boolean = false): SemanticMeta = {
+                               deferMeta: Boolean = false,
+                               cachedCents: Option[DataFrame] = None): SemanticMeta = {
     val meta = cachedMeta.getOrElse(readSemanticMeta(spark, tableBase))
-    val cents = spark.table(s"${tableBase}_cents")
-    // preMaterialized: the stream loops already localCheckpointed the
-    // guarded batch, so the (id, v) projection over it is free to
-    // re-evaluate — skipping the second checkpoint saves one job per
-    // micro-batch (the drains' cost is the job-count floor, not data)
+    // cachedCents: the loop threads one localTable snapshot of the
+    // FROZEN centroid table, so each cycle's assignment broadcast
+    // builds without a Spark job (exact by the frozen-at-land contract)
+    val cents = cachedCents.getOrElse(spark.table(s"${tableBase}_cents"))
+    // preMaterialized: the stream loops' guarded batch re-evaluates for
+    // free (it is the arrival file), so the (id, v) projection needs no
+    // checkpoint of its own
     val bBase0 = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val bBase = if (preMaterialized) bBase0 else bBase0.localCheckpoint()
-    val bAssign = assignCells(bBase, cents).localCheckpoint()
-    probeSemanticCore(spark, bBase, bAssign, tableBase, meta.nBuckets,
-        threshold, broadcastBatch = true)
-      .repartition(1)
-      .write.mode(SaveMode.Append).parquet(pairsDir)
+    val (bAssign, bCids) = batchAssignLocal(spark, bBase, cents)
+    // no repartition(1): see probeAbsorbMinhashBatch
+    withDesc(spark, "cycle: probe+spool") {
+      probeSemanticCore(spark, bBase, bAssign, bCids, tableBase, meta.nBuckets,
+          threshold, broadcastBatch = true)
+        .write.mode(SaveMode.Append).parquet(pairsDir)
+    }
     absorbSemanticCore(spark, bBase, bAssign, tableBase, meta, deferMeta)
+  }
+
+  /** The per-micro-batch (id → cell) assignment as a driver-side
+    * LocalRelation plus its distinct cell ids: batch-sized by the ingest
+    * contract (the probe broadcasts it whole regardless), so ONE collect
+    * feeds the probe's broadcast (job-free build from local rows), the
+    * absorb's assign append, and the cid prune — replacing a
+    * localCheckpoint job + a distinct-cid collect (with its exchange)
+    * per micro-batch. Values roundtrip bit-exactly (two long columns).
+    */
+  private def batchAssignLocal(spark: SparkSession, bBase: DataFrame,
+                               cents: DataFrame): (DataFrame, Array[Long]) = {
+    val plan = assignCells(bBase, cents)
+    val rows = withDesc(spark, "cycle: batch assign") { plan.collect() }
+    (spark.createDataFrame(java.util.Arrays.asList(rows: _*), plan.schema),
+      rows.map(_.getLong(1)).distinct)
   }
 
   /** One full semantic ingest-classification cycle — assign once,
@@ -1968,18 +2155,21 @@ object Dedup {
                                   classDir: String,
                                   cachedMeta: Option[SemanticMeta] = None,
                                   preMaterialized: Boolean = false,
-                                  deferMeta: Boolean = false): SemanticMeta = {
+                                  deferMeta: Boolean = false,
+                                  cachedCents: Option[DataFrame] = None): SemanticMeta = {
     val meta = cachedMeta.getOrElse(readSemanticMeta(spark, tableBase))
-    val cents = spark.table(s"${tableBase}_cents")
-    // see probeAbsorbSemanticBatch on preMaterialized
+    val cents = cachedCents.getOrElse(spark.table(s"${tableBase}_cents"))
+    // see probeAbsorbSemanticBatch on preMaterialized / cachedCents
     val bBase0 = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val bBase = if (preMaterialized) bBase0 else bBase0.localCheckpoint()
-    val bAssign = assignCells(bBase, cents).localCheckpoint()
-    val pairs = probeSemanticCore(spark, bBase, bAssign, tableBase,
+    val (bAssign, bCids) = batchAssignLocal(spark, bBase, cents)
+    val pairs = probeSemanticCore(spark, bBase, bAssign, bCids, tableBase,
       meta.nBuckets, threshold, broadcastBatch = true)
-    earliestNeighborFold(bBase.select(col("id").as("vec_id")), pairs, "vec_id")
-      .repartition(1)
-      .write.mode(SaveMode.Append).parquet(classDir)
+    // no repartition(1): see probeAbsorbMinhashBatch
+    withDesc(spark, "cycle: verdict spool") {
+      earliestNeighborFold(bBase.select(col("id").as("vec_id")), pairs, "vec_id")
+        .write.mode(SaveMode.Append).parquet(classDir)
+    }
     absorbSemanticCore(spark, bBase, bAssign, tableBase, meta, deferMeta)
   }
 

@@ -497,6 +497,21 @@ object Similarity {
       Dedup.tableLocation(spark, s"${tableBase}_meta"))
   }
 
+  /** A (small, frozen) catalog table materialized as a driver-side
+    * LocalRelation: broadcasts of it build from the in-memory rows
+    * WITHOUT a Spark job, so a per-micro-batch loop that joins the same
+    * frozen quantizer every cycle stops paying one broadcast-build job
+    * per batch per join. Only for dim-scale tables the contract already
+    * broadcasts whole (the landed `_cents`/`_cb` quantizers — frozen at
+    * land time, so a one-time snapshot is exact for the index's
+    * lifetime). Values roundtrip bit-exactly (no arithmetic).
+    */
+  private[graft] def localTable(spark: SparkSession, table: String): DataFrame = {
+    val t = spark.table(table)
+    spark.createDataFrame(
+      java.util.Arrays.asList(t.collect(): _*), t.schema)
+  }
+
   /** Cell assignment + PQ encode of `(id, v)` rows against a LANDED
     * quantizer — the shared land/absorb body: one keep-1 argmax pass
     * over the broadcast centroids, one [[pqEncodeWith]] pass over the
@@ -513,6 +528,21 @@ object Similarity {
     pqEncodeWith(broadcast(cb), base, "id", "v", m)
       .select(col("vec_id").as("id"), col("sub"), col("code"))
       .join(cells, "id")
+  }
+
+  /** [[encodeWithCells]] for the ABSORB path, where `base` is
+    * batch-sized by contract: the id-keyed cell join is explicitly
+    * broadcast (pinning the strategy AQE picks anyway), so the whole
+    * encode+append plan has no strategy decision left and can run
+    * AQE-off as a single job. The land keeps [[encodeWithCells]] —
+    * there `cells` is corpus-sized and must never broadcast.
+    */
+  private def encodeWithCellsBatch(cents: DataFrame, cb: DataFrame,
+                                   base: DataFrame, m: Int): DataFrame = {
+    val cells = ivfAssign(cents, base, "id", "v", 1).select("id", "cid")
+    pqEncodeWith(broadcast(cb), base, "id", "v", m)
+      .select(col("vec_id").as("id"), col("sub"), col("code"))
+      .join(broadcast(cells), "id")
   }
 
   /** Land the IVF-PQ state for `embs` as tables under `dir` (catalog
@@ -550,7 +580,7 @@ object Similarity {
   def landIvfPqIndex(embs: DataFrame, idCol: String, vecCol: String,
                      nCentroids: Int, m: Int, kCodes: Int,
                      tableBase: String, dir: String,
-                     nBuckets: Int = 32): Unit =
+                     nBuckets: Int = 32): IvfPqMeta =
     landIvfPqIndexSized(embs, idCol, vecCol, _ => nCentroids, m, kCodes,
       tableBase, dir, nBuckets)
 
@@ -566,7 +596,7 @@ object Similarity {
   def landIvfPqIndexSized(embs: DataFrame, idCol: String, vecCol: String,
                           centroidsFor: Long => Int, m: Int, kCodes: Int,
                           tableBase: String, dir: String,
-                          nBuckets: Int = 32): Unit = {
+                          nBuckets: Int = 32): IvfPqMeta = {
     val spark = embs.sparkSession
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val obs = org.apache.spark.sql.Observation()
@@ -592,6 +622,9 @@ object Similarity {
       s"${tableBase}_codes", "cid", nBuckets, path = Some(s"$dir/codes"))
     writeIvfPqMeta(spark, tableBase, s"$dir/meta", nDocs, nCentroids, m,
       kCodes, nBuckets)
+    // the land KNOWS the meta it just wrote (saves the st14 loop the
+    // per-drain readIvfPqMeta head() job + catalog query)
+    IvfPqMeta(nDocs, nCentroids, m, kCodes, nBuckets, s"$dir/meta")
   }
 
   /** ADC top-k of `queries` against a landed [[landIvfPqIndex]] — the
@@ -621,16 +654,32 @@ object Similarity {
     */
   def ivfPqProbe(spark: SparkSession, queries: DataFrame, idCol: String,
                  vecCol: String, tableBase: String, k: Int, nProbe: Int,
-                 cachedMeta: Option[IvfPqMeta] = None): DataFrame = {
+                 cachedMeta: Option[IvfPqMeta] = None,
+                 cachedQuantizers: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val meta = cachedMeta.getOrElse(readIvfPqMeta(spark, tableBase))
-    val cents = spark.table(s"${tableBase}_cents")
-    val cb = broadcast(spark.table(s"${tableBase}_cb"))
+    // cachedQuantizers: a per-micro-batch loop threads one localTable
+    // snapshot of the FROZEN (cents, cb) tables so each cycle's
+    // broadcasts build without a Spark job — exact by the frozen-at-land
+    // contract (same rationale as cachedMeta)
+    val cents = cachedQuantizers.map(_._1)
+      .getOrElse(spark.table(s"${tableBase}_cents"))
+    val cb = broadcast(cachedQuantizers.map(_._2)
+      .getOrElse(spark.table(s"${tableBase}_cb")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    // checkpointed: the distinct-cid collect and the scoring join both
-    // consume it (localCheckpoint, not cache — the d11 ContextCleaner
-    // rationale, see incrementalMinhashPairs)
-    val probes = ivfAssign(cents, q, "query_id", "qv", nProbe)
-      .select("query_id", "cid").localCheckpoint()
+    // LOCAL RELATION, not localCheckpoint: probes is (queries·nProbe)
+    // two-long-column rows — broadcast-sized by construction (the
+    // scoring join ships it whole regardless) — so ONE collect feeds
+    // (a) the distinct-cid prune driver-side with zero further jobs
+    // (the old distinct+limit+collect paid an exchange and its AQE
+    // stage job per probe) and (b) the scoring join's broadcast, which
+    // builds from a LocalTableScan WITHOUT a Spark job.
+    val probesPlan = ivfAssign(cents, q, "query_id", "qv", nProbe)
+      .select("query_id", "cid")
+    val probeRows = Dedup.withDesc(spark, "a10: query probes") {
+      probesPlan.collect()
+    }
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
     val adc = subVectors(q, "query_id", "qv", meta.m, "query_id")
       .join(cb, Seq("sub"))
       .select(col("query_id"), col("sub").cast("long").as("sub"), col("code"),
@@ -641,11 +690,11 @@ object Similarity {
     // is a file-skip device, never a correctness ingredient
     val cap = Dedup.pruneKeyCap(meta.nBuckets)
     val idxPruned = {
-      val cids = probes.select("cid").distinct().limit(cap + 1).collect()
+      val cids = probeRows.map(_.getLong(1)).distinct
       graft.Metrics.set("a10", "probe_cids" -> cids.length.toLong,
         "prune_cap" -> cap.toLong, "bucket_pruned" -> (cids.length <= cap))
       if (cids.length > cap) idx
-      else idx.filter(col("cid").isInCollection(cids.map(_.getLong(0)).toSeq))
+      else idx.filter(col("cid").isInCollection(cids.toSeq))
     }
     // a landed vector lives in exactly one cell (keep = 1 at encode), so
     // a candidate (query, neighbor) pair arises from at most one probed
@@ -683,18 +732,26 @@ object Similarity {
                        refine: Int = 4,
                        cachedMeta: Option[IvfPqMeta] = None): DataFrame = {
     val meta = cachedMeta.getOrElse(readIvfPqMeta(spark, tableBase))
-    // checkpointed: the distinct-id collect and the re-rank join both
-    // consume the pool (the ivfPqProbe probes checkpoint rationale)
-    val pool = ivfPqProbe(spark, queries, idCol, vecCol, tableBase,
+    // LOCAL RELATION, not localCheckpoint (the ivfPqProbe probes
+    // rationale): the pool is (queries·refine·k) two-long-column rows —
+    // broadcast-sized by construction — so one collect feeds the
+    // distinct-id prune driver-side (no distinct+limit jobs) and the
+    // re-rank join's broadcast builds job-free from the local rows
+    val poolPlan = ivfPqProbe(spark, queries, idCol, vecCol, tableBase,
         k * refine, nProbe, cachedMeta = Some(meta))
-      .select("query_id", "neighbor_id").localCheckpoint()
+      .select("query_id", "neighbor_id")
+    val poolRows = Dedup.withDesc(spark, "a13: adc pool") {
+      poolPlan.collect()
+    }
+    val pool = spark.createDataFrame(
+      java.util.Arrays.asList(poolRows: _*), poolPlan.schema)
     val vecs = spark.table(s"${tableBase}_vecs")
     val cap = Dedup.pruneKeyCap(meta.nBuckets)
-    val pids = pool.select("neighbor_id").distinct().limit(cap + 1).collect()
+    val pids = poolRows.map(_.getLong(1)).distinct
     graft.Metrics.set("a13", "pool_ids" -> pids.length.toLong,
       "prune_cap" -> cap.toLong, "bucket_pruned" -> (pids.length <= cap))
     val vecsPruned = if (pids.length > cap) vecs
-      else vecs.filter(col("id").isInCollection(pids.map(_.getLong(0)).toSeq))
+      else vecs.filter(col("id").isInCollection(pids.toSeq))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = vecsPruned.select(col("id").as("neighbor_id"), col("v").as("cv"))
       .join(broadcast(pool.join(q, Seq("query_id"))), Seq("neighbor_id"))
@@ -735,7 +792,8 @@ object Similarity {
                        cachedMeta: Option[IvfPqMeta] = None,
                        preMaterialized: Boolean = false,
                        callerGuarded: Boolean = false,
-                       deferMeta: Boolean = false): IvfPqMeta = {
+                       deferMeta: Boolean = false,
+                       cachedQuantizers: Option[(DataFrame, DataFrame)] = None): IvfPqMeta = {
     val meta = cachedMeta.getOrElse(readIvfPqMeta(spark, tableBase))
     // preMaterialized: the st14 loop already localCheckpointed the
     // guarded batch, so the projection re-evaluates for free and the
@@ -750,17 +808,28 @@ object Similarity {
     val fresh = if (callerGuarded) base
       else Dedup.prunedIdGuard(spark, base, s"${tableBase}_vecs",
         meta.nBuckets, "a10.guard").localCheckpoint()
-    val enc = encodeWithCells(spark.table(s"${tableBase}_cents"),
-      spark.table(s"${tableBase}_cb"), fresh, meta.m)
-    graft.sources.Sinks.bucketed(enc,
-      s"${tableBase}_codes", "cid", meta.nBuckets, mode = SaveMode.Append)
+    // absorb input is batch-sized by contract: the encode's joins are
+    // hint-pinned (encodeWithCellsBatch), so the append runs AQE-off as
+    // one job instead of one job per AQE stage
+    val enc = encodeWithCellsBatch(
+      cachedQuantizers.map(_._1).getOrElse(spark.table(s"${tableBase}_cents")),
+      cachedQuantizers.map(_._2).getOrElse(spark.table(s"${tableBase}_cb")),
+      fresh, meta.m)
+    Dedup.withDesc(spark, "cycle: absorb codes") { Dedup.withAqeOff(fresh.sparkSession) {
+      graft.sources.Sinks.bucketed(enc,
+        s"${tableBase}_codes", "cid", meta.nBuckets, mode = SaveMode.Append)
+    } }
     // batch count rides the append (no separate count() job per absorb);
     // deferMeta: see Dedup.absorbMinhashCore — per-micro-batch loops
     // that thread cachedMeta persist the 1-row meta once after the drain
     val obs = org.apache.spark.sql.Observation()
-    graft.sources.Sinks.bucketed(
-      fresh.observe(obs, count(lit(1)).as("n")),
-      s"${tableBase}_vecs", "id", meta.nBuckets, mode = SaveMode.Append)
+    // join-free append: one job under AQE-off (Dedup.absorbMinhashCore);
+    // the codes append above keeps AQE — encodeWithCells has joins
+    Dedup.withDesc(spark, "cycle: absorb vecs") { Dedup.withAqeOff(spark) {
+      graft.sources.Sinks.bucketed(
+        fresh.observe(obs, count(lit(1)).as("n")),
+        s"${tableBase}_vecs", "id", meta.nBuckets, mode = SaveMode.Append)
+    } }
     val advanced =
       meta.copy(nDocs = meta.nDocs + Dedup.observedCount(obs, "n")(fresh.count()))
     if (!deferMeta)
@@ -799,17 +868,22 @@ object Similarity {
                             cachedMeta: Option[IvfPqMeta] = None,
                             preMaterialized: Boolean = false,
                             callerGuarded: Boolean = false,
-                            deferMeta: Boolean = false): IvfPqMeta = {
+                            deferMeta: Boolean = false,
+                            cachedQuantizers: Option[(DataFrame, DataFrame)] = None): IvfPqMeta = {
     val meta = cachedMeta.getOrElse(readIvfPqMeta(spark, tableBase))
-    ivfPqProbe(spark, newEmbs, idCol, vecCol, tableBase, k, nProbe,
-        cachedMeta = Some(meta))
-      .select(col("query_id").as("vec_id"), col("neighbor_id"),
-        col("adc_fp"), col("rank"))
-      .repartition(1)
-      .write.mode(SaveMode.Append).parquet(verdictsDir)
+    // no repartition(1): the top-k window is the plan's last exchange
+    // and AQE coalescing collapses its batch-sized output — the explicit
+    // single-file exchange was one more AQE stage job per micro-batch
+    Dedup.withDesc(spark, "cycle: verdict spool") {
+      ivfPqProbe(spark, newEmbs, idCol, vecCol, tableBase, k, nProbe,
+          cachedMeta = Some(meta), cachedQuantizers = cachedQuantizers)
+        .select(col("query_id").as("vec_id"), col("neighbor_id"),
+          col("adc_fp"), col("rank"))
+        .write.mode(SaveMode.Append).parquet(verdictsDir)
+    }
     absorbIvfPqBatch(spark, newEmbs, idCol, vecCol, tableBase, Some(meta),
       preMaterialized = preMaterialized, callerGuarded = callerGuarded,
-      deferMeta = deferMeta)
+      deferMeta = deferMeta, cachedQuantizers = cachedQuantizers)
   }
 
   /** Compact a landed [[landIvfPqIndex]]'s code table back to one file

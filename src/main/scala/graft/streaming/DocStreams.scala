@@ -95,7 +95,12 @@ object DocStreams {
     val root = rootDir.getOrElse(graft.sources.Spool.tempRoot(s"st9_$id"))
     val docs = graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "text")
-    Dedup.landMinhashIndex(docs.filter(col("doc_id") % 5 < 3),
+    // the land returns the meta it wrote — threaded through the cycles
+    // (this loop is the index's only writer); each micro-batch then pays
+    // one signature pass and zero meta jobs — the per-cycle meta REWRITE
+    // is deferred too (n_docs is advisory state), persisted once after
+    // the drain instead of once per batch
+    val landedMeta = Dedup.landMinhashIndex(docs.filter(col("doc_id") % 5 < 3),
       "doc_id", "text", n = 3, k = 64, bands = 16, tableBase, s"$root/idx")
     // arrivals: ArrivalChunks single-file drops, chunked by id
     val arrivals = docs.filter(col("doc_id") % 5 >= 3)
@@ -103,25 +108,18 @@ object DocStreams {
     val outDir = s"$root/pairs"
     val stream = spark.readStream.schema(arrivals.schema)
       .option("maxFilesPerTrigger", "1").parquet(arriveDir)
-    // the immutable meta slice is read once and threaded through the
-    // cycles (this loop is the index's only writer); each micro-batch
-    // then pays one signature pass and zero meta jobs — the per-cycle
-    // meta REWRITE is deferred too (n_docs is advisory state), persisted
-    // once after the drain instead of once per batch
-    val landedMeta = Dedup.readMinhashMeta(spark, tableBase)
     var meta: Option[Dedup.MinhashMeta] = Some(landedMeta)
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Dedup.compactMinhashIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          // redelivery guard, batch-proportional: the batch's ids InSet
-          // file-prunes the id-bucketed _sigs scan (r18 perf-weak #1 —
-          // the old full-id-set anti-join read the whole landed corpus
-          // per micro-batch)
-          val fresh = Dedup.prunedIdGuard(spark, batch, s"${tableBase}_sigs",
-            meta.get.nBuckets, "st9.guard", "doc_id").localCheckpoint()
-          if (!fresh.isEmpty) {
+          // redelivery guard, batch-proportional (r18 perf-weak #1): the
+          // driver-resolved guardedBatch spelling — in the no-replay
+          // common case the batch passes through without an anti-join,
+          // a checkpoint pass or an isEmpty job (r20)
+          Dedup.guardedBatch(spark, batch, s"${tableBase}_sigs",
+            meta.get.nBuckets, "st9.guard", "doc_id").foreach { fresh =>
             meta = Some(Dedup.probeAbsorbMinhashBatch(spark, fresh, "doc_id",
               "text", tableBase, threshold = 0.5, pairsDir = outDir,
               cachedMeta = meta, deferMeta = true))
@@ -130,9 +128,15 @@ object DocStreams {
         }
         .start()
     }
-    try q.processAllAvailable() finally q.stop()
-    meta.filter(_.nDocs != landedMeta.nDocs)
-      .foreach(m => Dedup.persistMinhashMeta(spark, tableBase, m))
+    // the deferred-meta persist runs in a finally: a mid-drain failure
+    // otherwise widened the documented one-batch n_docs crash window to
+    // the whole drain (rows absorbed, meta at land-time value) — persist
+    // whatever the loop reached (n_docs stays advisory either way)
+    try q.processAllAvailable() finally {
+      try q.stop()
+      finally meta.filter(_.nDocs != landedMeta.nDocs)
+        .foreach(m => Dedup.persistMinhashMeta(spark, tableBase, m))
+    }
     graft.Metrics.set("st9.autocompact", "fired" -> compactor.firedCount.toLong)
     // the spool outlives the catalog entries; the result plan reads only it
     Seq("sigs", "bands", "meta").foreach(s =>
@@ -170,35 +174,40 @@ object DocStreams {
     val root = rootDir.getOrElse(graft.sources.Spool.tempRoot(s"st10_$id"))
     val embs = graft.sources.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding")
-    Dedup.landSemanticIndex(embs.filter(col("vec_id") % 5 < 3),
+    val landedMeta = Dedup.landSemanticIndex(embs.filter(col("vec_id") % 5 < 3),
       "vec_id", "embedding", tableBase, s"$root/idx")
+    // one driver-side snapshot of the FROZEN centroid table: every
+    // cycle's assignment broadcast then builds without a Spark job
+    val cents = Some(Similarity.localTable(spark, s"${tableBase}_cents"))
     val arrivals = embs.filter(col("vec_id") % 5 >= 3)
     val arriveDir = arrivalDrops(dir, "embs", "vec_id")(arrivals)
     val outDir = s"$root/pairs"
     val stream = spark.readStream.schema(arrivals.schema)
       .option("maxFilesPerTrigger", "1").parquet(arriveDir)
-    val landedMeta = Dedup.readSemanticMeta(spark, tableBase)
     var meta: Option[Dedup.SemanticMeta] = Some(landedMeta)
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Dedup.compactSemanticIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          // batch-proportional guard: ids InSet prunes the _vecs buckets
-          val fresh = Dedup.prunedIdGuard(spark, batch, s"${tableBase}_vecs",
-            meta.get.nBuckets, "st10.guard", "vec_id").localCheckpoint()
-          if (!fresh.isEmpty) {
+          // batch-proportional guard, driver-resolved (see st9)
+          Dedup.guardedBatch(spark, batch, s"${tableBase}_vecs",
+            meta.get.nBuckets, "st10.guard", "vec_id").foreach { fresh =>
             meta = Some(Dedup.probeAbsorbSemanticBatch(spark, fresh, "vec_id",
               "embedding", tableBase, threshold, pairsDir = outDir,
-              cachedMeta = meta, preMaterialized = true, deferMeta = true))
+              cachedMeta = meta, preMaterialized = true, deferMeta = true,
+              cachedCents = cents))
             compactor.cycleDone()
           }
         }
         .start()
     }
-    try q.processAllAvailable() finally q.stop()
-    meta.filter(_.nDocs != landedMeta.nDocs)
-      .foreach(m => Dedup.persistSemanticMeta(spark, tableBase, m))
+    // persist-in-finally: see streamIncrementalDedup
+    try q.processAllAvailable() finally {
+      try q.stop()
+      finally meta.filter(_.nDocs != landedMeta.nDocs)
+        .foreach(m => Dedup.persistSemanticMeta(spark, tableBase, m))
+    }
     graft.Metrics.set("st10.autocompact", "fired" -> compactor.firedCount.toLong)
     Seq("cents", "assign", "vecs", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
@@ -278,24 +287,22 @@ object DocStreams {
     val root = rootDir.getOrElse(graft.sources.Spool.tempRoot(s"st11_$id"))
     val docs = graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "text")
-    Dedup.landMinhashIndex(docs.filter(col("doc_id") % 5 < 3),
+    val landedMeta = Dedup.landMinhashIndex(docs.filter(col("doc_id") % 5 < 3),
       "doc_id", "text", n = 3, k = 64, bands = 16, tableBase, s"$root/idx")
     val arriveDir = arrivalDrops(dir, "docs", "doc_id")(
       docs.filter(col("doc_id") % 5 >= 3))
     val outDir = s"$root/class"
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(arriveDir)
-    val landedMeta = Dedup.readMinhashMeta(spark, tableBase)
     var meta: Option[Dedup.MinhashMeta] = Some(landedMeta)
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Dedup.compactMinhashIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          // batch-proportional guard: ids InSet prunes the _sigs buckets
-          val fresh = Dedup.prunedIdGuard(spark, batch, s"${tableBase}_sigs",
-            meta.get.nBuckets, "st11.guard", "doc_id").localCheckpoint()
-          if (!fresh.isEmpty) {
+          // batch-proportional guard, driver-resolved (see st9)
+          Dedup.guardedBatch(spark, batch, s"${tableBase}_sigs",
+            meta.get.nBuckets, "st11.guard", "doc_id").foreach { fresh =>
             meta = Some(Dedup.classifyAbsorbMinhashBatch(spark, fresh, "doc_id",
               "text", tableBase, threshold = 0.5, classDir = outDir,
               cachedMeta = meta, deferMeta = true))
@@ -304,9 +311,15 @@ object DocStreams {
         }
         .start()
     }
-    try q.processAllAvailable() finally q.stop()
-    meta.filter(_.nDocs != landedMeta.nDocs)
-      .foreach(m => Dedup.persistMinhashMeta(spark, tableBase, m))
+    // the deferred-meta persist runs in a finally: a mid-drain failure
+    // otherwise widened the documented one-batch n_docs crash window to
+    // the whole drain (rows absorbed, meta at land-time value) — persist
+    // whatever the loop reached (n_docs stays advisory either way)
+    try q.processAllAvailable() finally {
+      try q.stop()
+      finally meta.filter(_.nDocs != landedMeta.nDocs)
+        .foreach(m => Dedup.persistMinhashMeta(spark, tableBase, m))
+    }
     graft.Metrics.set("st11.autocompact", "fired" -> compactor.firedCount.toLong)
     Seq("sigs", "bands", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
@@ -364,10 +377,9 @@ object DocStreams {
     val q = EventStreams.withDrainConf(spark) {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // batch-proportional guard: ids InSet prunes the _docs buckets
-          val fresh = Dedup.prunedIdGuard(spark, batch, s"${tableBase}_docs",
-            segBuckets, "st13.guard", "doc_id").localCheckpoint()
-          if (!fresh.isEmpty) {
+          // batch-proportional guard, driver-resolved (see st9)
+          Dedup.guardedBatch(spark, batch, s"${tableBase}_docs",
+            segBuckets, "st13.guard", "doc_id").foreach { fresh =>
             Dedup.classifyAbsorbSegBatch(spark, fresh, "doc_id", "text",
               tableBase, batchId, window, minDf, outDir)
             compactor.cycleDone()
@@ -401,35 +413,39 @@ object DocStreams {
     val root = rootDir.getOrElse(graft.sources.Spool.tempRoot(s"st12_$id"))
     val embs = graft.sources.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding")
-    Dedup.landSemanticIndex(embs.filter(col("vec_id") % 5 < 3),
+    val landedMeta = Dedup.landSemanticIndex(embs.filter(col("vec_id") % 5 < 3),
       "vec_id", "embedding", tableBase, s"$root/idx")
+    // frozen-centroid snapshot: see streamSemanticDedup
+    val cents = Some(Similarity.localTable(spark, s"${tableBase}_cents"))
     val arriveDir = arrivalDrops(dir, "embs", "vec_id")(
       embs.filter(col("vec_id") % 5 >= 3))
     val outDir = s"$root/class"
     val stream = spark.readStream.schema(embs.schema)
       .option("maxFilesPerTrigger", "1").parquet(arriveDir)
-    val landedMeta = Dedup.readSemanticMeta(spark, tableBase)
     var meta: Option[Dedup.SemanticMeta] = Some(landedMeta)
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Dedup.compactSemanticIndex(spark, tableBase))
     val q = EventStreams.withDrainConf(spark) {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          // batch-proportional guard: ids InSet prunes the _vecs buckets
-          val fresh = Dedup.prunedIdGuard(spark, batch, s"${tableBase}_vecs",
-            meta.get.nBuckets, "st12.guard", "vec_id").localCheckpoint()
-          if (!fresh.isEmpty) {
+          // batch-proportional guard, driver-resolved (see st9)
+          Dedup.guardedBatch(spark, batch, s"${tableBase}_vecs",
+            meta.get.nBuckets, "st12.guard", "vec_id").foreach { fresh =>
             meta = Some(Dedup.classifyAbsorbSemanticBatch(spark, fresh, "vec_id",
               "embedding", tableBase, threshold, classDir = outDir,
-              cachedMeta = meta, preMaterialized = true, deferMeta = true))
+              cachedMeta = meta, preMaterialized = true, deferMeta = true,
+              cachedCents = cents))
             compactor.cycleDone()
           }
         }
         .start()
     }
-    try q.processAllAvailable() finally q.stop()
-    meta.filter(_.nDocs != landedMeta.nDocs)
-      .foreach(m => Dedup.persistSemanticMeta(spark, tableBase, m))
+    // persist-in-finally: see streamIncrementalDedup
+    try q.processAllAvailable() finally {
+      try q.stop()
+      finally meta.filter(_.nDocs != landedMeta.nDocs)
+        .foreach(m => Dedup.persistSemanticMeta(spark, tableBase, m))
+    }
     graft.Metrics.set("st12.autocompact", "fired" -> compactor.firedCount.toLong)
     Seq("cents", "assign", "vecs", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
@@ -474,14 +490,18 @@ object DocStreams {
     // sizing exists to stop (r18; the oracle replays the same formula).
     // The sized land derives the count from its own `_vecs` write, so
     // the old separate landed.count() corpus pass is gone (r19)
-    Similarity.landIvfPqIndexSized(landed, "vec_id", "embedding",
-      Dedup.ivfCellsFor, m = 4, kCodes = 16, tableBase, s"$root/idx")
+    val landedMeta = Similarity.landIvfPqIndexSized(landed, "vec_id",
+      "embedding", Dedup.ivfCellsFor, m = 4, kCodes = 16, tableBase,
+      s"$root/idx")
+    // one driver-side snapshot of the FROZEN quantizer tables (cents,
+    // cb): every cycle's probe/encode broadcasts then build job-free
+    val quant = Some((Similarity.localTable(spark, s"${tableBase}_cents"),
+      Similarity.localTable(spark, s"${tableBase}_cb")))
     val arriveDir = arrivalDrops(dir, "embs", "vec_id")(
       embs.filter(col("vec_id") % 5 >= 3))
     val outDir = s"$root/verdicts"
     val stream = spark.readStream.schema(embs.schema)
       .option("maxFilesPerTrigger", "1").parquet(arriveDir)
-    val landedMeta = Similarity.readIvfPqMeta(spark, tableBase)
     var meta: Option[Similarity.IvfPqMeta] = Some(landedMeta)
     val compactor = new AutoCompactor(autoCompactEvery,
       () => Similarity.compactIvfPqIndex(spark, tableBase))
@@ -489,26 +509,28 @@ object DocStreams {
       stream.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // batch-proportional guard on the id-bucketed _vecs side
-          // table (ids InSet → file skips) — id-keyed, so a replay
-          // with a CHANGED vector is dropped like any other (the
-          // codes-side sub-0 guard this replaces was both corpus-
-          // proportional and blind to those)
-          val fresh = Dedup.prunedIdGuard(spark, batch, s"${tableBase}_vecs",
-            meta.get.nBuckets, "st14.guard", "vec_id").localCheckpoint()
-          if (!fresh.isEmpty) {
+          // table — id-keyed, so a replay with a CHANGED vector is
+          // dropped like any other (the codes-side sub-0 guard this
+          // replaced was corpus-proportional and blind to those);
+          // driver-resolved guardedBatch spelling (see st9)
+          Dedup.guardedBatch(spark, batch, s"${tableBase}_vecs",
+            meta.get.nBuckets, "st14.guard", "vec_id").foreach { fresh =>
             meta = Some(Similarity.probeAbsorbIvfPqBatch(spark, fresh,
               "vec_id", "embedding", tableBase, k, nProbe,
               verdictsDir = outDir, cachedMeta = meta,
               preMaterialized = true, callerGuarded = true,
-              deferMeta = true))
+              deferMeta = true, cachedQuantizers = quant))
             compactor.cycleDone()
           }
         }
         .start()
     }
-    try q.processAllAvailable() finally q.stop()
-    meta.filter(_.nDocs != landedMeta.nDocs)
-      .foreach(m => Similarity.persistIvfPqMeta(spark, tableBase, m))
+    // persist-in-finally: see streamIncrementalDedup
+    try q.processAllAvailable() finally {
+      try q.stop()
+      finally meta.filter(_.nDocs != landedMeta.nDocs)
+        .foreach(m => Similarity.persistIvfPqMeta(spark, tableBase, m))
+    }
     graft.Metrics.set("st14.autocompact", "fired" -> compactor.firedCount.toLong)
     Seq("cents", "cb", "codes", "vecs", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_$s"))
