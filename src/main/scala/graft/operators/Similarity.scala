@@ -108,9 +108,19 @@ object Similarity {
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
-    val cents = md5Sample(corpus, idCol, vecCol, nCentroids, "cid", "cv")
+              k: Int, nCentroids: Int, nProbe: Int): DataFrame =
+    ivfTopKWith(md5Sample(corpus, idCol, vecCol, nCentroids, "cid", "cv"),
+      queries, corpus, idCol, vecCol, k, nProbe)
 
+  /** [[ivfTopK]] against a PREBUILT centroid sample — so a caller that
+    * already drew the shared md5 sample (a11's recall harness, via
+    * [[sharedQuantizerSample]]) feeds the same rows to every leg instead
+    * of re-running one full-corpus TakeOrdered pass per method.
+    * Bit-identical by the md5-prefix argument (see sharedQuantizerSample).
+    */
+  private[graft] def ivfTopKWith(cents: DataFrame, queries: DataFrame,
+                                 corpus: DataFrame, idCol: String, vecCol: String,
+                                 k: Int, nProbe: Int): DataFrame = {
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
       ivfAssign(cents, df, id, vec, keep)
 
@@ -314,8 +324,13 @@ object Similarity {
     */
   private def pqCodesAndAdc(queries: DataFrame, corpus: DataFrame,
                             idCol: String, vecCol: String,
-                            m: Int, kCodes: Int): (DataFrame, DataFrame) = {
-    val cb = broadcast(codebookSubs(corpus, idCol, vecCol, m, kCodes))
+                            m: Int, kCodes: Int): (DataFrame, DataFrame) =
+    pqCodesAndAdcWith(broadcast(codebookSubs(corpus, idCol, vecCol, m, kCodes)),
+      queries, corpus, idCol, vecCol, m)
+
+  private def pqCodesAndAdcWith(cb: DataFrame, queries: DataFrame,
+                                corpus: DataFrame, idCol: String, vecCol: String,
+                                m: Int): (DataFrame, DataFrame) = {
     val codes = pqEncodeWith(cb, corpus, idCol, vecCol, m)
       .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
     val adc = subVectors(queries, idCol, vecCol, m, "query_id")
@@ -346,6 +361,20 @@ object Similarity {
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int, m: Int, kCodes: Int): DataFrame = {
     val (codes, adc) = pqCodesAndAdc(queries, corpus, idCol, vecCol, m, kCodes)
+    val scored = codes.join(broadcast(adc), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dfp")).as("adc_fp"))
+    rankAdcTopK(scored, k)
+  }
+
+  /** [[pqAdcTopK]] against a PREBUILT (broadcast) codebook — the a11
+    * shared-sample spelling (see [[ivfTopKWith]]).
+    */
+  private[graft] def pqAdcTopKWith(cb: DataFrame, queries: DataFrame,
+                                   corpus: DataFrame, idCol: String,
+                                   vecCol: String, k: Int, m: Int): DataFrame = {
+    val (codes, adc) = pqCodesAndAdcWith(cb, queries, corpus, idCol, vecCol, m)
     val scored = codes.join(broadcast(adc), Seq("sub", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
@@ -393,6 +422,16 @@ object Similarity {
     // prefixes of the same md5 order — see sharedQuantizerSample)
     val (cents, cb0) = sharedQuantizerSample(corpus, idCol, vecCol,
       nCentroids, m, kCodes)
+    ivfPqTopKWith(cents, cb0, queries, corpus, idCol, vecCol, k, nProbe, m)
+  }
+
+  /** [[ivfPqTopK]] against PREBUILT quantizers — the a11 shared-sample
+    * spelling (see [[ivfTopKWith]]).
+    */
+  private[graft] def ivfPqTopKWith(cents: DataFrame, cb0: DataFrame,
+                                   queries: DataFrame, corpus: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   k: Int, nProbe: Int, m: Int): DataFrame = {
     val cb = broadcast(cb0)
     val corpusCells = ivfAssign(cents,
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2")),
@@ -1020,17 +1059,27 @@ object Similarity {
       .select("query_id", "neighbor_id")
     def leg(df: DataFrame, method: String): DataFrame =
       df.select(col("query_id"), col("neighbor_id"), lit(method).as("method"))
+    // ONE md5 corpus sample serves the ivf, pq AND ivfpq legs: each
+    // method's quantizer sample is a prefix of the same md5 total order
+    // (sharedQuantizerSample), so one max(nCentroids, kCodes)-row pass
+    // replaces three full-corpus TakeOrdered passes — bit-identical rows
+    // per leg (each leg previously drew exactly this prefix itself;
+    // SimilaritySpec's independent-operator pins would catch any drift).
+    // The lsh leg stays independent — hyperplane signatures draw no
+    // sample.
+    val (cents, cb0) = sharedQuantizerSample(corpus, idCol, vecCol,
+      nCentroids, m, kCodes)
     // ONE ADC pass serves both compressed rows: ivfPqTopK's ranking is
     // a total order per query (adc_fp, then id), so its top-k is
     // exactly the top-refine·k pool's rank ≤ k prefix — the ivfpq leg
     // reads the prefix, the refine leg re-ranks the whole pool
     // (checkpointed: both legs consume it)
-    val pool = ivfPqTopK(queries, corpus, idCol, vecCol, k * refine,
-      nCentroids, nProbe, m, kCodes).localCheckpoint()
+    val pool = ivfPqTopKWith(cents, cb0, queries, corpus, idCol, vecCol,
+      k * refine, nProbe, m).localCheckpoint()
     val appr =
       leg(lshTopK(queries, corpus, idCol, vecCol, k, tables, planes), "lsh")
-        .union(leg(ivfTopK(queries, corpus, idCol, vecCol, k, nCentroids, nProbe), "ivf"))
-        .union(leg(pqAdcTopK(queries, corpus, idCol, vecCol, k, m, kCodes), "pq"))
+        .union(leg(ivfTopKWith(cents, queries, corpus, idCol, vecCol, k, nProbe), "ivf"))
+        .union(leg(pqAdcTopKWith(broadcast(cb0), queries, corpus, idCol, vecCol, k, m), "pq"))
         .union(leg(pool.filter(col("rank") <= k), "ivfpq"))
         .union(leg(refineRerank(pool.select("query_id", "neighbor_id"),
           queries, corpus, idCol, vecCol, k), "ivfpq_refine"))

@@ -1283,4 +1283,40 @@ class DedupSpec extends SparkSpec {
     assert(out(0).toSeq.drop(1) == out(1).toSeq.drop(1))
     assert(out.forall(r => r.getInt(1) >= 64 && r.getInt(2) >= 64))
   }
+
+  test("guardedBatch: pass-through, partial and full replay, empty batch — all paths equal the anti-join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = graft.sources.Spool.tempRoot("guarded_batch")
+    // landed ids 0..9, bucketed by id; nBuckets=512 -> cap=711 (pruned
+    // branch); nBuckets=8 -> cap=12 (over-cap branch for a 20-id batch)
+    def mk(tb: String, nBuckets: Int): Unit =
+      graft.sources.Sinks.bucketed(
+        (0L until 10L).toDF("id"), tb, "id", nBuckets,
+        path = Some(s"$dir/$tb"))
+    try {
+      mk("gb_big", 512)
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      def batch(r: Range) = r.map(_.toLong).toDF("doc_id")
+      // all-new batch: passes through untouched
+      val fresh = Dedup.guardedBatch(spark, batch(20 until 30), "gb_big", 512, "t.g", "doc_id")
+      assert(fresh.isDefined && ids(fresh.get) == (20L until 30L).toSet)
+      // partial replay: exactly the landed ids are dropped
+      val part = Dedup.guardedBatch(spark, batch(5 until 15), "gb_big", 512, "t.g", "doc_id")
+      assert(part.isDefined && ids(part.get) == (10L until 15L).toSet)
+      // full replay and empty batch: the cycle is skipped
+      assert(Dedup.guardedBatch(spark, batch(0 until 10), "gb_big", 512, "t.g", "doc_id").isEmpty)
+      assert(Dedup.guardedBatch(spark, batch(0 until 0), "gb_big", 512, "t.g", "doc_id").isEmpty)
+      // over-cap (nBuckets=8 -> cap=12 < 20 batch ids): same three verdicts
+      // through the semi-join + anti-join fallback paths
+      mk("gb_small", 8)
+      val over = Dedup.guardedBatch(spark, batch(5 until 25), "gb_small", 8, "t.g", "doc_id")
+      assert(over.isDefined && ids(over.get) == (10L until 25L).toSet)
+      assert(Dedup.guardedBatch(spark, (0L until 10L).toDF("doc_id"), "gb_small", 8, "t.g", "doc_id").isEmpty)
+      val freshO = Dedup.guardedBatch(spark, batch(30 until 50), "gb_small", 8, "t.g", "doc_id")
+      assert(freshO.isDefined && ids(freshO.get) == (30L until 50L).toSet)
+    } finally Seq("gb_big", "gb_small").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
